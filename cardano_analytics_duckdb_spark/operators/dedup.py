@@ -1,0 +1,305 @@
+"""Deduplication operators over the ``documents`` table.
+
+LLM-training-pipeline extensions (driver spec, SURVEY §7.6): exact dedup,
+n-gram Jaccard near-dup, MinHash+LSH banding, SimHash fingerprints.
+
+Determinism strategy: every hash is ``md5`` (identical hex output in Spark
+and DuckDB), so the MinHash signatures — ``min(md5(seed || shingle))`` as a
+*string* min — and SimHash bit derivations hash-match the oracle exactly.
+No engine-specific hash (xxhash64, DuckDB ``hash()``) appears anywhere.
+
+Scale notes (100 TB posture):
+- exact dedup is one hash-aggregate on the fingerprint — fully distributed,
+  map-side partial agg applies.
+- all-pairs Jaccard is inherently quadratic, so the exposed query bounds the
+  candidate set (doc_id < 300); the scale path is MinHash banding: shuffle by
+  band key → candidate pairs only within buckets (classic LSH; cost scales
+  with bucket sizes, not n²).
+- shingling is JVM-side (`split`/`transform`/`explode`) — no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.rounding import rnd
+from ..lake.tables import load_table
+
+# -- exact dedup: hash-groupBy fingerprint ------------------------------------
+
+
+def exact_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id", F.md5(F.col("text").cast("binary")).alias("fingerprint")
+        )
+        .groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count("*").alias("dup_count"),
+        )
+        .orderBy("canonical_doc_id")
+    )
+
+
+_EXACT_DEDUP_SQL = """
+SELECT md5(text) AS fingerprint,
+       min(doc_id) AS canonical_doc_id,
+       count(*) AS dup_count
+FROM documents
+GROUP BY fingerprint
+ORDER BY canonical_doc_id
+"""
+
+# -- word 3-gram shingles (shared by Jaccard and MinHash) ---------------------
+
+
+def _shingles(docs: DataFrame, distinct: bool = True) -> DataFrame:
+    """(doc_id, shingle) pairs; docs with <3 tokens contribute none.
+
+    ``distinct=True`` gives set semantics (needed for Jaccard counts);
+    min-based consumers can skip the dedup shuffle."""
+    w = F.split(F.col("text"), " ")
+    out = (
+        docs.select("doc_id", w.alias("w"))
+        .filter(F.size("w") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(w)-3),"
+                    " i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"
+                )
+            ).alias("sh"),
+        )
+    )
+    return out.distinct() if distinct else out
+
+
+_SHINGLES_CTE = """
+words AS (SELECT doc_id, string_split(text, ' ') AS w FROM {src}),
+shingles AS (
+  SELECT DISTINCT doc_id, array_to_string(w[g:g+2], ' ') AS sh
+  FROM words, unnest(generate_series(1, greatest(len(w)-2, 0))) AS t(g)
+)
+"""
+
+# -- n-gram Jaccard near-dup pairs (bounded all-pairs) ------------------------
+
+
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    sh = _shingles(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, F.col("a.sh") == F.col("b.sh"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")
+    )
+    sb = sizes.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")
+    )
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            rnd(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= 0.2)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+_JACCARD_SQL = (
+    "WITH "
+    + _SHINGLES_CTE.format(src="(SELECT * FROM documents WHERE doc_id < 300)")
+    + """
+, sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY doc_a, doc_b
+)
+SELECT doc_a, doc_b,
+       floor((n_common / (sa.n_sh + sb.n_sh - n_common)) * 10000.0 + 0.5) / 10000.0 AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE floor((n_common / (sa.n_sh + sb.n_sh - n_common)) * 10000.0 + 0.5) / 10000.0 >= 0.2
+ORDER BY doc_a, doc_b
+"""
+)
+
+# -- MinHash + LSH banding ----------------------------------------------------
+# k=6 hash functions = min(md5(seed || shingle)) string-min; 2 bands × 3 rows.
+# Duplicate candidates = docs sharing a band signature.
+
+_MINHASH_SEEDS = ["s0|", "s1|", "s2|", "s3|", "s4|", "s5|"]
+_BANDS = [(0, 3), (3, 6)]
+
+
+def minhash_band_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    # No distinct() on shingles: min over a multiset equals min over the set,
+    # so dedup-before-min would only add a shuffle.
+    sh = _shingles(docs, distinct=False)
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(seed), F.col("sh")).cast("binary"))).alias(
+                f"h{i}"
+            )
+            for i, seed in enumerate(_MINHASH_SEEDS)
+        ]
+    )
+    # Emit both bands via one explode so the signature lineage is computed
+    # once (a union of two projections would recompute it per branch).
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "|", *[F.col(f"h{i}") for i in range(lo, hi)]
+                ).alias("band_key"),
+            )
+            for b, (lo, hi) in enumerate(_BANDS)
+        ]
+    )
+    all_bands = sig.select(
+        "doc_id", F.explode(band_structs).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
+    return (
+        all_bands.groupBy("band", "band_key")
+        .agg(
+            F.count("*").alias("bucket_size"),
+            F.array_sort(F.collect_list("doc_id")).alias("members"),
+        )
+        .filter(F.col("bucket_size") > 1)
+        .orderBy("band", "band_key")
+    )
+
+
+def _minhash_sql() -> str:
+    hash_cols = ",\n         ".join(
+        f"min(md5('{seed}' || sh)) AS h{i}"
+        for i, seed in enumerate(_MINHASH_SEEDS)
+    )
+    band_selects = []
+    for b, (lo, hi) in enumerate(_BANDS):
+        key = " || '|' || ".join(f"h{i}" for i in range(lo, hi))
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band, {key} AS band_key FROM sig"
+        )
+    bands_union = "\nUNION ALL\n".join(band_selects)
+    return (
+        "WITH "
+        + _SHINGLES_CTE.format(src="documents")
+        + f"""
+, sig AS (
+  SELECT doc_id,
+         {hash_cols}
+  FROM shingles GROUP BY doc_id
+), bands AS (
+{bands_union}
+)
+SELECT band, band_key, count(*) AS bucket_size,
+       list_sort(list(doc_id)) AS members
+FROM bands
+GROUP BY band, band_key
+HAVING count(*) > 1
+ORDER BY band, band_key
+"""
+    )
+
+
+# -- SimHash (16-bit) ---------------------------------------------------------
+# Per token-occurrence: h16 = first 4 hex chars of md5(token).  Bit b of the
+# fingerprint is set iff sum over tokens of (±1 by bit b of h16) is positive.
+
+
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    h = toks.withColumn(
+        "h16",
+        F.conv(F.substring(F.md5(F.col("tok").cast("binary")), 1, 4), 16, 10).cast(
+            "int"
+        ),
+    )
+    bit_sums = h.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h16"), b).bitwiseAND(1) == 1, 1).otherwise(
+                    -1
+                )
+            ).alias(f"b{b}")
+            for b in range(16)
+        ]
+    )
+    fp = sum(
+        [
+            F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+            for b in range(16)
+        ],
+        F.lit(0),
+    )
+    return (
+        bit_sums.select("doc_id", fp.cast("int").alias("simhash16"))
+        .orderBy("doc_id")
+    )
+
+
+def _simhash_sql() -> str:
+    bit_sums = ",\n         ".join(
+        f"sum(CASE WHEN (h16 >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(16)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(16)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), hashed AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 4))::INTEGER AS h16 FROM toks
+), bit_sums AS (
+  SELECT doc_id,
+         {bit_sums}
+  FROM hashed GROUP BY doc_id
+)
+SELECT doc_id, CAST({fp} AS INTEGER) AS simhash16
+FROM bit_sums
+ORDER BY doc_id
+"""
+
+
+QUERIES = {
+    "exact_dedup_groups": exact_dedup_groups,
+    "ngram_jaccard_pairs": ngram_jaccard_pairs,
+    "minhash_band_buckets": minhash_band_buckets,
+    "simhash_fingerprints": simhash_fingerprints,
+}
+
+ORACLE = {
+    "exact_dedup_groups": _EXACT_DEDUP_SQL,
+    "ngram_jaccard_pairs": _JACCARD_SQL,
+    "minhash_band_buckets": _minhash_sql(),
+    "simhash_fingerprints": _simhash_sql(),
+}

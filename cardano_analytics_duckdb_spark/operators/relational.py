@@ -1,0 +1,497 @@
+"""Core relational operators over the driver's synthetic tables.
+
+Each query transplants one operator family from the reference's workloads
+(SURVEY §2) onto the TPC-H-ish testdata so the driver can oracle-check it:
+
+- high-fee report (filter + top-k + ungrouped multi-agg):
+  /root/reference/main.py:24-53
+- token-transfer flagship (semi-join, unnest/explode, 2-key join,
+  collect_set+array_sort, left joins, null-safe set inequality):
+  /root/reference/token_fee_analysis.py:204-249
+- scalar functions (piecewise slot→time, fraction split, rounding):
+  /root/reference/token_fee_analysis.py:8-16, ogmios_parquet.py:432-435
+
+Scale notes (100 TB posture): dimension joins are explicitly
+``F.broadcast``; aggregations rely on Catalyst partial/final staging;
+top-k compiles to TakeOrderedAndProject (no global sort); all scans are
+single-pass with pushdown-friendly filters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.rounding import rnd
+from ..lake.tables import load_table
+
+# -- S1/P1/P2/O1: glob scan → filter → project → top-k ----------------------
+# ≙ main.py:24-35 (tx_fee > 2_000_000 ORDER BY tx_fee DESC LIMIT 100)
+
+
+def high_value_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.filter(F.col("o_totalprice") > 400_000.0)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
+_HIGH_VALUE_ORDERS_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+FROM orders
+WHERE o_totalprice > 400000.0
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+"""
+
+# -- A1: ungrouped multi-aggregate ≙ main.py:45-53 ---------------------------
+
+
+def order_summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.agg(
+        F.count("*").alias("total_orders"),
+        rnd(F.avg("o_totalprice"), 2).alias("avg_price"),
+        rnd(F.max("o_totalprice"), 2).alias("max_price"),
+        rnd(F.min("o_totalprice"), 2).alias("min_price"),
+    )
+
+
+_ORDER_SUMMARY_SQL = """
+SELECT count(*) AS total_orders,
+       floor((avg(o_totalprice)) * 100.0 + 0.5) / 100.0 AS avg_price,
+       floor((max(o_totalprice)) * 100.0 + 0.5) / 100.0 AS max_price,
+       floor((min(o_totalprice)) * 100.0 + 0.5) / 100.0 AS min_price
+FROM orders
+"""
+
+# -- A7/P4/F7/O2: grouped multi-agg + range predicate (TPC-H Q1 shape) -------
+
+
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            rnd(F.sum("l_quantity"), 2).alias("sum_qty"),
+            rnd(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            rnd(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            rnd(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            rnd(F.avg("l_quantity"), 2).alias("avg_qty"),
+            rnd(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            rnd(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+_PRICING_SUMMARY_SQL = """
+SELECT l_returnflag, l_linestatus,
+       floor((sum(l_quantity)) * 100.0 + 0.5) / 100.0 AS sum_qty,
+       floor((sum(l_extendedprice)) * 100.0 + 0.5) / 100.0 AS sum_base_price,
+       floor((sum(l_extendedprice * (1 - l_discount))) * 100.0 + 0.5) / 100.0 AS sum_disc_price,
+       floor((sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))) * 100.0 + 0.5) / 100.0 AS sum_charge,
+       floor((avg(l_quantity)) * 100.0 + 0.5) / 100.0 AS avg_qty,
+       floor((avg(l_extendedprice)) * 100.0 + 0.5) / 100.0 AS avg_price,
+       floor((avg(l_discount)) * 10000.0 + 0.5) / 10000.0 AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+# -- J2/P6/A4: semi join (IN-subquery) ≙ token_fee_analysis.py:212 -----------
+
+
+def customers_with_high_value_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    ids = (
+        orders.filter(F.col("o_totalprice") > 300_000.0)
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+    )
+    return (
+        customer.join(ids, "c_custkey", "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+_SEMI_JOIN_SQL = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE c_custkey IN (SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 300000.0)
+ORDER BY c_custkey
+"""
+
+# -- anti join (extension; absent from reference per SURVEY §2.3) ------------
+
+
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    ids = orders.select(F.col("o_custkey").alias("c_custkey"))
+    return (
+        customer.join(ids, "c_custkey", "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+_ANTI_JOIN_SQL = """
+SELECT c_custkey, c_name
+FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+ORDER BY c_custkey
+"""
+
+# -- J4/J5: multi-way equi joins with broadcast dims -------------------------
+# ≙ the 3-join flagship shape (token_fee_analysis.py:238-246); dims broadcast.
+
+
+def revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        orders.join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            rnd(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count("*").alias("order_count"),
+        )
+        .orderBy("r_name")
+    )
+
+
+_REVENUE_BY_REGION_SQL = """
+SELECT r_name,
+       floor((sum(o_totalprice)) * 100.0 + 0.5) / 100.0 AS revenue,
+       count(*) AS order_count
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+ORDER BY r_name
+"""
+
+# -- A2/A3/O3: grouped distinct set-aggregate, canonicalized by sort ---------
+# ≙ ARRAY_SORT(ARRAY_AGG(DISTINCT address)) GROUP BY tx_id
+#   (token_fee_analysis.py:218-236)
+
+
+def order_brand_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part.select("p_partkey", "p_brand")),
+                li.l_partkey == F.col("p_partkey"))
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("p_brand")).alias("brand_set"))
+        .orderBy("l_orderkey")
+    )
+
+
+_ORDER_BRAND_SETS_SQL = """
+SELECT l_orderkey,
+       list_sort(list(DISTINCT p_brand)) AS brand_set
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+GROUP BY l_orderkey
+ORDER BY l_orderkey
+"""
+
+# -- P5/J5: left joins + null-safe set inequality (the ownership-change rule)
+# ≙ token_fee_analysis.py:238-248: tx LEFT JOIN in/out addr sets,
+#   keep rows where IS DISTINCT FROM.  Transplant: per order, the sorted set
+#   of supplier nations ("input side") vs the customer's nation as 1-elt set
+#   ("output side"); orders with no lineitem have a NULL input side (≙ mint).
+
+
+def cross_nation_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    li = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+
+    supp_nations = (
+        li.select("l_orderkey", "l_suppkey")
+        .join(F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation.select("n_nationkey", "n_name")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("n_name")).alias("supp_nation_set"))
+    )
+    cust_nation = (
+        customer.join(F.broadcast(nation.select("n_nationkey", "n_name")),
+                      customer.c_nationkey == F.col("n_nationkey"))
+        .select(F.col("c_custkey"), F.array(F.col("n_name")).alias("cust_nation_set"))
+    )
+    return (
+        orders.join(F.broadcast(cust_nation), orders.o_custkey == F.col("c_custkey"), "left")
+        .join(supp_nations, orders.o_orderkey == supp_nations.l_orderkey, "left")
+        .filter(~F.col("supp_nation_set").eqNullSafe(F.col("cust_nation_set")))
+        .select("o_orderkey", "supp_nation_set", "cust_nation_set")
+        .orderBy("o_orderkey")
+    )
+
+
+_CROSS_NATION_ORDERS_SQL = """
+WITH supp_nations AS (
+  SELECT l_orderkey,
+         list_sort(list(DISTINCT n_name)) AS supp_nation_set
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  GROUP BY l_orderkey
+), cust_nation AS (
+  SELECT c_custkey, [n_name] AS cust_nation_set
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+)
+SELECT o_orderkey, supp_nation_set, cust_nation_set
+FROM orders
+LEFT JOIN cust_nation ON o_custkey = c_custkey
+LEFT JOIN supp_nations ON o_orderkey = l_orderkey
+WHERE supp_nation_set IS DISTINCT FROM cust_nation_set
+ORDER BY o_orderkey
+"""
+
+# -- J3: lateral unnest / explode ≙ UNNEST(tx.inputs)
+#   (token_fee_analysis.py:221-222).  Testdata has no array column, so build
+#   the array with split() then explode — same LATERAL VIEW plan shape.
+
+
+def part_name_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.select(F.explode(F.split(F.col("p_name"), " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token"))
+    )
+
+
+_PART_NAME_TOKENS_SQL = """
+SELECT t.token AS token, count(*) AS n
+FROM part, unnest(string_split(p_name, ' ')) AS t(token)
+GROUP BY t.token
+ORDER BY n DESC, token
+"""
+
+# -- J1: explicit UNION ALL of two filtered slices ---------------------------
+# ≙ the multi-file view concat (token_fee_analysis.py:76-80)
+
+
+def priority_order_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    high = orders.filter(F.col("o_orderpriority") == "2-HIGH").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    return urgent.unionByName(high).orderBy("o_orderkey")
+
+
+_PRIORITY_UNION_SQL = """
+SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderpriority = '1-URGENT'
+UNION ALL
+SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderpriority = '2-HIGH'
+ORDER BY o_orderkey
+"""
+
+# -- set operators (extension; absent from reference per SURVEY §2.7) --------
+
+
+def repeat_buyer_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT: customers ordering in both Jan-window and Jul-window."""
+    orders = load_table(spark, sf_dir, "orders")
+    h1 = orders.filter(F.month("o_orderdate") <= 6).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    h2 = orders.filter(F.month("o_orderdate") > 6).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return h1.intersect(h2).orderBy("custkey")
+
+
+_INTERSECT_SQL = """
+SELECT o_custkey AS custkey FROM orders WHERE month(o_orderdate) <= 6
+INTERSECT
+SELECT o_custkey AS custkey FROM orders WHERE month(o_orderdate) > 6
+ORDER BY custkey
+"""
+
+
+def first_half_only_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT: customers ordering only in the first half-year."""
+    orders = load_table(spark, sf_dir, "orders")
+    h1 = orders.filter(F.month("o_orderdate") <= 6).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    h2 = orders.filter(F.month("o_orderdate") > 6).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return h1.subtract(h2).orderBy("custkey")
+
+
+_EXCEPT_SQL = """
+SELECT o_custkey AS custkey FROM orders WHERE month(o_orderdate) <= 6
+EXCEPT
+SELECT o_custkey AS custkey FROM orders WHERE month(o_orderdate) > 6
+ORDER BY custkey
+"""
+
+# -- F4: piecewise slot→POSIX-ms conversion as a pure column expression ------
+# ≙ slot_to_posix_ms_mainnet (token_fee_analysis.py:8-16): Byron 20 s slots
+#   before 4,492,800, Shelley 1 s slots after.  o_orderkey stands in for slot.
+
+_SHELLEY_SLOT = 4_492_800
+_SHELLEY_MS = 1_596_059_091_000
+_BYRON_MS = 1_506_203_091_000
+
+
+def slot_time_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    slot = F.col("o_orderkey") * 100  # spread keys across the Byron boundary
+    posix_ms = F.when(
+        slot >= _SHELLEY_SLOT, F.lit(_SHELLEY_MS) + (slot - _SHELLEY_SLOT) * 1000
+    ).otherwise(F.lit(_BYRON_MS) + slot * 20_000)
+    return (
+        orders.select(
+            F.col("o_orderkey"),
+            slot.cast("long").alias("slot"),
+            posix_ms.cast("long").alias("posix_ms"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+_SLOT_TIME_SQL = f"""
+SELECT o_orderkey,
+       CAST(o_orderkey * 100 AS BIGINT) AS slot,
+       CAST(CASE WHEN o_orderkey * 100 >= {_SHELLEY_SLOT}
+            THEN {_SHELLEY_MS} + (o_orderkey * 100 - {_SHELLEY_SLOT}) * 1000
+            ELSE {_BYRON_MS} + o_orderkey * 100 * 20000 END AS BIGINT) AS posix_ms
+FROM orders
+ORDER BY o_orderkey
+"""
+
+# -- conditional aggregation (pivot-shape via FILTER/CASE) -------------------
+
+
+def status_price_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            rnd(
+                F.sum(F.when(F.col("o_orderstatus") == "O", F.col("o_totalprice"))), 2
+            ).alias("open_total"),
+            rnd(
+                F.sum(F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice"))), 2
+            ).alias("finished_total"),
+            rnd(
+                F.sum(F.when(F.col("o_orderstatus") == "P", F.col("o_totalprice"))), 2
+            ).alias("pending_total"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+_STATUS_MATRIX_SQL = """
+SELECT o_orderpriority,
+       floor((sum(o_totalprice) FILTER (WHERE o_orderstatus = 'O')) * 100.0 + 0.5) / 100.0 AS open_total,
+       floor((sum(o_totalprice) FILTER (WHERE o_orderstatus = 'F')) * 100.0 + 0.5) / 100.0 AS finished_total,
+       floor((sum(o_totalprice) FILTER (WHERE o_orderstatus = 'P')) * 100.0 + 0.5) / 100.0 AS pending_total,
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+# -- rollup (grouping-set extension) -----------------------------------------
+
+
+def lineitem_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(rnd(F.sum("l_quantity"), 2).alias("sum_qty"),
+             F.count("*").alias("n"))
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+_ROLLUP_SQL = """
+SELECT l_returnflag, l_linestatus,
+       floor((sum(l_quantity)) * 100.0 + 0.5) / 100.0 AS sum_qty,
+       count(*) AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+"""
+
+
+QUERIES = {
+    "high_value_orders": high_value_orders,
+    "order_summary_stats": order_summary_stats,
+    "pricing_summary": pricing_summary,
+    "customers_with_high_value_orders": customers_with_high_value_orders,
+    "customers_without_orders": customers_without_orders,
+    "revenue_by_region": revenue_by_region,
+    "order_brand_sets": order_brand_sets,
+    "cross_nation_orders": cross_nation_orders,
+    "part_name_tokens": part_name_tokens,
+    "priority_order_union": priority_order_union,
+    "repeat_buyer_custkeys": repeat_buyer_custkeys,
+    "first_half_only_custkeys": first_half_only_custkeys,
+    "slot_time_conversion": slot_time_conversion,
+    "status_price_matrix": status_price_matrix,
+    "lineitem_rollup": lineitem_rollup,
+}
+
+ORACLE = {
+    "high_value_orders": _HIGH_VALUE_ORDERS_SQL,
+    "order_summary_stats": _ORDER_SUMMARY_SQL,
+    "pricing_summary": _PRICING_SUMMARY_SQL,
+    "customers_with_high_value_orders": _SEMI_JOIN_SQL,
+    "customers_without_orders": _ANTI_JOIN_SQL,
+    "revenue_by_region": _REVENUE_BY_REGION_SQL,
+    "order_brand_sets": _ORDER_BRAND_SETS_SQL,
+    "cross_nation_orders": _CROSS_NATION_ORDERS_SQL,
+    "part_name_tokens": _PART_NAME_TOKENS_SQL,
+    "priority_order_union": _PRIORITY_UNION_SQL,
+    "repeat_buyer_custkeys": _INTERSECT_SQL,
+    "first_half_only_custkeys": _EXCEPT_SQL,
+    "slot_time_conversion": _SLOT_TIME_SQL,
+    "status_price_matrix": _STATUS_MATRIX_SQL,
+    "lineitem_rollup": _ROLLUP_SQL,
+}

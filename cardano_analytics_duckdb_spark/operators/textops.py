@@ -1,0 +1,221 @@
+"""Text-analysis operators over ``documents`` (LLM-pipeline extension).
+
+Language-ID by stopword heuristic, quality scoring, token counting, and a
+winnowing-style rolling-hash document fingerprint — all JVM-side
+(`split`/`transform`/`filter`/`aggregate` higher-order functions), no
+Python UDFs in the hot path.
+
+Scale notes: every query here is a narrow map over documents followed by at
+most one hash aggregate — embarrassingly parallel, no skew risk (keys are
+doc_id or low-cardinality enums).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.rounding import rnd
+from ..lake.tables import load_table
+
+# -- token counting + quality scoring -----------------------------------------
+
+
+def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_tokens = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    avg_tok_len = F.expr(
+        "aggregate(split(text, ' '), cast(0.0 as double),"
+        " (acc, t) -> acc + length(t)) / size(split(text, ' '))"
+    )
+    return (
+        docs.select(
+            "doc_id",
+            F.length("text").alias("n_chars_actual"),
+            n_tokens.alias("n_tokens"),
+            n_distinct.alias("n_distinct_tokens"),
+            rnd(n_distinct / n_tokens, 4).alias("type_token_ratio"),
+            rnd(avg_tok_len, 2).alias("avg_token_len"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_QUALITY_SQL = """
+SELECT doc_id,
+       length(text) AS n_chars_actual,
+       len(string_split(text, ' ')) AS n_tokens,
+       len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
+       floor((len(list_distinct(string_split(text, ' '))) /
+             len(string_split(text, ' '))) * 10000.0 + 0.5) / 10000.0 AS type_token_ratio,
+       floor((list_sum(list_transform(string_split(text, ' '), t -> CAST(length(t) AS DOUBLE))) /
+             len(string_split(text, ' '))) * 100.0 + 0.5) / 100.0 AS avg_token_len
+FROM documents
+ORDER BY doc_id
+"""
+
+# -- language-ID heuristic (stopword hit counts) ------------------------------
+
+_STOPWORDS = {
+    "en": ("the", "a", "of", "and", "is"),
+    "es": ("el", "la", "de", "y", "es"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "la", "de", "et", "est"),
+}
+
+
+def _hits(lang: str) -> F.Column:
+    words = ", ".join(f"'{w}'" for w in _STOPWORDS[lang])
+    return F.expr(
+        f"size(filter(split(text, ' '), t -> t IN ({words})))"
+    )
+
+
+def lang_id_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        *[_hits(lg).alias(f"hits_{lg}") for lg in _STOPWORDS],
+    )
+    best = F.greatest(*[F.col(f"hits_{lg}") for lg in _STOPWORDS])
+    pred = F.when(best == 0, F.lit("unknown"))
+    for lg in _STOPWORDS:  # first-match priority = dict order (en,es,de,fr)
+        pred = pred.when(F.col(f"hits_{lg}") == best, F.lit(lg))
+    return (
+        scored.select(
+            "doc_id",
+            "labeled_lang",
+            *[f"hits_{lg}" for lg in _STOPWORDS],
+            pred.alias("predicted_lang"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _lang_id_sql() -> str:
+    hit_exprs = ",\n       ".join(
+        "len(list_filter(string_split(text, ' '), t -> t IN ({}))) AS hits_{}".format(
+            ", ".join(f"'{w}'" for w in _STOPWORDS[lg]), lg
+        )
+        for lg in _STOPWORDS
+    )
+    best = "greatest(" + ", ".join(f"hits_{lg}" for lg in _STOPWORDS) + ")"
+    pred_cases = "\n            ".join(
+        f"WHEN hits_{lg} = {best} THEN '{lg}'" for lg in _STOPWORDS
+    )
+    return f"""
+WITH scored AS (
+  SELECT doc_id, lang AS labeled_lang,
+       {hit_exprs}
+  FROM documents
+)
+SELECT doc_id, labeled_lang, hits_en, hits_es, hits_de, hits_fr,
+       CASE WHEN {best} = 0 THEN 'unknown'
+            {pred_cases}
+       END AS predicted_lang
+FROM scored
+ORDER BY doc_id
+"""
+
+
+# -- regex token filtering ----------------------------------------------------
+
+
+def alpha_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    alpha = F.expr("size(filter(split(text, ' '), t -> t rlike '^[a-z]+$'))")
+    return (
+        docs.select(
+            "doc_id",
+            F.size(toks).alias("n_tokens"),
+            alpha.alias("n_alpha_tokens"),
+            rnd(alpha / F.size(toks), 4).alias("alpha_ratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_ALPHA_SQL = """
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_tokens,
+       len(list_filter(string_split(text, ' '), t -> regexp_full_match(t, '[a-z]+')))
+         AS n_alpha_tokens,
+       floor((len(list_filter(string_split(text, ' '), t -> regexp_full_match(t, '[a-z]+'))) /
+             len(string_split(text, ' '))) * 10000.0 + 0.5) / 10000.0 AS alpha_ratio
+FROM documents
+ORDER BY doc_id
+"""
+
+# -- winnowing-style rolling fingerprint --------------------------------------
+# min over md5 of every 16-char window — a robust content fingerprint that
+# survives small edits at the ends (document fingerprinting per driver spec).
+
+
+def rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.expr(
+        "array_min(transform(sequence(1, greatest(length(text) - 15, 1)),"
+        " i -> md5(cast(substring(text, i, 16) as binary))))"
+    )
+    return docs.select("doc_id", fp.alias("rolling_fp")).orderBy("doc_id")
+
+
+_ROLLING_FP_SQL = """
+SELECT doc_id,
+       (SELECT min(md5(substr(text, g, 16)))
+        FROM unnest(generate_series(1, greatest(length(text) - 15, 1))) AS t(g))
+         AS rolling_fp
+FROM documents
+ORDER BY doc_id
+"""
+
+# -- per-source corpus statistics --------------------------------------------
+
+
+def corpus_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.length("text")).alias("total_chars"),
+            rnd(F.avg(F.size(F.split(F.col("text"), " "))), 2).alias(
+                "avg_tokens"
+            ),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+        .orderBy("source")
+    )
+
+
+_CORPUS_STATS_SQL = """
+SELECT source,
+       count(*) AS n_docs,
+       sum(length(text)) AS total_chars,
+       floor((avg(len(string_split(text, ' ')))) * 100.0 + 0.5) / 100.0 AS avg_tokens,
+       count(DISTINCT lang) AS n_langs
+FROM documents
+GROUP BY source
+ORDER BY source
+"""
+
+
+QUERIES = {
+    "doc_quality_scores": doc_quality_scores,
+    "lang_id_scores": lang_id_scores,
+    "alpha_token_stats": alpha_token_stats,
+    "rolling_fingerprints": rolling_fingerprints,
+    "corpus_stats_by_source": corpus_stats_by_source,
+}
+
+ORACLE = {
+    "doc_quality_scores": _QUALITY_SQL,
+    "lang_id_scores": _lang_id_sql(),
+    "alpha_token_stats": _ALPHA_SQL,
+    "rolling_fingerprints": _ROLLING_FP_SQL,
+    "corpus_stats_by_source": _CORPUS_STATS_SQL,
+}

@@ -1,0 +1,194 @@
+"""Window-function and event-time operators over ``events`` / ``orders``.
+
+The reference has no window functions (SURVEY §2.5) but its community
+wishlist implies them ("daily progression of the utxo set", "stake at a
+specific slot" — /root/reference/README.md:130,142-145).  These queries are
+the Spark-native expression of that family, plus the batch analog of the
+streaming windowed aggregations in ``streaming/``.
+
+All orderings include a unique tie-break column (event_id / o_orderkey) so
+results are deterministic and oracle-hashable.
+
+Scale notes: windows partitioned by a key (user_id, custkey) shuffle once on
+that key and then run within partitions — no global sort.  The time-bucket
+aggregation is a plain hash aggregate on a derived column (map-side partial
+agg applies).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..functions.rounding import rnd
+from ..lake.tables import load_table
+
+# -- top-k per group ----------------------------------------------------------
+
+
+def top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+        .orderBy("o_custkey", "rn")
+    )
+
+
+_TOP_ORDERS_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice, rn
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+)
+WHERE rn <= 3
+ORDER BY o_custkey, rn
+"""
+
+# -- running aggregate --------------------------------------------------------
+
+
+def user_running_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        events.select(
+            "user_id",
+            "event_id",
+            rnd(F.sum("value").over(w), 2).alias("running_value"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+_RUNNING_VALUE_SQL = """
+SELECT user_id, event_id,
+       floor((sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 100.0 + 0.5) / 100.0
+         AS running_value
+FROM events
+ORDER BY user_id, event_id
+"""
+
+# -- lag / inter-event gaps ---------------------------------------------------
+
+
+def user_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    return (
+        events.select(
+            "user_id",
+            "event_id",
+            (F.unix_millis(F.col("ts")) - F.unix_millis(prev_ts)).alias("gap_ms"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+_EVENT_GAPS_SQL = """
+SELECT user_id, event_id,
+       epoch_ms(ts) - epoch_ms(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+         AS gap_ms
+FROM events
+ORDER BY user_id, event_id
+"""
+
+# -- sessionization (gap > 30 min starts a new session) -----------------------
+# lag + conditional cumsum — the batch expression of session_window().
+
+
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_ms = F.unix_millis(F.col("ts")) - F.unix_millis(F.lag("ts").over(w))
+    is_new = F.when(gap_ms.isNull() | (gap_ms > 30 * 60 * 1000), 1).otherwise(0)
+    cum = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    return (
+        events.withColumn("new_sess", is_new)
+        .withColumn("session_id", F.sum("new_sess").over(cum))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            rnd(F.sum("value"), 2).alias("session_value"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+_SESSIONS_SQL = """
+WITH gaps AS (
+  SELECT user_id, event_id, ts, value,
+         epoch_ms(ts) - epoch_ms(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+           AS gap_ms
+  FROM events
+), marked AS (
+  SELECT *, CASE WHEN gap_ms IS NULL OR gap_ms > 1800000 THEN 1 ELSE 0 END AS new_sess
+  FROM gaps
+), sessioned AS (
+  SELECT user_id, value,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM marked
+)
+SELECT user_id, session_id, count(*) AS n_events,
+       floor((sum(value)) * 100.0 + 0.5) / 100.0 AS session_value
+FROM sessioned
+GROUP BY user_id, session_id
+ORDER BY user_id, session_id
+"""
+
+# -- tumbling event-time window (batch analog of streaming groupBy(window)) ---
+
+
+def events_tumbling_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    bucket = (F.floor(F.unix_millis(F.col("ts")) / 300_000) * 300_000).alias(
+        "bucket_start_ms"
+    )
+    return (
+        events.groupBy(bucket, "event_type")
+        .agg(F.count("*").alias("n"), rnd(F.sum("value"), 2).alias("total_value"))
+        .orderBy("bucket_start_ms", "event_type")
+    )
+
+
+_TUMBLING_SQL = """
+SELECT (epoch_ms(ts) // 300000) * 300000 AS bucket_start_ms,
+       event_type,
+       count(*) AS n,
+       floor((sum(value)) * 100.0 + 0.5) / 100.0 AS total_value
+FROM events
+GROUP BY bucket_start_ms, event_type
+ORDER BY bucket_start_ms, event_type
+"""
+
+
+QUERIES = {
+    "top_orders_per_customer": top_orders_per_customer,
+    "user_running_value": user_running_value,
+    "user_event_gaps": user_event_gaps,
+    "user_sessions": user_sessions,
+    "events_tumbling_5min": events_tumbling_5min,
+}
+
+ORACLE = {
+    "top_orders_per_customer": _TOP_ORDERS_SQL,
+    "user_running_value": _RUNNING_VALUE_SQL,
+    "user_event_gaps": _EVENT_GAPS_SQL,
+    "user_sessions": _SESSIONS_SQL,
+    "events_tumbling_5min": _TUMBLING_SQL,
+}

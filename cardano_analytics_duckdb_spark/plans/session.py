@@ -1,0 +1,53 @@
+"""SparkSession construction with scale-oriented defaults.
+
+Replaces the reference's in-process ``duckdb.connect()`` boundary
+(/root/reference/main.py:21, /root/reference/token_fee_analysis.py:46) with a
+Spark driver session.  The config block encodes the Catalyst/AQE posture the
+whole engine assumes:
+
+- AQE on (runtime re-plan, partition coalescing, skew-join splitting) so the
+  same logical plans survive 1000-executor / 100 TB deployments where static
+  estimates are wrong.
+- Arrow on for every pandas boundary (``toPandas``, pandas UDFs).
+- UTC session timezone so results hash-match the DuckDB oracle (DuckDB
+  timestamps are UTC-naive).
+- ``shuffle.partitions`` sized by caller (≈ cores locally; thousands on a
+  real cluster — AQE coalesces down, so oversizing is the safe direction).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def session_builder(
+    app_name: str = "cardano-analytics-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession.Builder:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus) if cpus.isdigit() else 32
+    return (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+    )
+
+
+def get_session(**kwargs) -> SparkSession:
+    spark = session_builder(**kwargs).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,31 @@
+"""Every declared query hash-matches its DuckDB oracle (the t2 gate, run
+locally at sf0.001 for speed; the driver re-runs at sf0.01)."""
+
+from __future__ import annotations
+
+import pytest
+
+from cardano_analytics_duckdb_spark.operators import all_oracles, all_queries
+
+from .oracle import compare, duck_connection
+
+QUERIES = all_queries()
+ORACLES = all_oracles()
+
+
+def test_every_query_has_an_oracle():
+    missing = set(QUERIES) - set(ORACLES)
+    assert not missing, f"queries without oracle SQL: {missing}"
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duck_connection(sf_dir)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_oracle_match(spark, sf_dir, duck, name):
+    df = QUERIES[name](spark, sf_dir)
+    compare(df, duck, ORACLES[name])
