@@ -12,7 +12,13 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from cardano_analytics_duckdb_spark.lake.fixtures import ensure_fixture_lake
 from cardano_analytics_duckdb_spark.operators import all_oracles, all_queries
+
+# The cardano_* oracle SQL reads the fixture lake's files directly, and the
+# driver may run oracle SQL before the Spark query — materialize the lake at
+# import (pure PyArrow, deterministic, marker-guarded; ~100 ms once).
+ensure_fixture_lake()
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -30,6 +30,6 @@ def all_oracles() -> dict[str, str]:
 
 
 def _modules():
-    from . import dedup, relational, similarity, textops, windows
+    from . import cardano, dedup, relational, similarity, textops, windows
 
-    return [relational, windows, dedup, similarity, textops]
+    return [relational, windows, dedup, similarity, textops, cardano]

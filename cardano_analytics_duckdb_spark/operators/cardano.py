@@ -1,0 +1,393 @@
+"""The reference's own query workloads, Spark-first, over the Cardano lake.
+
+These are the parity targets from SURVEY §2/§3:
+
+- high-fee report + summary stats ≙ /root/reference/main.py:24-53
+- token-transfer flagship (semi-join → unnest → 2-key join → sorted distinct
+  address sets → null-safe inequality) ≙ token_fee_analysis.py:107-249
+- mint/utxo/cert/datum inventories over the remaining lake tables
+
+The queries run on the deterministic fixture lake (lake/fixtures.py) — the
+``sf_dir`` argument is accepted for driver-contract compatibility but the
+lake is fixed-size; oracle SQL reads the identical files via
+``read_parquet(..., hive_partitioning=1)``.
+
+Binary columns are exposed as lowercase hex (identical in both engines) so
+result hashing never depends on BLOB rendering.
+
+Scale notes (100 TB posture): slot predicates prune `slot_group=N/`
+directories on both engines; the token-UTxO side of the flagship is tiny
+after the policy/asset filter → broadcast both into the explode-join and
+the semi-join (no shuffle of the big tx table); the final left joins are
+per-tx_id hash joins on already-aggregated (small) sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.rounding import rnd
+from ..lake.fixtures import (
+    DEFAULT_LAKE_ROOT,
+    TOKEN_NAME,
+    TOKEN_POLICY,
+    ensure_fixture_lake,
+)
+
+_hex = lambda c: F.lower(F.hex(F.col(c)))  # noqa: E731
+
+
+def _lake(spark: SparkSession, table: str) -> DataFrame:
+    root = ensure_fixture_lake(spark)
+    return spark.read.parquet(f"{root}/{table}")
+
+
+def _scan(table: str) -> str:
+    return (
+        f"read_parquet('{DEFAULT_LAKE_ROOT}/{table}/*/*.parquet',"
+        " hive_partitioning=1)"
+    )
+
+
+# -- high-fee report ≙ main.py:24-35 ------------------------------------------
+
+
+def cardano_high_fee_txs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tx = _lake(spark, "tx")
+    return (
+        tx.filter(F.col("tx_fee") > 2_000_000)
+        .select(
+            "slot",
+            _hex("tx_id").alias("tx_id_hex"),
+            "tx_fee",
+            "input_count",
+            "output_count",
+        )
+        .orderBy(F.col("tx_fee").desc(), F.col("tx_id_hex"))
+        .limit(100)
+    )
+
+
+_HIGH_FEE_SQL = f"""
+SELECT slot, lower(hex(tx_id)) AS tx_id_hex, tx_fee, input_count, output_count
+FROM {_scan("tx")}
+WHERE tx_fee > 2000000
+ORDER BY tx_fee DESC, tx_id_hex
+LIMIT 100
+"""
+
+# -- summary statistics ≙ main.py:45-53 ---------------------------------------
+
+
+def cardano_tx_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tx = _lake(spark, "tx")
+    return tx.agg(
+        F.count("*").alias("total_transactions"),
+        rnd(F.avg("tx_fee"), 2).alias("avg_fee"),
+        F.max("tx_fee").alias("max_fee"),
+        F.min("tx_fee").alias("min_fee"),
+        F.sum(F.col("tx_fee")).alias("total_fees"),
+    )
+
+
+_TX_SUMMARY_SQL = f"""
+SELECT count(*) AS total_transactions,
+       floor((avg(tx_fee)) * 100.0 + 0.5) / 100.0 AS avg_fee,
+       max(tx_fee) AS max_fee,
+       min(tx_fee) AS min_fee,
+       sum(tx_fee) AS total_fees
+FROM {_scan("tx")}
+"""
+
+# -- flagship: ownership-changing token transfers ≙ token_fee_analysis.py:107-249
+
+
+def _token_transfers(
+    spark: SparkSession,
+    min_slot: int | None,
+    max_slot: int | None,
+) -> DataFrame:
+    asset = _lake(spark, "asset")
+    tx = _lake(spark, "tx")
+
+    token_utxos = asset.filter(
+        (F.col("policy_id") == F.lit(TOKEN_POLICY))
+        & (F.col("asset_name") == F.lit(TOKEN_NAME))
+    )
+    if min_slot is not None:
+        token_utxos = token_utxos.filter(F.col("slot") >= min_slot)
+    if max_slot is not None:
+        token_utxos = token_utxos.filter(F.col("slot") <= max_slot)
+    token_utxos = token_utxos.select("tx_id", "output_index", "address").cache()
+
+    # semi-join: txs that create or consume a token UTxO … the reference
+    # pre-filters only on *creating* txs (token_fee_analysis.py:212) and
+    # relies on output/input set joins for the rest — reproduce exactly that.
+    relevant = tx.join(
+        F.broadcast(token_utxos.select("tx_id").distinct()), "tx_id", "left_semi"
+    )
+
+    inputs_set = (
+        relevant.select("tx_id", F.explode("inputs").alias("r"))
+        .select(
+            F.col("tx_id").alias("consuming_tx_id"),
+            F.col("r.tx_id").alias("src_tx_id"),
+            F.col("r.output_index").alias("src_output_index"),
+        )
+        .join(
+            F.broadcast(
+                token_utxos.withColumnsRenamed(
+                    {"tx_id": "src_tx_id", "output_index": "src_output_index"}
+                )
+            ),
+            on=["src_tx_id", "src_output_index"],
+        )
+        .groupBy("consuming_tx_id")
+        .agg(F.array_sort(F.collect_set("address")).alias("input_addr_set"))
+        .withColumnRenamed("consuming_tx_id", "tx_id")
+    )
+    outputs_set = token_utxos.groupBy("tx_id").agg(
+        F.array_sort(F.collect_set("address")).alias("output_addr_set")
+    )
+    return (
+        relevant.join(inputs_set, "tx_id", "left")
+        .join(outputs_set, "tx_id", "left")
+        .filter(
+            ~F.col("input_addr_set").eqNullSafe(F.col("output_addr_set"))
+        )
+        .select(
+            "slot",
+            _hex("tx_id").alias("tx_id_hex"),
+            "tx_fee",
+            "input_count",
+            "output_count",
+            "input_addr_set",
+            "output_addr_set",
+        )
+        .orderBy("slot", "tx_id_hex")
+    )
+
+
+def cardano_token_transfers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _token_transfers(spark, None, None)
+
+
+def cardano_token_transfers_windowed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    # window chosen to split the slot-boundary chain across partitions
+    return _token_transfers(spark, 100_000, 199_999)
+
+
+def _token_transfers_sql(min_slot: int | None, max_slot: int | None) -> str:
+    policy_hex = TOKEN_POLICY.hex()
+    name_hex = TOKEN_NAME.hex()
+    slot_pred = ""
+    if min_slot is not None:
+        slot_pred += f" AND slot >= {min_slot}"
+    if max_slot is not None:
+        slot_pred += f" AND slot <= {max_slot}"
+    return f"""
+WITH token_utxos AS (
+  SELECT tx_id, output_index, address
+  FROM {_scan("asset")}
+  WHERE policy_id = unhex('{policy_hex}')
+    AND asset_name = unhex('{name_hex}'){slot_pred}
+), relevant_txs AS (
+  SELECT * FROM {_scan("tx")}
+  WHERE tx_id IN (SELECT DISTINCT tx_id FROM token_utxos)
+), input_addresses AS (
+  SELECT t.tx_id, list_sort(list(DISTINCT tu.address)) AS input_addr_set
+  FROM (
+    SELECT tx.tx_id, unnest(tx.inputs) AS r FROM relevant_txs tx
+  ) t
+  JOIN token_utxos tu
+    ON tu.tx_id = t.r.tx_id AND tu.output_index = t.r.output_index
+  GROUP BY t.tx_id
+), output_addresses AS (
+  SELECT tx_id, list_sort(list(DISTINCT address)) AS output_addr_set
+  FROM token_utxos GROUP BY tx_id
+)
+SELECT tx.slot, lower(hex(tx.tx_id)) AS tx_id_hex, tx.tx_fee,
+       tx.input_count, tx.output_count,
+       i.input_addr_set, o.output_addr_set
+FROM relevant_txs tx
+LEFT JOIN input_addresses i ON tx.tx_id = i.tx_id
+LEFT JOIN output_addresses o ON tx.tx_id = o.tx_id
+WHERE i.input_addr_set IS DISTINCT FROM o.output_addr_set
+ORDER BY tx.slot, tx_id_hex
+"""
+
+
+# -- mint / burn totals per asset ---------------------------------------------
+
+
+def cardano_mint_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mint = _lake(spark, "mint")
+    return (
+        mint.groupBy(
+            _hex("policy_id").alias("policy_hex"),
+            _hex("asset_name").alias("asset_hex"),
+        )
+        .agg(
+            F.sum("quantity").alias("net_quantity"),
+            F.sum(F.when(F.col("quantity") > 0, F.col("quantity")).otherwise(0)
+                  ).alias("minted"),
+            F.sum(F.when(F.col("quantity") < 0, -F.col("quantity")).otherwise(0)
+                  ).alias("burned"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("policy_hex", "asset_hex")
+    )
+
+
+_MINT_TOTALS_SQL = f"""
+SELECT lower(hex(policy_id)) AS policy_hex,
+       lower(hex(asset_name)) AS asset_hex,
+       sum(quantity) AS net_quantity,
+       sum(CASE WHEN quantity > 0 THEN quantity ELSE 0 END) AS minted,
+       sum(CASE WHEN quantity < 0 THEN -quantity ELSE 0 END) AS burned,
+       count(*) AS n_events
+FROM {_scan("mint")}
+GROUP BY policy_hex, asset_hex
+ORDER BY policy_hex, asset_hex
+"""
+
+# -- UTxO per-address stats ---------------------------------------------------
+
+
+def cardano_address_utxo_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    utxo = _lake(spark, "utxo")
+    return (
+        utxo.groupBy("address")
+        .agg(
+            F.count("*").alias("n_utxos"),
+            F.sum("lovelace").alias("total_lovelace"),
+            F.sum(F.when(F.col("has_token"), 1).otherwise(0)).alias(
+                "n_token_utxos"
+            ),
+            F.sum(F.when(F.col("has_datum"), 1).otherwise(0)).alias(
+                "n_datum_utxos"
+            ),
+        )
+        .orderBy("address")
+    )
+
+
+_ADDRESS_UTXO_SQL = f"""
+SELECT address,
+       count(*) AS n_utxos,
+       sum(lovelace) AS total_lovelace,
+       sum(CASE WHEN has_token THEN 1 ELSE 0 END) AS n_token_utxos,
+       sum(CASE WHEN has_datum THEN 1 ELSE 0 END) AS n_datum_utxos
+FROM {_scan("utxo")}
+GROUP BY address
+ORDER BY address
+"""
+
+# -- certificate inventory ----------------------------------------------------
+
+
+def cardano_cert_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cert = _lake(spark, "cert")
+    return (
+        cert.groupBy("type")
+        .agg(F.count("*").alias("n"), F.min("slot").alias("first_slot"))
+        .orderBy("type")
+    )
+
+
+_CERT_COUNTS_SQL = f"""
+SELECT type, count(*) AS n, min(slot) AS first_slot
+FROM {_scan("cert")}
+GROUP BY type
+ORDER BY type
+"""
+
+# -- datum inventory ----------------------------------------------------------
+
+
+def cardano_datum_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    datum = _lake(spark, "datum")
+    return (
+        datum.groupBy("is_inline")
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct(_hex("datum_hash")).alias("n_distinct_hashes"),
+        )
+        .orderBy("is_inline")
+    )
+
+
+_DATUM_STATS_SQL = f"""
+SELECT is_inline, count(*) AS n,
+       count(DISTINCT lower(hex(datum_hash))) AS n_distinct_hashes
+FROM {_scan("datum")}
+GROUP BY is_inline
+ORDER BY is_inline
+"""
+
+# -- fee timeline with slot→timestamp upgrade (SURVEY §1.3) -------------------
+
+_SHELLEY_SLOT = 4_492_800
+_SHELLEY_MS = 1_596_059_091_000
+_BYRON_MS = 1_506_203_091_000
+
+
+def cardano_fee_by_slot_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tx = _lake(spark, "tx")
+    posix_ms = F.when(
+        F.col("slot") >= _SHELLEY_SLOT,
+        F.lit(_SHELLEY_MS) + (F.col("slot") - _SHELLEY_SLOT) * 1000,
+    ).otherwise(F.lit(_BYRON_MS) + F.col("slot") * 20_000)
+    return (
+        tx.withColumn("posix_ms", posix_ms.cast("long"))
+        .groupBy("slot_group")
+        .agg(
+            F.count("*").alias("n_txs"),
+            F.sum("tx_fee").alias("total_fees"),
+            F.min("posix_ms").alias("first_ms"),
+            F.max("posix_ms").alias("last_ms"),
+        )
+        .orderBy("slot_group")
+    )
+
+
+_FEE_BY_GROUP_SQL = f"""
+SELECT slot_group, count(*) AS n_txs, sum(tx_fee) AS total_fees,
+       min(CASE WHEN slot >= {_SHELLEY_SLOT}
+            THEN {_SHELLEY_MS} + (slot - {_SHELLEY_SLOT}) * 1000
+            ELSE {_BYRON_MS} + slot * 20000 END) AS first_ms,
+       max(CASE WHEN slot >= {_SHELLEY_SLOT}
+            THEN {_SHELLEY_MS} + (slot - {_SHELLEY_SLOT}) * 1000
+            ELSE {_BYRON_MS} + slot * 20000 END) AS last_ms
+FROM {_scan("tx")}
+GROUP BY slot_group
+ORDER BY slot_group
+"""
+
+
+QUERIES = {
+    "cardano_high_fee_txs": cardano_high_fee_txs,
+    "cardano_tx_summary": cardano_tx_summary,
+    "cardano_token_transfers": cardano_token_transfers,
+    "cardano_token_transfers_windowed": cardano_token_transfers_windowed,
+    "cardano_mint_totals": cardano_mint_totals,
+    "cardano_address_utxo_stats": cardano_address_utxo_stats,
+    "cardano_cert_counts": cardano_cert_counts,
+    "cardano_datum_stats": cardano_datum_stats,
+    "cardano_fee_by_slot_group": cardano_fee_by_slot_group,
+}
+
+ORACLE = {
+    "cardano_high_fee_txs": _HIGH_FEE_SQL,
+    "cardano_tx_summary": _TX_SUMMARY_SQL,
+    "cardano_token_transfers": _token_transfers_sql(None, None),
+    "cardano_token_transfers_windowed": _token_transfers_sql(100_000, 199_999),
+    "cardano_mint_totals": _MINT_TOTALS_SQL,
+    "cardano_address_utxo_stats": _ADDRESS_UTXO_SQL,
+    "cardano_cert_counts": _CERT_COUNTS_SQL,
+    "cardano_datum_stats": _DATUM_STATS_SQL,
+    "cardano_fee_by_slot_group": _FEE_BY_GROUP_SQL,
+}
