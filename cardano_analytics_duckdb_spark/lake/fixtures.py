@@ -2,16 +2,20 @@
 session needed, so the lake can be materialized at import time before either
 engine queries it).
 
-Builds a miniature version of the reference's 11-table slot-partitioned
-parquet lake (/root/reference/README.md:5-16) with every edge case the
-flagship token-transfer query needs (FIXTURES.md §B: plain transfer,
-self-send, mint, burn, missing-input, multi-address fan-in/out, noise
-token, slot-boundary rows, high-fee rows, datum rows), plus seeded filler
-transactions for volume.
+Single source of truth: ``tx_specs()`` — a deterministic list of transaction
+specifications covering every edge case the flagship token-transfer query
+needs (FIXTURES.md §B) plus seeded filler volume.  Two derivations:
 
-Generation is fully deterministic (fixed seed, content-addressed tx ids via
-sha256), so the Spark query and the DuckDB oracle always see identical
-files.  Layout: ``{root}/{table}/slot_group=N/part-0.parquet`` — Spark gets
+- ``ensure_fixture_lake()`` → the 10-table slot-partitioned parquet lake
+  (≙ the reference's extracted lake, /root/reference/README.md:5-16);
+- ``fixture_blocks()`` → Ogmios-shaped block JSON (the chain-sync payload
+  shape: output ``value`` as {policy: {asset: qty}} maps with the ada
+  pseudo-policy, datumHash/datum fields, certificate objects).
+
+``streaming/ingest.py`` replaying ``fixture_blocks()`` must reproduce the
+lake tables exactly — that equivalence is the extraction-parity test.
+
+Layout: ``{root}/{table}/slot_group=N/part-0.parquet`` — Spark gets
 partition pruning on slot predicates; DuckDB reads the same files with
 ``read_parquet(..., hive_partitioning=1)``.
 
@@ -161,6 +165,32 @@ _ARROW_SCHEMAS: dict[str, pa.Schema] = {
     ),
 }
 
+# certificate type → specialized table (≙ the reference's dispatch in
+# extract_all_certificate_data, ogmios_parquet.py:370-486)
+CERT_TABLE_BY_TYPE: dict[str, str] = {
+    "stakeDelegation": "cert_stake",
+    "stakeCredentialRegistration": "cert_stake",
+    "stakeCredentialDeregistration": "cert_stake",
+    "stakePoolRegistration": "cert_pool",
+    "stakePoolRetirement": "cert_pool",
+    "constitutionalCommitteeHotKeyRegistration": "cert_cc",
+    "constitutionalCommitteeRetirement": "cert_cc",
+    "delegateRepresentativeRegistration": "cert_drep",
+    "delegateRepresentativeDeregistration": "cert_drep",
+    "delegateRepresentativeUpdate": "cert_drep",
+}
+
+_CERT_FIELDS = {
+    "cert_stake": ("credential", "pool_id", "drep_id"),
+    "cert_pool": (
+        "pool_id", "reward_account", "pledge", "margin_numerator",
+        "margin_denominator", "cost", "metadata_hash", "metadata_url",
+        "retirement_epoch",
+    ),
+    "cert_cc": ("member_id", "delegate_id", "metadata_hash", "metadata_url"),
+    "cert_drep": ("drep_id", "drep_type", "metadata_hash", "metadata_url"),
+}
+
 
 def _txid(i: int) -> bytes:
     return hashlib.sha256(f"fixture_tx_{i}".encode()).digest()
@@ -171,181 +201,115 @@ def _blake2b_256(data: bytes) -> bytes:
     return hashlib.blake2b(data, digest_size=32).digest()
 
 
-def _build_rows() -> dict[str, list[dict]]:
-    rng = random.Random(42)
-    rows: dict[str, list[dict]] = {t: [] for t in _ARROW_SCHEMAS}
+def _out(
+    address: str,
+    lovelace: int,
+    assets: list[tuple[bytes, bytes, int]] = (),
+    datum_hash: bytes | None = None,
+    inline_datum: bytes | None = None,
+) -> dict:
+    return dict(
+        address=address,
+        lovelace=lovelace,
+        assets=list(assets),
+        datum_hash=datum_hash,
+        inline_datum=inline_datum,
+    )
 
-    def add_tx(
-        i: int,
-        slot: int,
-        fee: int,
-        inputs: list[tuple[bytes, int]],
-        outputs: list[tuple[str, int, list[tuple[bytes, bytes, int]]]],
-        mints: list[tuple[bytes, bytes, int]] = (),
-        datums: list[tuple[int, bytes | None, bytes | None]] = (),
-        certs: list[str] = (),
-    ) -> bytes:
-        tid = _txid(i)
-        rows["tx"].append(
+
+def tx_specs() -> list[dict]:
+    """The deterministic transaction specifications (shared intermediate)."""
+    rng = random.Random(42)
+    specs: list[dict] = []
+
+    def add(i, slot, fee, inputs, outputs, mints=(), certs=()):
+        specs.append(
             dict(
+                index=i,
                 slot=slot,
-                tx_id=tid,
-                tx_fee=fee,
-                input_count=len(inputs),
-                output_count=len(outputs),
-                redeemer_count=0,
-                witness_datum_count=sum(1 for _, h, d in datums if d is None),
-                has_mint=bool(mints),
-                has_withdrawal=False,
-                has_cert=bool(certs),
-                has_vote=False,
-                has_proposal=False,
-                inputs=[
-                    {"tx_id": itid, "output_index": oi} for itid, oi in inputs
-                ],
+                fee=fee,
+                inputs=list(inputs),
+                outputs=list(outputs),
+                mints=list(mints),
+                certs=list(certs),
             )
         )
-        for oi, (addr, lovelace, assets) in enumerate(outputs):
-            rows["utxo"].append(
-                dict(
-                    slot=slot,
-                    tx_id=tid,
-                    output_index=oi,
-                    address=addr,
-                    lovelace=lovelace,
-                    has_token=bool(assets),
-                    has_datum=any(d[0] == oi for d in datums),
-                    has_ref_script=False,
-                )
-            )
-            for policy, name, amt in assets:
-                rows["asset"].append(
-                    dict(
-                        slot=slot,
-                        tx_id=tid,
-                        output_index=oi,
-                        address=addr,
-                        policy_id=policy,
-                        asset_name=name,
-                        amount=amt,
-                    )
-                )
-        for policy, name, qty in mints:
-            rows["mint"].append(
-                dict(
-                    slot=slot, tx_id=tid, policy_id=policy, asset_name=name,
-                    quantity=qty,
-                )
-            )
-        for oi, dhash, inline in datums:
-            rows["datum"].append(
-                dict(
-                    slot=slot,
-                    tx_id=tid,
-                    output_index=oi,
-                    datum_hash=dhash if dhash else _blake2b_256(inline),
-                    is_inline=inline is not None,
-                    inline_datum=inline,
-                )
-            )
-        for ctype in certs:
-            rows["cert"].append(dict(slot=slot, tx_id=tid, type=ctype))
-        return tid
+        return _txid(i)
 
     tok = [(TOKEN_POLICY, TOKEN_NAME, 1000)]
     noise = [(NOISE_POLICY, NOISE_NAME, 500)]
 
     # B.3 mint: token only in outputs -> input set NULL -> included
-    t_mint = add_tx(
-        0, 100_000, 180_000, [], [(ADDRS[0], 2_000_000, tok)],
-        mints=[(TOKEN_POLICY, TOKEN_NAME, 1000)],
-    )
+    t_mint = add(0, 100_000, 180_000, [], [_out(ADDRS[0], 2_000_000, tok)],
+                 mints=[(TOKEN_POLICY, TOKEN_NAME, 1000)])
     # B.1 plain transfer A -> B
-    t_xfer = add_tx(
-        1, 100_010, 210_000, [(t_mint, 0)], [(ADDRS[1], 1_900_000, tok)]
-    )
+    t_xfer = add(1, 100_010, 210_000, [(t_mint, 0)],
+                 [_out(ADDRS[1], 1_900_000, tok)])
     # B.2 self-send B -> B (sets equal -> excluded)
-    t_self = add_tx(
-        2, 100_020, 2_100_000, [(t_xfer, 0)], [(ADDRS[1], 1_800_000, tok)]
-    )
+    t_self = add(2, 100_020, 2_100_000, [(t_xfer, 0)],
+                 [_out(ADDRS[1], 1_800_000, tok)])
     # B.6 multi-address fan-in/out with duplicates
-    m1 = add_tx(
-        3, 100_030, 190_000, [],
-        [(ADDRS[2], 1_000_000, tok), (ADDRS[3], 1_000_000, tok)],
-        mints=[(TOKEN_POLICY, TOKEN_NAME, 2000)],
-    )
-    add_tx(
-        4, 100_040, 2_500_000, [(m1, 0), (m1, 1), (t_self, 0)],
+    m1 = add(3, 100_030, 190_000, [],
+             [_out(ADDRS[2], 1_000_000, tok), _out(ADDRS[3], 1_000_000, tok)],
+             mints=[(TOKEN_POLICY, TOKEN_NAME, 2000)])
+    add(4, 100_040, 2_500_000, [(m1, 0), (m1, 1), (t_self, 0)],
         [
-            (ADDRS[4], 900_000, tok),
-            (ADDRS[4], 900_000, tok),  # duplicate output address
-            (ADDRS[5], 900_000, tok),
-        ],
-    )
-    # B.4 burn-shaped: consumes token UTxO, produces none -> output set NULL
-    t_for_burn = add_tx(
-        5, 100_050, 175_000, [],
-        [(ADDRS[0], 1_500_000, tok)],
-        mints=[(TOKEN_POLICY, TOKEN_NAME, 1000)],
-    )
-    add_tx(
-        6, 100_060, 2_050_000, [(t_for_burn, 0)],
-        [(ADDRS[0], 1_400_000, [])],
-        mints=[(TOKEN_POLICY, TOKEN_NAME, -1000)],
-    )
+            _out(ADDRS[4], 900_000, tok),
+            _out(ADDRS[4], 900_000, tok),  # duplicate output address
+            _out(ADDRS[5], 900_000, tok),
+        ])
+    # B.4 burn-shaped: consumes token UTxO, produces none
+    t_for_burn = add(5, 100_050, 175_000, [], [_out(ADDRS[0], 1_500_000, tok)],
+                     mints=[(TOKEN_POLICY, TOKEN_NAME, 1000)])
+    add(6, 100_060, 2_050_000, [(t_for_burn, 0)],
+        [_out(ADDRS[0], 1_400_000)],
+        mints=[(TOKEN_POLICY, TOKEN_NAME, -1000)])
     # B.5 missing-input: references a tx_id absent from the lake
     ghost = hashlib.sha256(b"not_in_dataset").digest()
-    add_tx(
-        7, 100_070, 1_999_999, [(ghost, 0)], [(ADDRS[2], 1_200_000, tok)]
-    )
+    add(7, 100_070, 1_999_999, [(ghost, 0)], [_out(ADDRS[2], 1_200_000, tok)])
     # B.7 noise token activity (other policy id -> filtered out)
-    n1 = add_tx(8, 100_080, 160_000, [], [(ADDRS[3], 1_000_000, noise)],
-                mints=[(NOISE_POLICY, NOISE_NAME, 500)])
-    add_tx(9, 100_090, 2_200_000, [(n1, 0)], [(ADDRS[4], 950_000, noise)])
+    n1 = add(8, 100_080, 160_000, [], [_out(ADDRS[3], 1_000_000, noise)],
+             mints=[(NOISE_POLICY, NOISE_NAME, 500)])
+    add(9, 100_090, 2_200_000, [(n1, 0)], [_out(ADDRS[4], 950_000, noise)])
     # B.8 slot-boundary token rows across two slot_group partitions
-    b1 = add_tx(10, SLOT_GROUP_SIZE - 10, 185_000, [],
-                [(ADDRS[0], 1_100_000, tok)],
-                mints=[(TOKEN_POLICY, TOKEN_NAME, 100)])
-    b2 = add_tx(11, SLOT_GROUP_SIZE - 1, 186_000, [(b1, 0)],
-                [(ADDRS[1], 1_050_000, tok)])
-    b3 = add_tx(12, SLOT_GROUP_SIZE, 187_000, [(b2, 0)],
-                [(ADDRS[2], 1_000_000, tok)])
-    add_tx(13, SLOT_GROUP_SIZE + 10, 188_000, [(b3, 0)],
-           [(ADDRS[3], 950_000, tok)])
-    # B.10 datum rows: one hash-only, one inline (blake2b-hashed)
-    add_tx(
-        14, 100_100, 170_000, [],
-        [(ADDRS[5], 1_000_000, [])],
-        datums=[
-            (0, hashlib.sha256(b"external_datum").digest(), None),
-            (0, None, b"\xd8\x79\x80"),  # inline datum bytes
-        ],
-    )
+    b1 = add(10, SLOT_GROUP_SIZE - 10, 185_000, [],
+             [_out(ADDRS[0], 1_100_000, tok)],
+             mints=[(TOKEN_POLICY, TOKEN_NAME, 100)])
+    b2 = add(11, SLOT_GROUP_SIZE - 1, 186_000, [(b1, 0)],
+             [_out(ADDRS[1], 1_050_000, tok)])
+    b3 = add(12, SLOT_GROUP_SIZE, 187_000, [(b2, 0)],
+             [_out(ADDRS[2], 1_000_000, tok)])
+    add(13, SLOT_GROUP_SIZE + 10, 188_000, [(b3, 0)],
+        [_out(ADDRS[3], 950_000, tok)])
+    # B.10 datum rows: one hash-only output, one inline output (blake2b)
+    add(14, 100_100, 170_000, [],
+        [
+            _out(ADDRS[5], 1_000_000,
+                 datum_hash=hashlib.sha256(b"external_datum").digest()),
+            _out(ADDRS[5], 1_000_000, inline_datum=b"\xd8\x79\x80"),
+        ])
     # certificates: one of each specialized type
-    t_cert = add_tx(15, 100_110, 172_000, [], [(ADDRS[0], 5_000_000, [])],
-                    certs=["stakeDelegation", "stakePoolRegistration",
-                           "constitutionalCommitteeHotKeyRegistration",
-                           "delegateRepresentativeRegistration"])
-    cred = hashlib.sha256(b"cred").digest()[:28]
-    rows["cert_stake"].append(dict(
-        slot=100_110, tx_id=t_cert, type="stakeDelegation",
-        credential=cred, pool_id="pool1xyz", drep_id=None))
-    rows["cert_pool"].append(dict(
-        slot=100_110, tx_id=t_cert, type="stakePoolRegistration",
-        pool_id="pool1xyz", reward_account="stake1abc", pledge=100_000_000,
-        margin_numerator=3, margin_denominator=100, cost=340_000_000,
-        metadata_hash=hashlib.sha256(b"meta").digest(),
-        metadata_url="https://pool.example/meta.json", retirement_epoch=None))
-    rows["cert_cc"].append(dict(
-        slot=100_110, tx_id=t_cert,
-        type="constitutionalCommitteeHotKeyRegistration",
-        member_id=hashlib.sha256(b"member").digest()[:28],
-        delegate_id=hashlib.sha256(b"delegate").digest()[:28],
-        metadata_hash=None, metadata_url=None))
-    rows["cert_drep"].append(dict(
-        slot=100_110, tx_id=t_cert, type="delegateRepresentativeRegistration",
-        drep_id=hashlib.sha256(b"drep").digest()[:29],
-        drep_type="registered", metadata_hash=None, metadata_url=None))
+    add(15, 100_110, 172_000, [], [_out(ADDRS[0], 5_000_000)],
+        certs=[
+            dict(type="stakeDelegation",
+                 credential=hashlib.sha256(b"cred").digest()[:28],
+                 pool_id="pool1xyz", drep_id=None),
+            dict(type="stakePoolRegistration",
+                 pool_id="pool1xyz", reward_account="stake1abc",
+                 pledge=100_000_000, margin_numerator=3,
+                 margin_denominator=100, cost=340_000_000,
+                 metadata_hash=hashlib.sha256(b"meta").digest(),
+                 metadata_url="https://pool.example/meta.json",
+                 retirement_epoch=None),
+            dict(type="constitutionalCommitteeHotKeyRegistration",
+                 member_id=hashlib.sha256(b"member").digest()[:28],
+                 delegate_id=hashlib.sha256(b"delegate").digest()[:28],
+                 metadata_hash=None, metadata_url=None),
+            dict(type="delegateRepresentativeRegistration",
+                 drep_id=hashlib.sha256(b"drep").digest()[:29],
+                 drep_type="registered", metadata_hash=None,
+                 metadata_url=None),
+        ])
 
     # B.9 + filler: 180 seeded lovelace-only txs, fees straddling 2M
     prev = None
@@ -359,11 +323,170 @@ def _build_rows() -> dict[str, list[dict]]:
              rng.randrange(2_000_001, 9_000_000)]
         )
         ins = [(prev, 0)] if prev is not None and rng.random() < 0.6 else []
-        prev = add_tx(
+        prev = add(
             j, slot, fee, ins,
-            [(rng.choice(ADDRS), rng.randrange(1_000_000, 50_000_000), [])],
+            [_out(rng.choice(ADDRS), rng.randrange(1_000_000, 50_000_000))],
         )
+    return specs
+
+
+def _build_rows(specs: list[dict]) -> dict[str, list[dict]]:
+    rows: dict[str, list[dict]] = {t: [] for t in _ARROW_SCHEMAS}
+    for s in specs:
+        tid = _txid(s["index"])
+        slot = s["slot"]
+        rows["tx"].append(
+            dict(
+                slot=slot,
+                tx_id=tid,
+                tx_fee=s["fee"],
+                input_count=len(s["inputs"]),
+                output_count=len(s["outputs"]),
+                redeemer_count=0,
+                witness_datum_count=sum(
+                    1
+                    for o in s["outputs"]
+                    if o["datum_hash"] is not None and o["inline_datum"] is None
+                ),
+                has_mint=bool(s["mints"]),
+                has_withdrawal=False,
+                has_cert=bool(s["certs"]),
+                has_vote=False,
+                has_proposal=False,
+                inputs=[
+                    {"tx_id": itid, "output_index": oi}
+                    for itid, oi in s["inputs"]
+                ],
+            )
+        )
+        for oi, o in enumerate(s["outputs"]):
+            has_datum = (
+                o["datum_hash"] is not None or o["inline_datum"] is not None
+            )
+            rows["utxo"].append(
+                dict(
+                    slot=slot,
+                    tx_id=tid,
+                    output_index=oi,
+                    address=o["address"],
+                    lovelace=o["lovelace"],
+                    has_token=bool(o["assets"]),
+                    has_datum=has_datum,
+                    has_ref_script=False,
+                )
+            )
+            for policy, name, amt in o["assets"]:
+                rows["asset"].append(
+                    dict(
+                        slot=slot,
+                        tx_id=tid,
+                        output_index=oi,
+                        address=o["address"],
+                        policy_id=policy,
+                        asset_name=name,
+                        amount=amt,
+                    )
+                )
+            if has_datum:
+                inline = o["inline_datum"]
+                rows["datum"].append(
+                    dict(
+                        slot=slot,
+                        tx_id=tid,
+                        output_index=oi,
+                        datum_hash=(
+                            o["datum_hash"]
+                            if o["datum_hash"] is not None
+                            else _blake2b_256(inline)
+                        ),
+                        is_inline=inline is not None,
+                        inline_datum=inline,
+                    )
+                )
+        for policy, name, qty in s["mints"]:
+            rows["mint"].append(
+                dict(slot=slot, tx_id=tid, policy_id=policy,
+                     asset_name=name, quantity=qty)
+            )
+        for cert in s["certs"]:
+            ctype = cert["type"]
+            rows["cert"].append(dict(slot=slot, tx_id=tid, type=ctype))
+            table = CERT_TABLE_BY_TYPE[ctype]
+            detail = dict(slot=slot, tx_id=tid, type=ctype)
+            for f in _CERT_FIELDS[table]:
+                detail[f] = cert.get(f)
+            rows[table].append(detail)
     return rows
+
+
+def fixture_blocks(specs: list[dict] | None = None) -> list[dict]:
+    """Ogmios-shaped block JSON derived from the same specs: one block per
+    distinct slot, output values as {policy_hex: {asset_hex: qty}} maps with
+    the ``ada`` pseudo-policy, datumHash/datum hex fields."""
+    specs = tx_specs() if specs is None else specs
+    by_slot: dict[int, list[dict]] = {}
+    for s in specs:
+        by_slot.setdefault(s["slot"], []).append(s)
+    blocks = []
+    for height, slot in enumerate(sorted(by_slot)):
+        txs = []
+        for s in by_slot[slot]:
+            value_of = lambda o: {
+                "ada": {"lovelace": o["lovelace"]},
+                **{
+                    p.hex(): {n.hex(): a}
+                    for p, n, a in o["assets"]
+                },
+            }
+            mint: dict[str, dict[str, int]] = {}
+            for p, n, q in s["mints"]:
+                mint.setdefault(p.hex(), {})[n.hex()] = q
+            certs = []
+            for c in s["certs"]:
+                cj = {"type": c["type"]}
+                for k, v in c.items():
+                    if k == "type":
+                        continue
+                    cj[k] = v.hex() if isinstance(v, bytes) else v
+                certs.append(cj)
+            txs.append(
+                {
+                    "id": _txid(s["index"]).hex(),
+                    "fee": {"ada": {"lovelace": s["fee"]}},
+                    "inputs": [
+                        {"transaction": {"id": t.hex()}, "index": oi}
+                        for t, oi in s["inputs"]
+                    ],
+                    "outputs": [
+                        {
+                            "address": o["address"],
+                            "value": value_of(o),
+                            "datumHash": (
+                                o["datum_hash"].hex()
+                                if o["datum_hash"] is not None
+                                else None
+                            ),
+                            "datum": (
+                                o["inline_datum"].hex()
+                                if o["inline_datum"] is not None
+                                else None
+                            ),
+                        }
+                        for o in s["outputs"]
+                    ],
+                    "mint": mint,
+                    "certificates": certs,
+                    "redeemers": [],
+                    "withdrawals": {},
+                    "votes": [],
+                    "proposals": [],
+                }
+            )
+        blocks.append(
+            {"type": "praos", "slot": slot, "height": height,
+             "transactions": txs}
+        )
+    return blocks
 
 
 def ensure_fixture_lake(spark=None, root: str = DEFAULT_LAKE_ROOT) -> str:
@@ -372,10 +495,17 @@ def ensure_fixture_lake(spark=None, root: str = DEFAULT_LAKE_ROOT) -> str:
     ``spark`` is accepted (and ignored) so call sites can pass their session;
     generation is pure PyArrow and needs no engine.
     """
+    specs = tx_specs()
+    version = hashlib.sha256(repr(specs).encode()).hexdigest()[:16]
     marker = os.path.join(root, "_FIXTURE_READY")
     if os.path.exists(marker):
-        return root
-    all_rows = _build_rows()
+        with open(marker) as f:
+            if f.read().strip() == version:
+                return root
+        import shutil  # stale lake from an older spec: rebuild from scratch
+
+        shutil.rmtree(root)
+    all_rows = _build_rows(specs)
     for table, schema in _ARROW_SCHEMAS.items():
         by_group: dict[int, list[dict]] = {}
         for r in all_rows[table]:
@@ -391,5 +521,5 @@ def ensure_fixture_lake(spark=None, root: str = DEFAULT_LAKE_ROOT) -> str:
                 compression="zstd",
             )
     with open(marker, "w") as f:
-        f.write("ok\n")
+        f.write(version + "\n")
     return root

@@ -30,6 +30,24 @@ def all_oracles() -> dict[str, str]:
 
 
 def _modules():
-    from . import cardano, dedup, relational, similarity, textops, windows
+    from ..streaming import windows as stream_windows
+    from . import (
+        cardano,
+        dedup,
+        multimodal,
+        relational,
+        similarity,
+        textops,
+        windows,
+    )
 
-    return [relational, windows, dedup, similarity, textops, cardano]
+    return [
+        relational,
+        windows,
+        dedup,
+        similarity,
+        textops,
+        multimodal,
+        cardano,
+        stream_windows,
+    ]

@@ -1,0 +1,170 @@
+"""Multimodal-column operators (LLM-pipeline extension, driver spec).
+
+Images/audio/video are opaque ``binary`` payloads with typed metadata.  The
+container has no decode libraries (PIL/ffmpeg), so the *decode* step is a
+deterministic fake behind ``mapInPandas`` — but the Spark-side plumbing is
+real and oracle-checked: binary column handling, Arrow batch iteration, UDF
+signatures, output schemas.  Real decoders drop into ``_decode_payload``.
+
+The ``documents.text`` column stands in for the payload (UTF-8 bytes);
+at 100 TB these are real image bytes and the same plan applies: narrow
+mapInPandas over the payload column (no shuffle), metadata extraction
+pushed to the scan where expressible as column ops.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..lake.tables import load_table
+
+# -- payload metadata: pure column ops (JVM-side, no UDF) ---------------------
+
+
+def payload_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.col("text").cast("binary")
+    return (
+        docs.select(
+            "doc_id",
+            F.length(payload).alias("payload_bytes"),
+            F.lower(F.hex(F.substring(payload, 1, 8))).alias("header_hex"),
+            F.when(F.length(payload) % 2 == 0, F.lit("even-container"))
+            .otherwise(F.lit("odd-container"))
+            .alias("container_kind"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# NOTE: DuckDB has no substring/md5 over BLOB, so the oracle operates on the
+# text — bytes == chars because the corpus is pure ASCII (asserted in tests).
+_PAYLOAD_META_SQL = """
+SELECT doc_id,
+       octet_length(encode(text)) AS payload_bytes,
+       lower(hex(encode(substring(text, 1, 8)))) AS header_hex,
+       CASE WHEN octet_length(encode(text)) % 2 = 0
+            THEN 'even-container' ELSE 'odd-container' END AS container_kind
+FROM documents
+ORDER BY doc_id
+"""
+
+# -- fake image decode via mapInPandas (the real-decoder slot) ----------------
+
+
+def _decode_payload(payload: bytes) -> dict:
+    """Deterministic fake decode.  A real implementation would do
+    ``PIL.Image.open(io.BytesIO(payload))`` — gated on the import below."""
+    try:  # pragma: no cover - decoder libs absent in this container
+        import PIL.Image  # noqa: F401
+
+        raise NotImplementedError(
+            "real image decoding not wired; replace _decode_payload"
+        )
+    except ImportError:
+        pass
+    n = len(payload)
+    return {
+        "width": (n % 64) + 1,
+        "height": ((n // 64) % 64) + 1,
+        "fingerprint": hashlib.md5(payload).hexdigest(),
+    }
+
+
+def image_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+
+    # Self-contained closure (no references to this package) so cloudpickle
+    # ships it by value — Python workers don't have the repo on sys.path.
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        import pandas as _pd
+
+        def _fake_decode(p: bytes) -> tuple[int, int, str]:
+            # real decoder slot: PIL.Image.open(io.BytesIO(p)) — see
+            # _decode_payload below for the gated stub
+            n = len(p)
+            return (
+                (n % 64) + 1,
+                ((n // 64) % 64) + 1,
+                hashlib.md5(p).hexdigest(),
+            )
+
+        for pdf in batches:
+            feats = pdf["payload"].map(lambda p: _fake_decode(bytes(p)))
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": feats.map(lambda f: f[0]),
+                    "height": feats.map(lambda f: f[1]),
+                    "fingerprint": feats.map(lambda f: f[2]),
+                }
+            )
+
+    return docs.mapInPandas(
+        decode, schema="doc_id long, width int, height int, fingerprint string"
+    ).orderBy("doc_id")
+
+
+_IMAGE_DECODE_SQL = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) % 64 + 1 AS INTEGER) AS width,
+       CAST((octet_length(encode(text)) // 64) % 64 + 1 AS INTEGER) AS height,
+       md5(text) AS fingerprint
+FROM documents
+ORDER BY doc_id
+"""
+
+# -- frame sampling stub (video-shaped): fixed-stride byte windows ------------
+
+
+def frame_sample_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample every 64th byte-window of the payload as a 'frame' and
+    fingerprint each — the video-frame-sampling plan shape (explode of
+    per-frame rows from one payload row, all JVM-side)."""
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.col("text").cast("binary")
+    frames = F.expr(
+        "transform(sequence(1, greatest(length(cast(text as binary)) div 64, 1)),"
+        " i -> md5(substring(cast(text as binary), (i - 1) * 64 + 1, 64)))"
+    )
+    return (
+        docs.select(
+            "doc_id",
+            F.posexplode(frames).alias("frame_no", "frame_md5"),
+        )
+        .withColumn("frame_no", F.col("frame_no").cast("int"))
+        .orderBy("doc_id", "frame_no")
+    )
+
+
+_FRAME_SAMPLE_SQL = """
+SELECT doc_id,
+       CAST(g - 1 AS INTEGER) AS frame_no,
+       md5(substring(text, (g - 1) * 64 + 1, 64)) AS frame_md5
+FROM documents,
+     unnest(generate_series(1, greatest(octet_length(encode(text)) // 64, 1)))
+       AS t(g)
+ORDER BY doc_id, frame_no
+"""
+
+
+QUERIES = {
+    "payload_metadata": payload_metadata,
+    "image_decode_features": image_decode_features,
+    "frame_sample_features": frame_sample_features,
+}
+
+ORACLE = {
+    "payload_metadata": _PAYLOAD_META_SQL,
+    "image_decode_features": _IMAGE_DECODE_SQL,
+    "frame_sample_features": _FRAME_SAMPLE_SQL,
+}

@@ -177,12 +177,50 @@ ORDER BY bucket_start_ms, event_type
 """
 
 
+# -- sliding event-time window (10 min windows every 5 min) ------------------
+# Each event lands in exactly two overlapping windows; emit both via explode
+# (≙ Spark's window(ts, "10 minutes", "5 minutes") expansion, spelled out so
+# the DuckDB oracle is expressible).
+
+
+def events_sliding_10min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    ms = F.unix_millis(F.col("ts"))
+    base = (F.floor(ms / 300_000) * 300_000).cast("long")
+    starts = F.array(base - 300_000, base)
+    return (
+        events.select(
+            F.explode(starts).alias("window_start_ms"), "event_type", "value"
+        )
+        .groupBy("window_start_ms", "event_type")
+        .agg(F.count("*").alias("n"), rnd(F.sum("value"), 2).alias("total_value"))
+        .orderBy("window_start_ms", "event_type")
+    )
+
+
+_SLIDING_SQL = """
+SELECT window_start_ms, event_type, count(*) AS n,
+       floor((sum(value)) * 100.0 + 0.5) / 100.0 AS total_value
+FROM (
+  SELECT unnest([
+           (epoch_ms(ts) // 300000) * 300000 - 300000,
+           (epoch_ms(ts) // 300000) * 300000
+         ]) AS window_start_ms,
+         event_type, value
+  FROM events
+)
+GROUP BY window_start_ms, event_type
+ORDER BY window_start_ms, event_type
+"""
+
+
 QUERIES = {
     "top_orders_per_customer": top_orders_per_customer,
     "user_running_value": user_running_value,
     "user_event_gaps": user_event_gaps,
     "user_sessions": user_sessions,
     "events_tumbling_5min": events_tumbling_5min,
+    "events_sliding_10min": events_sliding_10min,
 }
 
 ORACLE = {
@@ -191,4 +229,5 @@ ORACLE = {
     "user_event_gaps": _EVENT_GAPS_SQL,
     "user_sessions": _SESSIONS_SQL,
     "events_tumbling_5min": _TUMBLING_SQL,
+    "events_sliding_10min": _SLIDING_SQL,
 }

@@ -1,0 +1,114 @@
+"""Ogmios-shaped block ingestion source (offline replay).
+
+The reference consumes a chain-sync websocket (find_intersection +
+pipelined next_block, /root/reference/ogmios_parquet.py:635-675).  We keep
+the same payload *shape* — Ogmios 6 block JSON: transactions with
+``value``/``mint`` as ``{policy: {asset: qty}}`` maps (with the ``ada``
+pseudo-policy), ``datumHash``/``datum`` hex fields, certificate objects —
+but decouple transport: any iterable of block dicts (fixture replay, JSON
+files, or a live websocket adapter) becomes a typed DataFrame.
+
+Live connectivity is out of scope for CI (SURVEY §7.5); the websocket
+adapter slot is marked below.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+_CERT = T.StructType(
+    [
+        T.StructField("type", T.StringType()),
+        T.StructField("credential", T.StringType()),
+        T.StructField("pool_id", T.StringType()),
+        T.StructField("drep_id", T.StringType()),
+        T.StructField("reward_account", T.StringType()),
+        T.StructField("pledge", T.LongType()),
+        T.StructField("margin_numerator", T.LongType()),
+        T.StructField("margin_denominator", T.LongType()),
+        T.StructField("cost", T.LongType()),
+        T.StructField("metadata_hash", T.StringType()),
+        T.StructField("metadata_url", T.StringType()),
+        T.StructField("retirement_epoch", T.LongType()),
+        T.StructField("member_id", T.StringType()),
+        T.StructField("delegate_id", T.StringType()),
+        T.StructField("drep_type", T.StringType()),
+    ]
+)
+
+_AMOUNTS = T.MapType(T.StringType(), T.MapType(T.StringType(), T.LongType()))
+
+_TX = T.StructType(
+    [
+        T.StructField("id", T.StringType()),
+        T.StructField(
+            "fee",
+            T.MapType(T.StringType(), T.MapType(T.StringType(), T.LongType())),
+        ),
+        T.StructField(
+            "inputs",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField(
+                            "transaction",
+                            T.StructType([T.StructField("id", T.StringType())]),
+                        ),
+                        T.StructField("index", T.IntegerType()),
+                    ]
+                )
+            ),
+        ),
+        T.StructField(
+            "outputs",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("address", T.StringType()),
+                        T.StructField("value", _AMOUNTS),
+                        T.StructField("datumHash", T.StringType()),
+                        T.StructField("datum", T.StringType()),
+                    ]
+                )
+            ),
+        ),
+        T.StructField("mint", _AMOUNTS),
+        T.StructField("certificates", T.ArrayType(_CERT)),
+        T.StructField("redeemers", T.ArrayType(T.StringType())),
+        T.StructField(
+            "withdrawals",
+            T.MapType(T.StringType(), T.MapType(T.StringType(), T.LongType())),
+        ),
+        T.StructField("votes", T.ArrayType(T.StringType())),
+        T.StructField("proposals", T.ArrayType(T.StringType())),
+    ]
+)
+
+BLOCK_SCHEMA = T.StructType(
+    [
+        T.StructField("type", T.StringType()),
+        T.StructField("slot", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("transactions", T.ArrayType(_TX)),
+    ]
+)
+
+
+def blocks_to_dataframe(
+    spark: SparkSession, blocks: Iterable[dict]
+) -> DataFrame:
+    """Typed DataFrame of blocks (one row per block)."""
+    return spark.createDataFrame(list(blocks), schema=BLOCK_SCHEMA)
+
+
+def read_block_files(spark: SparkSession, path: str) -> DataFrame:
+    """Replay blocks from JSON-lines files with the same schema."""
+    return spark.read.schema(BLOCK_SCHEMA).json(path)
+
+
+# Live chain-sync adapter (websocket → block dicts) intentionally absent:
+# CI is offline (SURVEY §7.5).  A production adapter would implement
+# find_intersection/nextBlock pipelining and yield the same dict shape.
