@@ -26,12 +26,13 @@ def session_builder(
     app_name: str = "cardano-analytics-spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
 ) -> SparkSession.Builder:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"
     if shuffle_partitions is None:
         shuffle_partitions = int(cpus) if cpus.isdigit() else 32
-    return (
+    builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
@@ -45,6 +46,9 @@ def session_builder(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder
 
 
 def get_session(**kwargs) -> SparkSession:
