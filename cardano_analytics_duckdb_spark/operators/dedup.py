@@ -90,9 +90,28 @@ shingles AS (
 
 
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Per-doc distinct shingle ARRAY is computed narrowly (array_distinct in
+    # the row, no dedup shuffle), so set sizes fall out of `size()` with no
+    # aggregation and the size-attach joins broadcast a 300-row side.  The
+    # only shuffles left are the inverted-index equi-join on shingle and the
+    # per-pair count — the two that carry real data at scale.
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
-    sh = _shingles(docs)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    w = F.split(F.col("text"), " ")
+    base = (
+        docs.select("doc_id", w.alias("w"))
+        .filter(F.size("w") >= 3)
+        .select(
+            "doc_id",
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(0, size(w)-3),"
+                    " i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"
+                )
+            ).alias("sh_arr"),
+        )
+    )
+    sh = base.select("doc_id", F.explode("sh_arr").alias("sh"))
+    sizes = base.select("doc_id", F.size("sh_arr").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
     common = (
@@ -110,8 +129,8 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")
     )
     return (
-        common.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        common.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
         .withColumn(
             "jaccard",
             rnd(

@@ -149,20 +149,56 @@ ORDER BY vec_id
 
 
 # -- embedding-cosine near-duplicate pairs (bounded brute force) --------------
+#
+# All-pairs cosine within a group as a numpy kernel over ``applyInPandas``.
+# Compared to a θ-join with per-pair `aggregate`/`zip_with` lambdas (the
+# first implementation), one Arrow batch + a BLAS matmul is ~10x faster and
+# is exactly the kernel the LSH scale path reuses per bucket: candidate
+# generation shuffles by bucket key, the quadratic work stays within groups.
+
+
+def _allpairs_cosine_kernel(pdf):
+    """(group cols..., vec_id, embedding) -> (group cols..., vec_a, vec_b, raw_sim).
+
+    Emits position pairs i<j after sorting by vec_id, so vec_a < vec_b.
+    Pre-filters at raw_sim >= 0.4999 (conservatively below the exposed 0.5
+    threshold); the exact filter happens JVM-side on the *rounded* value so
+    results stay oracle-comparable.
+    """
+    import numpy as np
+    import pandas as pd
+
+    pdf = pdf.sort_values("vec_id")
+    ids = pdf["vec_id"].to_numpy()
+    if len(ids) < 2:
+        return pd.DataFrame(
+            {c: pd.Series(dtype="int64") for c in pdf.columns if c not in ("vec_id", "embedding")}
+            | {"vec_a": pd.Series(dtype="int64"), "vec_b": pd.Series(dtype="int64"), "raw_sim": pd.Series(dtype="float64")}
+        )
+    V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+    n = np.sqrt((V * V).sum(axis=1))
+    sims = (V @ V.T) / np.outer(n, n)
+    ia, ib = np.triu_indices(len(ids), k=1)
+    keep = sims[ia, ib] >= 0.4999
+    ia, ib = ia[keep], ib[keep]
+    out = {"vec_a": ids[ia], "vec_b": ids[ib], "raw_sim": sims[ia, ib]}
+    for c in pdf.columns:
+        if c not in ("vec_id", "embedding"):
+            out[c] = pdf[c].iloc[0]
+    return pd.DataFrame(out)
 
 
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
-    a = emb.select(
-        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea")
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 300)
+        .select("vec_id", "embedding")
     )
-    b = emb.select(
-        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb")
+    pairs = emb.groupBy(F.lit("all").alias("g")).applyInPandas(
+        _allpairs_cosine_kernel, "vec_a bigint, vec_b bigint, raw_sim double"
     )
-    sim = _dot("ea", "eb") / (_norm("ea") * _norm("eb"))
     return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", rnd(sim, 4).alias("cos_sim"))
+        pairs.select("vec_a", "vec_b", rnd(F.col("raw_sim"), 4).alias("cos_sim"))
         .filter(F.col("cos_sim") >= 0.5)
         .orderBy("vec_a", "vec_b")
     )
@@ -177,12 +213,68 @@ WHERE floor((list_cosine_similarity(a.v, b.v)) * 10000.0 + 0.5) / 10000.0 >= 0.5
 ORDER BY vec_a, vec_b
 """
 
+# -- LSH-bucketed near-dup pairs: the subquadratic ANN scale path -------------
+# Candidate pairs are generated only within a shared random-hyperplane
+# bucket: one shuffle keyed by bucket, quadratic work bounded by bucket
+# size.  Same numpy kernel as the brute-force baseline, applied per group —
+# at 100 TB this is the shape that holds (cost ∝ Σ bucket², not N²).
+
+
+def lsh_bucketed_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    bucket = sum(
+        [
+            F.when(_dot("embedding", _plane_lit(p)) > 0, F.lit(1 << i)).otherwise(
+                F.lit(0)
+            )
+            for i, p in enumerate(_PLANES)
+        ],
+        F.lit(0),
+    )
+    with_bucket = emb.select(
+        bucket.cast("int").alias("bucket"), "vec_id", "embedding"
+    )
+    pairs = with_bucket.groupBy("bucket").applyInPandas(
+        _allpairs_cosine_kernel,
+        "vec_a bigint, vec_b bigint, raw_sim double, bucket int",
+    )
+    return (
+        pairs.select(
+            "bucket", "vec_a", "vec_b", rnd(F.col("raw_sim"), 4).alias("cos_sim")
+        )
+        .filter(F.col("cos_sim") >= 0.5)
+        .orderBy("bucket", "vec_a", "vec_b")
+    )
+
+
+def _lsh_near_dup_sql() -> str:
+    terms = []
+    for i, p in enumerate(_PLANES):
+        lit = "[" + ", ".join(repr(v) for v in p) + "]::DOUBLE[]"
+        terms.append(
+            f"(CASE WHEN list_sum(list_transform(list_zip(embedding::DOUBLE[], {lit}),"
+            f" x -> x[1] * x[2])) > 0 THEN {1 << i} ELSE 0 END)"
+        )
+    expr = " + ".join(terms)
+    return f"""
+WITH b AS (
+  SELECT vec_id, CAST({expr} AS INTEGER) AS bucket, embedding::DOUBLE[] AS v
+  FROM embeddings
+)
+SELECT a.bucket, a.vec_id AS vec_a, x.vec_id AS vec_b,
+       floor((list_cosine_similarity(a.v, x.v)) * 10000.0 + 0.5) / 10000.0 AS cos_sim
+FROM b a JOIN b x ON a.bucket = x.bucket AND a.vec_id < x.vec_id
+WHERE floor((list_cosine_similarity(a.v, x.v)) * 10000.0 + 0.5) / 10000.0 >= 0.5
+ORDER BY a.bucket, vec_a, vec_b
+"""
+
 
 QUERIES = {
     "cosine_topk": cosine_topk,
     "embedding_norm_stats": embedding_norm_stats,
     "lsh_bucket_assignments": lsh_bucket_assignments,
     "embedding_near_dup_pairs": embedding_near_dup_pairs,
+    "lsh_bucketed_near_dup_pairs": lsh_bucketed_near_dup_pairs,
 }
 
 ORACLE = {
@@ -190,4 +282,5 @@ ORACLE = {
     "embedding_norm_stats": _NORM_STATS_SQL,
     "lsh_bucket_assignments": _lsh_sql(),
     "embedding_near_dup_pairs": _NEAR_DUP_SQL,
+    "lsh_bucketed_near_dup_pairs": _lsh_near_dup_sql(),
 }
