@@ -36,7 +36,9 @@ def _modules():
         dedup,
         multimodal,
         relational,
+        reports,
         similarity,
+        temporal,
         textops,
         windows,
     )
@@ -44,10 +46,12 @@ def _modules():
     return [
         relational,
         windows,
+        temporal,
         dedup,
         similarity,
         textops,
         multimodal,
         cardano,
+        reports,
         stream_windows,
     ]

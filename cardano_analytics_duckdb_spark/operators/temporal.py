@@ -1,0 +1,152 @@
+"""Temporal join operators Spark lacks as builtins: as-of join, range join.
+
+Extensions beyond the reference (SURVEY §2.3 notes their absence); both are
+staples of time-series analytics (the reference's community wishlist —
+"stake at a specific slot", /root/reference/README.md:130,142-145 — is an
+as-of lookup).  DuckDB has native ``ASOF JOIN`` and fast theta joins, which
+make exact oracles.
+
+Scale design:
+
+- **As-of join** is implemented as union → single shuffle by key → one
+  window pass (``last(..., ignoreNulls)`` over rows-unbounded-preceding).
+  This is the shape that holds at 100 TB: cost is one sort-shuffle of
+  (left + right), versus the naive ``join + filter + row_number`` which
+  materializes the full range-overlap product before pruning it.
+- **Range self-join** banding: bucket timestamps to the band width, join on
+  (key, bucket) and (key, bucket+1), filter exactly.  The candidate set is
+  every pair at most one bucket apart — cost ∝ Σ bucket², never N².
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..lake.tables import load_table
+
+# -- as-of join: each click's most recent purchase (same user, ts <=) ---------
+
+
+def events_asof_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.lit(0).alias("is_right"),
+        F.lit(None).cast("bigint").alias("p_event_id"),
+        F.lit(None).cast("double").alias("p_value"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(None).cast("bigint").alias("event_id"),
+        F.lit(1).alias("is_right"),
+        F.col("event_id").alias("p_event_id"),
+        F.col("value").alias("p_value"),
+    )
+    # At equal ts the purchase qualifies (>= semantics): order it first.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("is_right").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = clicks.unionByName(purchases).select(
+        "user_id",
+        "ts",
+        "event_id",
+        "is_right",
+        F.last("p_event_id", ignorenulls=True).over(w).alias("last_purchase_id"),
+        F.last("p_value", ignorenulls=True).over(w).alias("last_purchase_value"),
+    )
+    return (
+        merged.filter(F.col("is_right") == 0)
+        .select(
+            "event_id", "user_id", "ts", "last_purchase_id", "last_purchase_value"
+        )
+        .orderBy("event_id")
+    )
+
+
+_ASOF_SQL = """
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+), purchases AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+)
+SELECT c.event_id, c.user_id, c.ts,
+       p.event_id AS last_purchase_id, p.value AS last_purchase_value
+FROM clicks c
+ASOF LEFT JOIN purchases p
+  ON c.user_id = p.user_id AND c.ts >= p.ts
+ORDER BY c.event_id
+"""
+
+# -- banded range self-join: event pairs within 60 s per user -----------------
+
+_BAND_S = 60
+
+
+def events_within_minute_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # gap is measured in truncated epoch-ms (mirroring the oracle's
+    # ``epoch_ms(b) - epoch_ms(a)``) but the b-after-a predicate compares at
+    # full microsecond precision, exactly like DuckDB's ``b.ts > a.ts``.
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("us"),
+        F.unix_millis("ts").alias("ms"),
+    )
+    banded = ev.withColumn("bucket", F.floor(F.col("ms") / (_BAND_S * 1000)))
+    # candidates: same bucket or b in a's next bucket (covers 0 <= dt <= 60 s)
+    later = banded.select(
+        F.col("user_id"),
+        F.col("event_id").alias("event_b"),
+        F.col("us").alias("us_b"),
+        F.col("ms").alias("ms_b"),
+        F.explode(
+            F.array(F.col("bucket"), F.col("bucket") - 1)
+        ).alias("bucket"),
+    )
+    pairs = (
+        banded.alias("a")
+        .join(
+            later.alias("b"),
+            on=["user_id", "bucket"],
+        )
+        .filter(
+            (F.col("b.us_b") > F.col("a.us"))
+            & (F.col("b.ms_b") - F.col("a.ms") <= _BAND_S * 1000)
+        )
+        .select(
+            "user_id",
+            F.col("a.event_id").alias("event_a"),
+            F.col("b.event_b").alias("event_b"),
+            (F.col("b.ms_b") - F.col("a.ms")).alias("gap_ms"),
+        )
+    )
+    return pairs.orderBy("user_id", "event_a", "event_b")
+
+
+_WITHIN_SQL = f"""
+SELECT a.user_id, a.event_id AS event_a, b.event_id AS event_b,
+       epoch_ms(b.ts) - epoch_ms(a.ts) AS gap_ms
+FROM events a
+JOIN events b
+  ON a.user_id = b.user_id
+ AND b.ts > a.ts
+ AND epoch_ms(b.ts) - epoch_ms(a.ts) <= {_BAND_S * 1000}
+ORDER BY a.user_id, event_a, event_b
+"""
+
+
+QUERIES = {
+    "events_asof_purchase": events_asof_purchase,
+    "events_within_minute_pairs": events_within_minute_pairs,
+}
+
+ORACLE = {
+    "events_asof_purchase": _ASOF_SQL,
+    "events_within_minute_pairs": _WITHIN_SQL,
+}

@@ -150,6 +150,42 @@ FROM documents
 ORDER BY doc_id
 """
 
+# -- token counting: whitespace + BPE-ish regex (driver spec) -----------------
+# A GPT-2-flavored pre-tokenizer shape, restricted to syntax both Java
+# (Spark) and RE2 (DuckDB) regex dialects evaluate identically: letter runs,
+# digit runs, and single non-alphanumeric marks.
+
+_BPE_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+
+def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bpe = F.regexp_extract_all(F.col("text"), F.lit(_BPE_PATTERN), 0)
+    ws = F.split(F.col("text"), " ")
+    return (
+        docs.select(
+            "doc_id",
+            F.size(ws).alias("n_ws_tokens"),
+            F.size(bpe).alias("n_bpe_tokens"),
+            F.size(F.array_distinct(bpe)).alias("n_distinct_bpe"),
+            rnd(F.size(bpe) / F.size(ws), 4).alias("bpe_per_ws_token"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_BPE_SQL = f"""
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_ws_tokens,
+       len(regexp_extract_all(text, '{_BPE_PATTERN}')) AS n_bpe_tokens,
+       len(list_distinct(regexp_extract_all(text, '{_BPE_PATTERN}'))) AS n_distinct_bpe,
+       floor((len(regexp_extract_all(text, '{_BPE_PATTERN}')) * 1.0 /
+              len(string_split(text, ' '))) * 10000.0 + 0.5) / 10000.0
+         AS bpe_per_ws_token
+FROM documents
+ORDER BY doc_id
+"""
+
 # -- winnowing-style rolling fingerprint --------------------------------------
 # min over md5 of every 16-char window — a robust content fingerprint that
 # survives small edits at the ends (document fingerprinting per driver spec).
@@ -208,6 +244,7 @@ QUERIES = {
     "doc_quality_scores": doc_quality_scores,
     "lang_id_scores": lang_id_scores,
     "alpha_token_stats": alpha_token_stats,
+    "bpe_token_counts": bpe_token_counts,
     "rolling_fingerprints": rolling_fingerprints,
     "corpus_stats_by_source": corpus_stats_by_source,
 }
@@ -216,6 +253,7 @@ ORACLE = {
     "doc_quality_scores": _QUALITY_SQL,
     "lang_id_scores": _lang_id_sql(),
     "alpha_token_stats": _ALPHA_SQL,
+    "bpe_token_counts": _BPE_SQL,
     "rolling_fingerprints": _ROLLING_FP_SQL,
     "corpus_stats_by_source": _CORPUS_STATS_SQL,
 }

@@ -106,3 +106,33 @@ def test_partition_pruning_on_slot_predicate(spark, sf_dir):
     pruned = tx.filter(F.col("slot_group") == 0)
     full = tx
     assert pruned.count() < full.count()
+
+
+def test_token_transfer_report_and_csv_sink(spark, sf_dir, tmp_path):
+    """S10 CSV sink + A6/A7 report layer (token_fee_analysis.py:310-389)."""
+    import glob
+
+    from cardano_analytics_duckdb_spark.operators.reports import (
+        token_transfer_report,
+    )
+
+    csv_dir = str(tmp_path / "transfers_csv")
+    txt = token_transfer_report(spark, csv_path=csv_dir)
+    assert "TOKEN TRANSFER FEE ANALYSIS" in txt
+    assert "Ownership-changing transfers: 10" in txt
+    parts = glob.glob(f"{csv_dir}/part-*.csv")
+    assert parts, "CSV sink wrote no part files"
+    header = open(parts[0]).readline().strip().split(",")
+    assert header == [
+        "slot",
+        "tx_id_hex",
+        "tx_fee",
+        "input_count",
+        "output_count",
+        "input_addr_set",
+        "output_addr_set",
+    ]
+    # windowed report over an empty slot range -> graceful empty message
+    assert "No ownership-changing" in token_transfer_report(
+        spark, min_slot=10**9, max_slot=10**9 + 1
+    )
