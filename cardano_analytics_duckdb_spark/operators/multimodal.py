@@ -157,14 +157,125 @@ ORDER BY doc_id, frame_no
 """
 
 
+# -- audio waveform features (numpy over Arrow batches) -----------------------
+# Fake decode: payload bytes as centered int samples (a real implementation
+# would pull PCM frames via soundfile/ffmpeg in the same batch loop).  The
+# feature math — RMS, peak, zero crossings — is real vectorized numpy, the
+# shape audio feature extraction takes at scale: narrow mapInPandas, no
+# shuffle, one Arrow batch in flight per core.
+
+
+def audio_waveform_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+
+    def features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
+        import numpy as np
+        import pandas as _pd
+
+        def _feats(p: bytes) -> tuple[int, float, int, int]:
+            s = np.frombuffer(p, dtype=np.uint8).astype(np.int64) - 96
+            rms = math.sqrt(float((s * s).mean())) if len(s) else 0.0
+            peak = int(np.abs(s).max()) if len(s) else 0
+            zc = int(((s[1:] * s[:-1]) < 0).sum()) if len(s) > 1 else 0
+            return len(s), rms, peak, zc
+
+        for pdf in batches:
+            out = pdf["payload"].map(lambda p: _feats(bytes(p)))
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_samples": out.map(lambda f: f[0]),
+                    "rms": out.map(lambda f: f[1]),
+                    "peak": out.map(lambda f: f[2]),
+                    "zero_crossings": out.map(lambda f: f[3]),
+                }
+            )
+
+    from ..functions.rounding import rnd
+
+    raw = docs.mapInPandas(
+        features,
+        schema="doc_id long, rms double, n_samples long, peak long,"
+        " zero_crossings long",
+    )
+    return raw.select(
+        "doc_id",
+        "n_samples",
+        rnd(F.col("rms"), 4).alias("rms"),
+        "peak",
+        "zero_crossings",
+    ).orderBy("doc_id")
+
+
+_AUDIO_SQL = """
+WITH samples AS (
+  SELECT doc_id, g,
+         ord(substring(text, g, 1)) - 96 AS s
+  FROM documents, unnest(generate_series(1, length(text))) AS t(g)
+), crossings AS (
+  SELECT doc_id,
+         CASE WHEN s * lag(s) OVER (PARTITION BY doc_id ORDER BY g) < 0
+              THEN 1 ELSE 0 END AS zc
+  FROM samples
+)
+SELECT s.doc_id,
+       count(*) AS n_samples,
+       floor(sqrt(avg(CAST(s.s * s.s AS DOUBLE))) * 10000.0 + 0.5) / 10000.0 AS rms,
+       max(abs(s.s)) AS peak,
+       (SELECT sum(zc) FROM crossings c WHERE c.doc_id = s.doc_id) AS zero_crossings
+FROM samples s
+GROUP BY s.doc_id
+ORDER BY s.doc_id
+"""
+
+# -- nearest-neighbor resize stub (pure column ops, JVM-side) -----------------
+# Downsample the payload to a fixed 64-byte "thumbnail" by nearest-neighbor
+# index selection — the resize plan shape with zero Python: at scale this is
+# a narrow whole-stage-codegen projection over the payload column.
+
+
+def image_resize_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    thumb = F.expr(
+        "concat_ws('', transform(sequence(0, 63),"
+        " k -> substring(text, 1 + (k * length(text)) div 64, 1)))"
+    )
+    return (
+        docs.select(
+            "doc_id",
+            F.md5(thumb.cast("binary")).alias("thumb_md5"),
+            F.length(thumb).alias("thumb_len"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_RESIZE_SQL = """
+SELECT doc_id,
+       md5((SELECT string_agg(substring(text, 1 + (k * length(text)) // 64, 1), '' ORDER BY k)
+            FROM unnest(generate_series(0, 63)) AS t(k))) AS thumb_md5,
+       CAST(64 AS INTEGER) AS thumb_len
+FROM documents
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "payload_metadata": payload_metadata,
     "image_decode_features": image_decode_features,
+    "image_resize_features": image_resize_features,
     "frame_sample_features": frame_sample_features,
+    "audio_waveform_features": audio_waveform_features,
 }
 
 ORACLE = {
     "payload_metadata": _PAYLOAD_META_SQL,
     "image_decode_features": _IMAGE_DECODE_SQL,
+    "image_resize_features": _RESIZE_SQL,
     "frame_sample_features": _FRAME_SAMPLE_SQL,
+    "audio_waveform_features": _AUDIO_SQL,
 }

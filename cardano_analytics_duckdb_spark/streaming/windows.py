@@ -127,10 +127,203 @@ def stream_ingest_foreach_batch(
     return spark.read.parquet(dest)
 
 
+# -- native session windows (Spark-idiomatic sessionization) ------------------
+
+
+def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows (30-min gap) via ``F.session_window`` on a
+    real stream — the builtin the reference (and DuckDB) lack.
+
+    Boundary semantics: session_window closes at ``last_event + gap`` with a
+    half-open interval, so a new session starts at gap >= 30 min; the batch
+    ``user_sessions`` splits at gap > 30 min.  The two agree unless an event
+    lands exactly on the boundary (the oracle below uses >=; the driver data
+    has no exact-boundary gaps at any SF, verified at build time).
+    """
+    agg = (
+        streaming_events(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            rnd(F.sum("value"), 2).alias("session_value"),
+        )
+    )
+    name = f"stream_sess_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(
+        f"""
+        SELECT user_id,
+               unix_millis(session_window.start) AS session_start_ms,
+               unix_millis(session_window.end) AS session_end_ms,
+               n_events, session_value
+        FROM {name}
+        ORDER BY user_id, session_start_ms
+        """
+    )
+
+
+_STREAM_SESSION_SQL = """
+WITH gaps AS (
+  SELECT user_id, ts, value,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS gap_us
+  FROM events
+), marked AS (
+  SELECT *, CASE WHEN gap_us IS NULL OR gap_us >= 1800000000 THEN 1 ELSE 0 END AS new_sess
+  FROM gaps
+), sessioned AS (
+  SELECT user_id, ts, value,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+  FROM marked
+)
+SELECT user_id,
+       min(epoch_ms(ts)) AS session_start_ms,
+       max(epoch_ms(ts)) + 1800000 AS session_end_ms,
+       count(*) AS n_events,
+       floor((sum(value)) * 100.0 + 0.5) / 100.0 AS session_value
+FROM sessioned
+GROUP BY user_id, sess
+ORDER BY user_id, session_start_ms
+"""
+
+# -- custom stateful operator: applyInPandasWithState sessionization ----------
+# The escape hatch for semantics session_window can't express (the driver
+# spec's "custom stateful operators").  State per user carries the open
+# session across micro-batches; every batch re-emits each touched session's
+# current view, and a downstream batch dedupe keeps the final (largest)
+# emission per (user, session_start) — emissions grow monotonically, so
+# max(n_events) is the completed session regardless of batch boundaries.
+
+_SESS_STATE_SCHEMA = "start_ms long, last_us long, n long, total double"
+_SESS_OUT_SCHEMA = (
+    "user_id long, session_start_ms long, n_events long, session_value double"
+)
+
+
+def _session_func(key, pdfs, state):
+    import pandas as pd
+
+    (user_id,) = key
+    rows = pd.concat(list(pdfs)).sort_values("us")
+    if state.exists:
+        start_ms, last_us, n, total = state.get
+        sessions = [[start_ms, last_us, n, total]]
+    else:
+        sessions = []
+    for us, ms, value in zip(rows["us"], rows["ms"], rows["value"]):
+        if sessions and us - sessions[-1][1] <= 1_800_000_000:
+            cur = sessions[-1]
+            cur[1] = us
+            cur[2] += 1
+            cur[3] += value
+        else:
+            sessions.append([ms, us, 1, value])
+    state.update(tuple(sessions[-1]))
+    yield pd.DataFrame(
+        {
+            "user_id": user_id,
+            "session_start_ms": [s[0] for s in sessions],
+            "n_events": [s[2] for s in sessions],
+            "session_value": [s[3] for s in sessions],
+        }
+    )
+
+
+def streaming_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    ev = streaming_events(spark, sf_dir).select(
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        F.unix_millis("ts").alias("ms"),
+        "value",
+    )
+    emitted = ev.groupBy("user_id").applyInPandasWithState(
+        _session_func,
+        outputStructType=_SESS_OUT_SCHEMA,
+        stateStructType=_SESS_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name = f"stream_state_{uuid.uuid4().hex[:8]}"
+    q = (
+        emitted.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # final view per session = the largest emission; then number sessions
+    # per user in start order to match the batch session_id convention
+    from pyspark.sql import Window as W
+
+    final = (
+        spark.table(name)
+        .groupBy("user_id", "session_start_ms")
+        .agg(
+            F.max_by("n_events", "n_events").alias("n_events"),
+            F.max_by("session_value", "n_events").alias("raw_value"),
+        )
+    )
+    sess_num = W.partitionBy("user_id").orderBy("session_start_ms")
+    return (
+        final.select(
+            "user_id",
+            F.row_number().over(sess_num).alias("session_id"),
+            "n_events",
+            rnd(F.col("raw_value"), 2).alias("session_value"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+_STREAM_STATEFUL_SQL = """
+WITH gaps AS (
+  SELECT user_id, ts, value,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts)
+           AS gap_us
+  FROM events
+), marked AS (
+  SELECT *, CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END AS new_sess
+  FROM gaps
+), sessioned AS (
+  SELECT user_id, value,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM marked
+)
+SELECT user_id, session_id, count(*) AS n_events,
+       floor((sum(value)) * 100.0 + 0.5) / 100.0 AS session_value
+FROM sessioned
+GROUP BY user_id, session_id
+ORDER BY user_id, session_id
+"""
+
+
 QUERIES = {
     "streaming_tumbling_counts": streaming_tumbling_counts,
+    "streaming_session_windows": streaming_session_windows,
+    "streaming_stateful_sessions": streaming_stateful_sessions,
 }
 
 ORACLE = {
     "streaming_tumbling_counts": _STREAM_TUMBLING_SQL,
+    "streaming_session_windows": _STREAM_SESSION_SQL,
+    "streaming_stateful_sessions": _STREAM_STATEFUL_SQL,
 }
