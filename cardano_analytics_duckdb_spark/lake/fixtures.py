@@ -163,6 +163,40 @@ _ARROW_SCHEMAS: dict[str, pa.Schema] = {
             ("metadata_url", pa.string()),
         ]
     ),
+    # README-only stretch tables (≙ /root/reference/README.md:75-105)
+    "vote": pa.schema(
+        [
+            ("slot", pa.int64()),
+            ("tx_id", pa.binary()),
+            ("voter", pa.string()),
+            ("action_id_tx", pa.binary()),
+            ("action_id_index", pa.int32()),
+            ("vote", pa.int32()),
+            ("anchor", pa.string()),
+        ]
+    ),
+    "proposal": pa.schema(
+        [
+            ("slot", pa.int64()),
+            ("tx_id", pa.binary()),
+            ("proposal_index", pa.int32()),
+            ("deposit", pa.int64()),
+            ("return_account", pa.string()),
+            ("type", pa.int32()),
+            ("anchor", pa.string()),
+        ]
+    ),
+    "redeemer": pa.schema(
+        [
+            ("slot", pa.int64()),
+            ("tx_id", pa.binary()),
+            ("tag", pa.int32()),
+            ("redeemer_index", pa.int32()),
+            ("data", pa.binary()),
+            ("mem", pa.int64()),
+            ("steps", pa.int64()),
+        ]
+    ),
 }
 
 # certificate type → specialized table (≙ the reference's dispatch in
@@ -222,7 +256,8 @@ def tx_specs() -> list[dict]:
     rng = random.Random(42)
     specs: list[dict] = []
 
-    def add(i, slot, fee, inputs, outputs, mints=(), certs=()):
+    def add(i, slot, fee, inputs, outputs, mints=(), certs=(),
+            votes=(), proposals=(), redeemers=()):
         specs.append(
             dict(
                 index=i,
@@ -232,6 +267,9 @@ def tx_specs() -> list[dict]:
                 outputs=list(outputs),
                 mints=list(mints),
                 certs=list(certs),
+                votes=list(votes),
+                proposals=list(proposals),
+                redeemers=list(redeemers),
             )
         )
         return _txid(i)
@@ -327,6 +365,30 @@ def tx_specs() -> list[dict]:
             j, slot, fee, ins,
             [_out(rng.choice(ADDRS), rng.randrange(1_000_000, 50_000_000))],
         )
+
+    # governance (README-only stretch tables): votes + a proposal, and a
+    # script tx with redeemers
+    add(196, 100_120, 195_000, [], [_out(ADDRS[0], 3_000_000)],
+        votes=[
+            dict(voter="drep1gov", action_id_tx=_txid(15),
+                 action_id_index=0, vote=1,
+                 anchor="https://gov.example/rationale.json"),
+            dict(voter="pool1xyz", action_id_tx=_txid(15),
+                 action_id_index=0, vote=0, anchor=None),
+        ],
+        proposals=[
+            dict(proposal_index=0, deposit=100_000_000_000,
+                 return_account="stake1abc", type=3,
+                 anchor="https://gov.example/action.json"),
+        ])
+    add(197, 100_130, 420_000, [(_txid(196), 0)],
+        [_out(ADDRS[1], 2_500_000)],
+        redeemers=[
+            dict(tag=0, redeemer_index=0, data=b"\xd8\x79\x80",
+                 mem=1_000_000, steps=500_000_000),
+            dict(tag=2, redeemer_index=0, data=None,
+                 mem=200_000, steps=80_000_000),
+        ])
     return specs
 
 
@@ -342,7 +404,7 @@ def _build_rows(specs: list[dict]) -> dict[str, list[dict]]:
                 tx_fee=s["fee"],
                 input_count=len(s["inputs"]),
                 output_count=len(s["outputs"]),
-                redeemer_count=0,
+                redeemer_count=len(s["redeemers"]),
                 witness_datum_count=sum(
                     1
                     for o in s["outputs"]
@@ -351,8 +413,8 @@ def _build_rows(specs: list[dict]) -> dict[str, list[dict]]:
                 has_mint=bool(s["mints"]),
                 has_withdrawal=False,
                 has_cert=bool(s["certs"]),
-                has_vote=False,
-                has_proposal=False,
+                has_vote=bool(s["votes"]),
+                has_proposal=bool(s["proposals"]),
                 inputs=[
                     {"tx_id": itid, "output_index": oi}
                     for itid, oi in s["inputs"]
@@ -416,6 +478,12 @@ def _build_rows(specs: list[dict]) -> dict[str, list[dict]]:
             for f in _CERT_FIELDS[table]:
                 detail[f] = cert.get(f)
             rows[table].append(detail)
+        for v in s["votes"]:
+            rows["vote"].append(dict(slot=slot, tx_id=tid, **v))
+        for p in s["proposals"]:
+            rows["proposal"].append(dict(slot=slot, tx_id=tid, **p))
+        for r in s["redeemers"]:
+            rows["redeemer"].append(dict(slot=slot, tx_id=tid, **r))
     return rows
 
 
@@ -476,10 +544,23 @@ def fixture_blocks(specs: list[dict] | None = None) -> list[dict]:
                     ],
                     "mint": mint,
                     "certificates": certs,
-                    "redeemers": [],
+                    "redeemers": [
+                        {
+                            **r,
+                            "data": (
+                                r["data"].hex()
+                                if r["data"] is not None
+                                else None
+                            ),
+                        }
+                        for r in s["redeemers"]
+                    ],
                     "withdrawals": {},
-                    "votes": [],
-                    "proposals": [],
+                    "votes": [
+                        {**v, "action_id_tx": v["action_id_tx"].hex()}
+                        for v in s["votes"]
+                    ],
+                    "proposals": list(s["proposals"]),
                 }
             )
         blocks.append(

@@ -148,6 +148,43 @@ TX_RAW = T.StructType(
     ]
 )  # ≙ ogmios_parquet.py:16-23 (extraction disabled in reference at :693-695)
 
+# -- README-only stretch tables (SURVEY §1.2 decision) ------------------------
+# No extraction code exists in the reference for these; schemas come from the
+# README spec, with `slot` added so they partition like every other table.
+
+VOTE = T.StructType(
+    _common
+    + [
+        T.StructField("voter", T.StringType(), False),
+        T.StructField("action_id_tx", T.BinaryType(), False),
+        T.StructField("action_id_index", T.IntegerType(), False),
+        T.StructField("vote", T.IntegerType(), False),
+        T.StructField("anchor", T.StringType(), True),
+    ]
+)  # ≙ /root/reference/README.md:75-81
+
+PROPOSAL = T.StructType(
+    _common
+    + [
+        T.StructField("proposal_index", T.IntegerType(), False),
+        T.StructField("deposit", T.LongType(), False),
+        T.StructField("return_account", T.StringType(), False),
+        T.StructField("type", T.IntegerType(), False),
+        T.StructField("anchor", T.StringType(), True),
+    ]
+)  # ≙ README.md:83-89
+
+REDEEMER = T.StructType(
+    _common
+    + [
+        T.StructField("tag", T.IntegerType(), False),
+        T.StructField("redeemer_index", T.IntegerType(), False),
+        T.StructField("data", T.BinaryType(), True),
+        T.StructField("mem", T.LongType(), False),
+        T.StructField("steps", T.LongType(), False),
+    ]
+)  # ≙ README.md:99-105
+
 CARDANO_SCHEMAS: dict[str, T.StructType] = {
     "tx": TX,
     "utxo": UTXO,
@@ -160,4 +197,7 @@ CARDANO_SCHEMAS: dict[str, T.StructType] = {
     "cert_cc": CERT_CC,
     "cert_drep": CERT_DREP,
     "tx_raw": TX_RAW,
+    "vote": VOTE,
+    "proposal": PROPOSAL,
+    "redeemer": REDEEMER,
 }

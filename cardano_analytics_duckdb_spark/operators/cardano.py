@@ -368,6 +368,86 @@ ORDER BY slot_group
 """
 
 
+# -- governance: README-only stretch tables (README.md:75-105) ----------------
+
+
+def cardano_governance_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Votes joined to their tx context, per voter — exercises the vote
+    table and a broadcast-able join back to tx."""
+    vote = _lake(spark, "vote")
+    tx = _lake(spark, "tx").select("tx_id", "tx_fee")
+    return (
+        vote.join(tx, "tx_id")
+        .groupBy("voter")
+        .agg(
+            F.count("*").alias("n_votes"),
+            F.sum("vote").alias("n_yes"),
+            F.countDistinct(_hex("action_id_tx")).alias("n_actions"),
+            F.max("tx_fee").alias("max_tx_fee"),
+        )
+        .orderBy("voter")
+    )
+
+
+_GOVERNANCE_SQL = f"""
+SELECT v.voter,
+       count(*) AS n_votes,
+       sum(v.vote) AS n_yes,
+       count(DISTINCT lower(hex(v.action_id_tx))) AS n_actions,
+       max(t.tx_fee) AS max_tx_fee
+FROM {_scan("vote")} v
+JOIN {_scan("tx")} t ON v.tx_id = t.tx_id
+GROUP BY v.voter
+ORDER BY v.voter
+"""
+
+
+def cardano_redeemer_costs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Execution-unit totals per redeemer tag (mem/steps budgeting)."""
+    red = _lake(spark, "redeemer")
+    return (
+        red.groupBy("tag")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("mem").alias("total_mem"),
+            F.sum("steps").alias("total_steps"),
+            F.sum(F.when(F.col("data").isNotNull(), 1).otherwise(0)).alias(
+                "n_with_data"
+            ),
+        )
+        .orderBy("tag")
+    )
+
+
+_REDEEMER_SQL = f"""
+SELECT tag, count(*) AS n, sum(mem) AS total_mem, sum(steps) AS total_steps,
+       sum(CASE WHEN data IS NOT NULL THEN 1 ELSE 0 END) AS n_with_data
+FROM {_scan("redeemer")}
+GROUP BY tag
+ORDER BY tag
+"""
+
+
+def cardano_proposal_deposits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prop = _lake(spark, "proposal")
+    return prop.select(
+        _hex("tx_id").alias("tx_id_hex"),
+        "proposal_index",
+        "deposit",
+        "return_account",
+        F.col("type").alias("action_type"),
+        "anchor",
+    ).orderBy("tx_id_hex", "proposal_index")
+
+
+_PROPOSAL_SQL = f"""
+SELECT lower(hex(tx_id)) AS tx_id_hex, proposal_index, deposit,
+       return_account, type AS action_type, anchor
+FROM {_scan("proposal")}
+ORDER BY tx_id_hex, proposal_index
+"""
+
+
 QUERIES = {
     "cardano_high_fee_txs": cardano_high_fee_txs,
     "cardano_tx_summary": cardano_tx_summary,
@@ -378,6 +458,9 @@ QUERIES = {
     "cardano_cert_counts": cardano_cert_counts,
     "cardano_datum_stats": cardano_datum_stats,
     "cardano_fee_by_slot_group": cardano_fee_by_slot_group,
+    "cardano_governance_activity": cardano_governance_activity,
+    "cardano_redeemer_costs": cardano_redeemer_costs,
+    "cardano_proposal_deposits": cardano_proposal_deposits,
 }
 
 ORACLE = {
@@ -390,4 +473,7 @@ ORACLE = {
     "cardano_cert_counts": _CERT_COUNTS_SQL,
     "cardano_datum_stats": _DATUM_STATS_SQL,
     "cardano_fee_by_slot_group": _FEE_BY_GROUP_SQL,
+    "cardano_governance_activity": _GOVERNANCE_SQL,
+    "cardano_redeemer_costs": _REDEEMER_SQL,
+    "cardano_proposal_deposits": _PROPOSAL_SQL,
 }

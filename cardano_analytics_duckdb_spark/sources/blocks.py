@@ -39,6 +39,36 @@ _CERT = T.StructType(
     ]
 )
 
+_VOTE = T.StructType(
+    [
+        T.StructField("voter", T.StringType()),
+        T.StructField("action_id_tx", T.StringType()),  # hex
+        T.StructField("action_id_index", T.IntegerType()),
+        T.StructField("vote", T.IntegerType()),
+        T.StructField("anchor", T.StringType()),
+    ]
+)
+
+_PROPOSAL = T.StructType(
+    [
+        T.StructField("proposal_index", T.IntegerType()),
+        T.StructField("deposit", T.LongType()),
+        T.StructField("return_account", T.StringType()),
+        T.StructField("type", T.IntegerType()),
+        T.StructField("anchor", T.StringType()),
+    ]
+)
+
+_REDEEMER = T.StructType(
+    [
+        T.StructField("tag", T.IntegerType()),
+        T.StructField("redeemer_index", T.IntegerType()),
+        T.StructField("data", T.StringType()),  # hex
+        T.StructField("mem", T.LongType()),
+        T.StructField("steps", T.LongType()),
+    ]
+)
+
 _AMOUNTS = T.MapType(T.StringType(), T.MapType(T.StringType(), T.LongType()))
 
 _TX = T.StructType(
@@ -77,13 +107,13 @@ _TX = T.StructType(
         ),
         T.StructField("mint", _AMOUNTS),
         T.StructField("certificates", T.ArrayType(_CERT)),
-        T.StructField("redeemers", T.ArrayType(T.StringType())),
+        T.StructField("redeemers", T.ArrayType(_REDEEMER)),
         T.StructField(
             "withdrawals",
             T.MapType(T.StringType(), T.MapType(T.StringType(), T.LongType())),
         ),
-        T.StructField("votes", T.ArrayType(T.StringType())),
-        T.StructField("proposals", T.ArrayType(T.StringType())),
+        T.StructField("votes", T.ArrayType(_VOTE)),
+        T.StructField("proposals", T.ArrayType(_PROPOSAL)),
     ]
 )
 

@@ -52,6 +52,9 @@ LAKE_TABLES = (
     "cert_pool",
     "cert_cc",
     "cert_drep",
+    "vote",
+    "proposal",
+    "redeemer",
 )
 
 _STAKE_TYPES = (
@@ -257,6 +260,40 @@ def extract_tables(blocks_df: DataFrame) -> dict[str, DataFrame]:
         F.col("c.metadata_url").alias("metadata_url"),
     )
 
+    # README-only governance tables (≙ /root/reference/README.md:75-105;
+    # the reference has no extraction code for these — schemas from spec)
+    vote = txs.select("slot", "tx_id", F.explode("votes").alias("v")).select(
+        "slot",
+        "tx_id",
+        F.col("v.voter").alias("voter"),
+        F.unhex("v.action_id_tx").alias("action_id_tx"),
+        F.col("v.action_id_index").alias("action_id_index"),
+        F.col("v.vote").alias("vote"),
+        F.col("v.anchor").alias("anchor"),
+    )
+    proposal = txs.select(
+        "slot", "tx_id", F.explode("proposals").alias("p")
+    ).select(
+        "slot",
+        "tx_id",
+        F.col("p.proposal_index").alias("proposal_index"),
+        F.col("p.deposit").alias("deposit"),
+        F.col("p.return_account").alias("return_account"),
+        F.col("p.type").alias("type"),
+        F.col("p.anchor").alias("anchor"),
+    )
+    redeemer = txs.select(
+        "slot", "tx_id", F.explode("redeemers").alias("r")
+    ).select(
+        "slot",
+        "tx_id",
+        F.col("r.tag").alias("tag"),
+        F.col("r.redeemer_index").alias("redeemer_index"),
+        F.unhex("r.data").alias("data"),
+        F.col("r.mem").alias("mem"),
+        F.col("r.steps").alias("steps"),
+    )
+
     return {
         "tx": tx,
         "utxo": utxo,
@@ -268,6 +305,9 @@ def extract_tables(blocks_df: DataFrame) -> dict[str, DataFrame]:
         "cert_pool": cert_pool,
         "cert_cc": cert_cc,
         "cert_drep": cert_drep,
+        "vote": vote,
+        "proposal": proposal,
+        "redeemer": redeemer,
     }
 
 
@@ -314,7 +354,10 @@ def ingest_blocks(
                     (F.floor(F.col("slot") / slot_group_size)
                      * slot_group_size).cast("long"),
                 )
-                if name.startswith("cert") and with_group.isEmpty():
+                sparse = name.startswith("cert") or name in (
+                    "vote", "proposal", "redeemer"
+                )
+                if sparse and with_group.isEmpty():
                     continue  # avoid schemaless empty partition dirs
                 (
                     with_group.write.mode("append")

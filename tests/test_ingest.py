@@ -47,7 +47,7 @@ def ingested(spark, tmp_path_factory):
 
 def test_ingest_stats(ingested):
     _, stats = ingested
-    assert stats["transactions"] == 196
+    assert stats["transactions"] == 198
     assert stats["rollbacks"] == 0
     assert stats["batches"] >= 2  # actually micro-batched
 
