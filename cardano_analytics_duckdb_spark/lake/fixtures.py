@@ -513,9 +513,14 @@ def fixture_blocks(specs: list[dict] | None = None) -> list[dict]:
             for c in s["certs"]:
                 cj = {"type": c["type"]}
                 for k, v in c.items():
-                    if k == "type":
+                    if k in ("type", "margin_numerator", "margin_denominator"):
                         continue
                     cj[k] = v.hex() if isinstance(v, bytes) else v
+                # Ogmios ships pool margin as a fraction string (F6)
+                if c.get("margin_numerator") is not None:
+                    cj["margin"] = (
+                        f"{c['margin_numerator']}/{c['margin_denominator']}"
+                    )
                 certs.append(cj)
             txs.append(
                 {

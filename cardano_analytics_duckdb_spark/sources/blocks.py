@@ -27,8 +27,9 @@ _CERT = T.StructType(
         T.StructField("drep_id", T.StringType()),
         T.StructField("reward_account", T.StringType()),
         T.StructField("pledge", T.LongType()),
-        T.StructField("margin_numerator", T.LongType()),
-        T.StructField("margin_denominator", T.LongType()),
+        # Ogmios renders pool margin as a "num/denom" fraction string; the
+        # split happens at ingestion (F6, ≙ ogmios_parquet.py:432-435)
+        T.StructField("margin", T.StringType()),
         T.StructField("cost", T.LongType()),
         T.StructField("metadata_hash", T.StringType()),
         T.StructField("metadata_url", T.StringType()),

@@ -234,8 +234,13 @@ def extract_tables(blocks_df: DataFrame) -> dict[str, DataFrame]:
         F.col("c.pool_id").alias("pool_id"),
         F.col("c.reward_account").alias("reward_account"),
         F.col("c.pledge").alias("pledge"),
-        F.col("c.margin_numerator").alias("margin_numerator"),
-        F.col("c.margin_denominator").alias("margin_denominator"),
+        # F6 fraction parsing: "3/100" → (3, 100), ≙ ogmios_parquet.py:432-435
+        F.split("c.margin", "/").getItem(0).cast("long").alias(
+            "margin_numerator"
+        ),
+        F.split("c.margin", "/").getItem(1).cast("long").alias(
+            "margin_denominator"
+        ),
         F.col("c.cost").alias("cost"),
         F.unhex("c.metadata_hash").alias("metadata_hash"),
         F.col("c.metadata_url").alias("metadata_url"),

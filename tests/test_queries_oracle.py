@@ -29,3 +29,16 @@ def duck(sf_dir):
 def test_oracle_match(spark, sf_dir, duck, name):
     df = QUERIES[name](spark, sf_dir)
     compare(df, duck, ORACLES[name])
+
+
+def test_register_views(spark, sf_dir):
+    """S3: one temp view per table, queryable via spark.sql."""
+    from cardano_analytics_duckdb_spark.lake.tables import (
+        TESTDATA_TABLES,
+        register_views,
+    )
+
+    register_views(spark, sf_dir, suffix="_view")
+    for t in TESTDATA_TABLES:
+        assert spark.sql(f"SELECT count(*) AS n FROM {t}_view").first()["n"] > 0
+        spark.catalog.dropTempView(f"{t}_view")
