@@ -213,6 +213,84 @@ WHERE floor((list_cosine_similarity(a.v, b.v)) * 10000.0 + 0.5) / 10000.0 >= 0.5
 ORDER BY vec_a, vec_b
 """
 
+# -- IVF top-k: coarse-quantizer ANN (the other scale path) -------------------
+# Inverted-file search: assign every vector to its nearest coarse centroid
+# (narrow map), then search only the query's cell.  Centroids are seeded
+# compile-time literals here; in production they come from k-means
+# (pyspark.ml KMeans) and the assignment plan is identical.  At 100 TB the
+# cell assignment is the partition key — the probe touches 1/n_cells of the
+# data instead of all of it.
+
+_IVF_CENTROIDS = [
+    [round(_rng.gauss(0.0, 0.5), 6) for _ in range(_DIM)] for _ in range(4)
+]
+
+
+def _cell_expr(vec_col: str) -> Column:
+    # argmin over squared L2 distance to each centroid, as a fold over
+    # (distance, index) pairs — JVM-side, no UDF
+    dists = [
+        F.expr(
+            f"aggregate(zip_with({vec_col}, {_plane_lit(c)},"
+            " (x, y) -> (cast(x as double) - y) * (cast(x as double) - y)),"
+            " cast(0.0 as double), (acc, v) -> acc + v)"
+        )
+        for c in _IVF_CENTROIDS
+    ]
+    cell = F.lit(0)
+    best = dists[0]
+    for i in range(1, len(dists)):
+        cell = F.when(dists[i] < best, F.lit(i)).otherwise(cell)
+        best = F.when(dists[i] < best, dists[i]).otherwise(best)
+    return cell
+
+
+def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    with_cell = emb.select("vec_id", "embedding", _cell_expr("embedding").alias("cell"))
+    query = with_cell.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q"), F.col("cell").alias("qcell")
+    )
+    sim = _dot("embedding", "q") / (_norm("embedding") * _norm("q"))
+    return (
+        with_cell.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(query), F.col("cell") == F.col("qcell"))
+        .select("vec_id", "cell", rnd(sim, 4).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .limit(10)
+    )
+
+
+def _ivf_sql() -> str:
+    def dist(c: list[float]) -> str:
+        lit = "[" + ", ".join(repr(v) for v in c) + "]::DOUBLE[]"
+        return (
+            f"list_sum(list_transform(list_zip(embedding::DOUBLE[], {lit}),"
+            " x -> (x[1] - x[2]) * (x[1] - x[2])))"
+        )
+
+    # same fold order as the Spark expression: later centroid wins only on
+    # strictly smaller distance
+    cell = "0"
+    best = dist(_IVF_CENTROIDS[0])
+    for i in range(1, len(_IVF_CENTROIDS)):
+        d = dist(_IVF_CENTROIDS[i])
+        cell = f"(CASE WHEN {d} < {best} THEN {i} ELSE {cell} END)"
+        best = f"(CASE WHEN {d} < {best} THEN {d} ELSE {best} END)"
+    return f"""
+WITH cells AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v, CAST({cell} AS INTEGER) AS cell
+  FROM embeddings
+), q AS (SELECT v AS qv, cell AS qcell FROM cells WHERE vec_id = 0)
+SELECT c.vec_id, c.cell,
+       floor((list_cosine_similarity(c.v, q.qv)) * 10000.0 + 0.5) / 10000.0 AS cos_sim
+FROM cells c, q
+WHERE c.vec_id != 0 AND c.cell = q.qcell
+ORDER BY cos_sim DESC, c.vec_id
+LIMIT 10
+"""
+
+
 # -- LSH-bucketed near-dup pairs: the subquadratic ANN scale path -------------
 # Candidate pairs are generated only within a shared random-hyperplane
 # bucket: one shuffle keyed by bucket, quadratic work bounded by bucket
@@ -275,6 +353,7 @@ QUERIES = {
     "lsh_bucket_assignments": lsh_bucket_assignments,
     "embedding_near_dup_pairs": embedding_near_dup_pairs,
     "lsh_bucketed_near_dup_pairs": lsh_bucketed_near_dup_pairs,
+    "ivf_topk": ivf_topk,
 }
 
 ORACLE = {
@@ -283,4 +362,5 @@ ORACLE = {
     "lsh_bucket_assignments": _lsh_sql(),
     "embedding_near_dup_pairs": _NEAR_DUP_SQL,
     "lsh_bucketed_near_dup_pairs": _lsh_near_dup_sql(),
+    "ivf_topk": _ivf_sql(),
 }
