@@ -157,35 +157,50 @@ ORDER BY vec_id
 # generation shuffles by bucket key, the quadratic work stays within groups.
 
 
-def _allpairs_cosine_kernel(pdf):
-    """(group cols..., vec_id, embedding) -> (group cols..., vec_a, vec_b, raw_sim).
+def _allpairs_cosine_kernel():
+    """Factory for the per-group kernel, defined locally so cloudpickle
+    ships it by value (workers don't have this package importable).
 
-    Emits position pairs i<j after sorting by vec_id, so vec_a < vec_b.
-    Pre-filters at raw_sim >= 0.4999 (conservatively below the exposed 0.5
-    threshold); the exact filter happens JVM-side on the *rounded* value so
-    results stay oracle-comparable.
+    Kernel: (group cols..., vec_id, embedding) ->
+    (group cols..., vec_a, vec_b, raw_sim).  Emits position pairs i<j after
+    sorting by vec_id, so vec_a < vec_b.  Pre-filters at raw_sim >= 0.4999
+    (conservatively below the exposed 0.5 threshold); the exact filter
+    happens JVM-side on the *rounded* value so results stay
+    oracle-comparable.
     """
-    import numpy as np
-    import pandas as pd
 
-    pdf = pdf.sort_values("vec_id")
-    ids = pdf["vec_id"].to_numpy()
-    if len(ids) < 2:
-        return pd.DataFrame(
-            {c: pd.Series(dtype="int64") for c in pdf.columns if c not in ("vec_id", "embedding")}
-            | {"vec_a": pd.Series(dtype="int64"), "vec_b": pd.Series(dtype="int64"), "raw_sim": pd.Series(dtype="float64")}
-        )
-    V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
-    n = np.sqrt((V * V).sum(axis=1))
-    sims = (V @ V.T) / np.outer(n, n)
-    ia, ib = np.triu_indices(len(ids), k=1)
-    keep = sims[ia, ib] >= 0.4999
-    ia, ib = ia[keep], ib[keep]
-    out = {"vec_a": ids[ia], "vec_b": ids[ib], "raw_sim": sims[ia, ib]}
-    for c in pdf.columns:
-        if c not in ("vec_id", "embedding"):
-            out[c] = pdf[c].iloc[0]
-    return pd.DataFrame(out)
+    def kernel(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy()
+        if len(ids) < 2:
+            return pd.DataFrame(
+                {
+                    c: pd.Series(dtype="int64")
+                    for c in pdf.columns
+                    if c not in ("vec_id", "embedding")
+                }
+                | {
+                    "vec_a": pd.Series(dtype="int64"),
+                    "vec_b": pd.Series(dtype="int64"),
+                    "raw_sim": pd.Series(dtype="float64"),
+                }
+            )
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+        n = np.sqrt((V * V).sum(axis=1))
+        sims = (V @ V.T) / np.outer(n, n)
+        ia, ib = np.triu_indices(len(ids), k=1)
+        keep = sims[ia, ib] >= 0.4999
+        ia, ib = ia[keep], ib[keep]
+        out = {"vec_a": ids[ia], "vec_b": ids[ib], "raw_sim": sims[ia, ib]}
+        for c in pdf.columns:
+            if c not in ("vec_id", "embedding"):
+                out[c] = pdf[c].iloc[0]
+        return pd.DataFrame(out)
+
+    return kernel
 
 
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -195,7 +210,7 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "embedding")
     )
     pairs = emb.groupBy(F.lit("all").alias("g")).applyInPandas(
-        _allpairs_cosine_kernel, "vec_a bigint, vec_b bigint, raw_sim double"
+        _allpairs_cosine_kernel(), "vec_a bigint, vec_b bigint, raw_sim double"
     )
     return (
         pairs.select("vec_a", "vec_b", rnd(F.col("raw_sim"), 4).alias("cos_sim"))
@@ -313,7 +328,7 @@ def lsh_bucketed_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucket.cast("int").alias("bucket"), "vec_id", "embedding"
     )
     pairs = with_bucket.groupBy("bucket").applyInPandas(
-        _allpairs_cosine_kernel,
+        _allpairs_cosine_kernel(),
         "vec_a bigint, vec_b bigint, raw_sim double, bucket int",
     )
     return (

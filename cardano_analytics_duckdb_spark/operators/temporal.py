@@ -63,7 +63,13 @@ def events_asof_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         merged.filter(F.col("is_right") == 0)
         .select(
-            "event_id", "user_id", "ts", "last_purchase_id", "last_purchase_value"
+            "event_id",
+            "user_id",
+            # epoch ms, not a raw timestamp: collection of TIMESTAMP renders
+            # in the session timezone, which the driver doesn't pin to UTC
+            F.unix_millis("ts").alias("ts_ms"),
+            "last_purchase_id",
+            "last_purchase_value",
         )
         .orderBy("event_id")
     )
@@ -75,7 +81,7 @@ WITH clicks AS (
 ), purchases AS (
   SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
 )
-SELECT c.event_id, c.user_id, c.ts,
+SELECT c.event_id, c.user_id, epoch_ms(c.ts) AS ts_ms,
        p.event_id AS last_purchase_id, p.value AS last_purchase_value
 FROM clicks c
 ASOF LEFT JOIN purchases p

@@ -212,37 +212,39 @@ _SESS_OUT_SCHEMA = (
 )
 
 
-def _session_func(key, pdfs, state):
-    import pandas as pd
-
-    (user_id,) = key
-    rows = pd.concat(list(pdfs)).sort_values("us")
-    if state.exists:
-        start_ms, last_us, n, total = state.get
-        sessions = [[start_ms, last_us, n, total]]
-    else:
-        sessions = []
-    for us, ms, value in zip(rows["us"], rows["ms"], rows["value"]):
-        if sessions and us - sessions[-1][1] <= 1_800_000_000:
-            cur = sessions[-1]
-            cur[1] = us
-            cur[2] += 1
-            cur[3] += value
-        else:
-            sessions.append([ms, us, 1, value])
-    state.update(tuple(sessions[-1]))
-    yield pd.DataFrame(
-        {
-            "user_id": user_id,
-            "session_start_ms": [s[0] for s in sessions],
-            "n_events": [s[2] for s in sessions],
-            "session_value": [s[3] for s in sessions],
-        }
-    )
-
-
 def streaming_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.streaming.state import GroupStateTimeout
+
+    # Defined locally so cloudpickle ships it by value — Python workers
+    # don't have this package on their sys.path (same pattern as
+    # functions/hashes.py).
+    def _session_func(key, pdfs, state):
+        import pandas as pd
+
+        (user_id,) = key
+        rows = pd.concat(list(pdfs)).sort_values("us")
+        if state.exists:
+            start_ms, last_us, n, total = state.get
+            sessions = [[start_ms, last_us, n, total]]
+        else:
+            sessions = []
+        for us, ms, value in zip(rows["us"], rows["ms"], rows["value"]):
+            if sessions and us - sessions[-1][1] <= 1_800_000_000:
+                cur = sessions[-1]
+                cur[1] = us
+                cur[2] += 1
+                cur[3] += value
+            else:
+                sessions.append([ms, us, 1, value])
+        state.update(tuple(sessions[-1]))
+        yield pd.DataFrame(
+            {
+                "user_id": user_id,
+                "session_start_ms": [s[0] for s in sessions],
+                "n_events": [s[2] for s in sessions],
+                "session_value": [s[3] for s in sessions],
+            }
+        )
 
     ev = streaming_events(spark, sf_dir).select(
         "user_id",
