@@ -379,6 +379,100 @@ def ingest_blocks(
     return stats
 
 
+def ingest_blocks_streaming(
+    spark: SparkSession,
+    block_json_dir: str,
+    dest: str,
+    slot_group_size: int = SLOT_GROUP_SIZE,
+) -> None:
+    """Structured Streaming ingestion: JSON-lines block files → 13 sinks.
+
+    The `foreachBatch` shape of SURVEY §3.1 — each micro-batch fans out to
+    every lake table with partitioned appends; the extraction DataFrame
+    graph is identical to the batch path (``extract_tables``), which is the
+    point: one extraction definition, two execution modes.  On a cluster
+    this runs with ``Trigger.ProcessingTime`` against a live file/Kafka
+    feed; ``availableNow`` drains bounded replays for tests.
+    """
+    from ..sources.blocks import BLOCK_SCHEMA
+
+    stream = spark.readStream.schema(BLOCK_SCHEMA).json(block_json_dir)
+
+    def write_epoch(batch_df: DataFrame, epoch_id: int) -> None:
+        for name, df in extract_tables(batch_df).items():
+            with_group = df.withColumn(
+                "slot_group",
+                (F.floor(F.col("slot") / slot_group_size)
+                 * slot_group_size).cast("long"),
+            )
+            sparse = name.startswith("cert") or name in (
+                "vote", "proposal", "redeemer"
+            )
+            if sparse and with_group.isEmpty():
+                continue
+            (
+                with_group.write.mode("append")
+                .partitionBy("slot_group")
+                .parquet(os.path.join(dest, name))
+            )
+
+    q = (
+        stream.writeStream.foreachBatch(write_epoch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(dest, "_checkpoint"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+def rollback_lake(spark: SparkSession, root: str, to_slot: int) -> dict[str, int]:
+    """Chain-rollback reconciliation: drop every row with ``slot > to_slot``.
+
+    The upgrade the reference explicitly lacks (T6 — it logs rollbacks and
+    leaves orphaned rows in place, ogmios_parquet.py:813-814).  With plain
+    parquet the unit of atomic rewrite is the partition directory: only
+    slot_groups that can contain affected rows (group > to_slot - size) are
+    rewritten; earlier partitions are untouched.  A Delta/Iceberg sink would
+    make this a transactional ``DELETE WHERE slot > to_slot``.
+
+    Returns rows dropped per table.
+    """
+    dropped: dict[str, int] = {}
+    boundary_group = (to_slot // SLOT_GROUP_SIZE) * SLOT_GROUP_SIZE
+    for t in LAKE_TABLES:
+        src = os.path.join(root, t)
+        if not os.path.isdir(src):
+            continue
+        n = 0
+        for entry in sorted(os.listdir(src)):
+            if not entry.startswith("slot_group="):
+                continue
+            group = int(entry.split("=", 1)[1])
+            if group < boundary_group:
+                continue  # partition ends before the rollback point
+            part_dir = os.path.join(src, entry)
+            df = spark.read.parquet(part_dir)
+            keep = df.filter(F.col("slot") <= to_slot)
+            n_before = df.count()
+            n_keep = keep.count()
+            if n_keep == n_before:
+                continue
+            tmp = part_dir + "__rollback"
+            if n_keep > 0:
+                keep.write.mode("overwrite").parquet(tmp)
+                shutil.rmtree(part_dir)
+                os.rename(tmp, part_dir)
+            else:
+                shutil.rmtree(part_dir)
+            n += n_before - n_keep
+        if n:
+            dropped[t] = n
+    return dropped
+
+
 def compact_lake(
     spark: SparkSession, root: str, tables: Iterable[str] = LAKE_TABLES
 ) -> None:

@@ -93,3 +93,49 @@ def test_compaction_preserves_rows_and_merges_files(spark, ingested):
     n_groups = len(glob.glob(f"{dest}/tx/slot_group=*"))
     assert n_files_after == n_groups  # exactly one file per partition
     assert n_files_after < n_files_before
+
+
+def test_streaming_ingestion_matches_batch(spark, tmp_path):
+    """The foreachBatch streaming path reproduces the fixture lake exactly
+    (same extraction graph, streaming execution)."""
+    import json
+
+    from cardano_analytics_duckdb_spark.streaming.ingest import (
+        ingest_blocks_streaming,
+    )
+
+    src = tmp_path / "blocks_json"
+    src.mkdir()
+    blocks = fixture_blocks()
+    # two files -> at least one micro-batch boundary is possible
+    for i, chunk in enumerate([blocks[: len(blocks) // 2], blocks[len(blocks) // 2:]]):
+        with open(src / f"blocks_{i}.jsonl", "w") as f:
+            for b in chunk:
+                f.write(json.dumps(b) + "\n")
+    dest = str(tmp_path / "streamed_lake")
+    ingest_blocks_streaming(spark, str(src), dest)
+    root = ensure_fixture_lake(spark)
+    for t in LAKE_TABLES:
+        expected = _canon_rows(spark.read.parquet(f"{root}/{t}"))
+        actual = _canon_rows(spark.read.parquet(f"{dest}/{t}"))
+        assert actual == expected, f"table {t} diverges via streaming path"
+
+
+def test_rollback_lake_reconciles(spark, tmp_path):
+    """T6 upgrade: rollback drops exactly the rows past the rollback point,
+    leaving earlier partitions untouched."""
+    from cardano_analytics_duckdb_spark.streaming.ingest import rollback_lake
+
+    dest = str(tmp_path / "lake_rollback")
+    ingest_blocks(spark, fixture_blocks(), dest, batch_size=500)
+    tx = spark.read.parquet(f"{dest}/tx")
+    to_slot = 150_000
+    expect_keep = tx.filter(F.col("slot") <= to_slot).count()
+    expect_drop = tx.count() - expect_keep
+    dropped = rollback_lake(spark, dest, to_slot)
+    assert dropped["tx"] == expect_drop
+    after = spark.read.parquet(f"{dest}/tx")
+    assert after.count() == expect_keep
+    assert after.agg(F.max("slot")).first()[0] <= to_slot
+    # boundary-straddling partition group 0 was rewritten, not dropped
+    assert after.filter(F.col("slot_group") == 0).count() > 0
