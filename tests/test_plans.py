@@ -124,3 +124,34 @@ def test_asof_join_is_single_shuffle(spark, sf_dir):
     # final presentation sort; no join node at all
     assert "Join" not in plan
     assert plan.count("hashpartitioning(user_id") == 1
+
+
+def test_salted_join_parity_and_distribution(spark, sf_dir):
+    """Salting must not change results, and must spread a hot key across
+    reducers (the exchange hashes on (key, salt))."""
+    from cardano_analytics_duckdb_spark.plans.skew import SALT_COL, salted_join
+
+    events = load_table(spark, sf_dir, "events").select("event_type", "value")
+    dim = spark.createDataFrame(
+        [("click", 2.0), ("purchase", 10.0), ("view", 1.0),
+         ("signup", 5.0), ("error", 0.0)],
+        ["event_type", "weight"],
+    )
+    # forbid broadcast so both paths actually shuffle (the salting scenario)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plain = events.join(dim, "event_type").agg(
+            F.sum(F.col("value") * F.col("weight")).alias("s"),
+            F.count("*").alias("n"),
+        ).first()
+        salted_df = salted_join(events, dim, ["event_type"], n_salts=8)
+        salted = salted_df.agg(
+            F.sum(F.col("value") * F.col("weight")).alias("s"),
+            F.count("*").alias("n"),
+        ).first()
+        assert salted["n"] == plain["n"]
+        assert abs(salted["s"] - plain["s"]) < 1e-6 * abs(plain["s"])
+        plan = _plan(salted_join(events, dim, ["event_type"], n_salts=8))
+        assert SALT_COL in plan.split("hashpartitioning(event_type")[1].split(")")[0]
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
