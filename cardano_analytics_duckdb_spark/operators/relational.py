@@ -460,6 +460,156 @@ ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
 """
 
 
+# -- TPC-H-shaped multi-way joins over the full star schema -------------------
+# Date predicates compare DATE-cast values on both engines (timestamp
+# rendering is session-TZ-dependent; dates are not).
+
+
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 shape: segment filter → 3-way join → revenue top-10."""
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").cast("date") < F.lit("1998-01-01").cast("date")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            "l_orderkey",
+            # ISO string, not DATE: DuckDB dates surface as pandas Timestamps
+            # through fetchdf, so a string is the only type-stable rendering
+            F.date_format(F.col("o_orderdate").cast("date"), "yyyy-MM-dd").alias(
+                "order_date"
+            ),
+        )
+        .agg(
+            rnd(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+_SHIPPING_PRIORITY_SQL = """
+SELECT l.l_orderkey,
+       strftime(o.o_orderdate::DATE, '%Y-%m-%d') AS order_date,
+       floor((sum(l.l_extendedprice * (1 - l.l_discount))) * 100.0 + 0.5) / 100.0 AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate::DATE < DATE '1998-01-01'
+GROUP BY l.l_orderkey, order_date
+ORDER BY revenue DESC, l.l_orderkey
+LIMIT 10
+"""
+
+
+def supplier_volume_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5 shape: fact → supplier → nation, revenue per supplier nation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            rnd(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_lineitems"),
+            F.countDistinct("s_suppkey").alias("n_suppliers"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("nation"))
+    )
+
+
+_SUPPLIER_VOLUME_SQL = """
+SELECT n.n_name AS nation,
+       floor((sum(l.l_extendedprice * (1 - l.l_discount))) * 100.0 + 0.5) / 100.0 AS revenue,
+       count(*) AS n_lineitems,
+       count(DISTINCT s.s_suppkey) AS n_suppliers
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+GROUP BY nation
+ORDER BY revenue DESC, nation
+"""
+
+
+def returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10 shape: returned lineitems → customer revenue ranking, top 20."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
+        .agg(
+            rnd(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("lost_revenue")
+        )
+        .orderBy(F.col("lost_revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+_RETURNED_ITEM_SQL = """
+SELECT c.c_custkey, c.c_name, n.n_name AS nation,
+       floor((sum(l.l_extendedprice * (1 - l.l_discount))) * 100.0 + 0.5) / 100.0 AS lost_revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, nation
+ORDER BY lost_revenue DESC, c.c_custkey
+LIMIT 20
+"""
+
+
+def brand_shipment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Part-dimension join: quantity/price stats per brand."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_shipments"),
+            F.sum("l_quantity").alias("total_qty"),
+            rnd(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.countDistinct("l_suppkey").alias("n_suppliers"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+_BRAND_SHIPMENT_SQL = """
+SELECT p.p_brand,
+       count(*) AS n_shipments,
+       sum(l.l_quantity) AS total_qty,
+       floor((avg(l.l_extendedprice)) * 100.0 + 0.5) / 100.0 AS avg_price,
+       count(DISTINCT l.l_suppkey) AS n_suppliers
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY p.p_brand
+ORDER BY p.p_brand
+"""
+
+
 QUERIES = {
     "high_value_orders": high_value_orders,
     "order_summary_stats": order_summary_stats,
@@ -476,6 +626,10 @@ QUERIES = {
     "slot_time_conversion": slot_time_conversion,
     "status_price_matrix": status_price_matrix,
     "lineitem_rollup": lineitem_rollup,
+    "shipping_priority": shipping_priority,
+    "supplier_volume_by_nation": supplier_volume_by_nation,
+    "returned_item_customers": returned_item_customers,
+    "brand_shipment_stats": brand_shipment_stats,
 }
 
 ORACLE = {
@@ -494,4 +648,8 @@ ORACLE = {
     "slot_time_conversion": _SLOT_TIME_SQL,
     "status_price_matrix": _STATUS_MATRIX_SQL,
     "lineitem_rollup": _ROLLUP_SQL,
+    "shipping_priority": _SHIPPING_PRIORITY_SQL,
+    "supplier_volume_by_nation": _SUPPLIER_VOLUME_SQL,
+    "returned_item_customers": _RETURNED_ITEM_SQL,
+    "brand_shipment_stats": _BRAND_SHIPMENT_SQL,
 }
