@@ -155,3 +155,40 @@ def test_salted_join_parity_and_distribution(spark, sf_dir):
         assert SALT_COL in plan.split("hashpartitioning(event_type")[1].split(")")[0]
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_bucketed_join_elides_both_exchanges(spark, sf_dir, tmp_path):
+    """Co-bucketed fact tables join with NO shuffle on either side — the
+    stored-partitioning property that makes repeated fact-fact joins viable
+    at scale."""
+    from cardano_analytics_duckdb_spark.lake.bucketing import (
+        bucketed_join,
+        write_bucketed,
+    )
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        li = write_bucketed(
+            spark, sf_dir, "lineitem", ["l_orderkey"], n_buckets=4,
+            name="t_li_bucketed",
+        )
+        orders = write_bucketed(
+            spark, sf_dir, "orders", ["o_orderkey"], n_buckets=4,
+            name="t_orders_bucketed",
+        )
+        joined = bucketed_join(
+            spark, li, orders, on=[F.col("l_orderkey") == F.col("o_orderkey")]
+        )
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, "bucketed join still shuffles"
+        # same join on the raw (unbucketed) parquet shuffles both sides
+        raw = load_table(spark, sf_dir, "lineitem").join(
+            load_table(spark, sf_dir, "orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        assert "Exchange" in _plan(raw)
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS t_li_bucketed")
+        spark.sql("DROP TABLE IF EXISTS t_orders_bucketed")
