@@ -610,6 +610,37 @@ ORDER BY p.p_brand
 """
 
 
+# -- exact percentiles (sort-based distribution stats) ------------------------
+# Spark `percentile` and DuckDB `quantile_cont` share the same definition:
+# linear interpolation at rank p·(n-1) over the sorted values.
+
+
+def price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            rnd(F.expr("percentile(l_extendedprice, 0.5)"), 2).alias("p50"),
+            rnd(F.expr("percentile(l_extendedprice, 0.9)"), 2).alias("p90"),
+            rnd(F.expr("percentile(l_extendedprice, 0.99)"), 2).alias("p99"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_PERCENTILES_SQL = """
+SELECT l_returnflag,
+       count(*) AS n,
+       floor((quantile_cont(l_extendedprice, 0.5)) * 100.0 + 0.5) / 100.0 AS p50,
+       floor((quantile_cont(l_extendedprice, 0.9)) * 100.0 + 0.5) / 100.0 AS p90,
+       floor((quantile_cont(l_extendedprice, 0.99)) * 100.0 + 0.5) / 100.0 AS p99
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
 QUERIES = {
     "high_value_orders": high_value_orders,
     "order_summary_stats": order_summary_stats,
@@ -630,6 +661,7 @@ QUERIES = {
     "supplier_volume_by_nation": supplier_volume_by_nation,
     "returned_item_customers": returned_item_customers,
     "brand_shipment_stats": brand_shipment_stats,
+    "price_percentiles": price_percentiles,
 }
 
 ORACLE = {
@@ -652,4 +684,5 @@ ORACLE = {
     "supplier_volume_by_nation": _SUPPLIER_VOLUME_SQL,
     "returned_item_customers": _RETURNED_ITEM_SQL,
     "brand_shipment_stats": _BRAND_SHIPMENT_SQL,
+    "price_percentiles": _PERCENTILES_SQL,
 }

@@ -209,6 +209,38 @@ FROM documents
 ORDER BY doc_id
 """
 
+# -- semi-structured JSON extraction (events.props) ---------------------------
+# get_json_object keeps extraction JVM-side; at scale prefer from_json with
+# an explicit schema once the shape is known (single parse, typed struct).
+
+
+def event_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            rnd(F.avg("k"), 2).alias("avg_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_PROPS_JSON_SQL = """
+SELECT event_type,
+       count(CAST(props->>'$.k' AS BIGINT)) AS n,
+       min(CAST(props->>'$.k' AS BIGINT)) AS min_k,
+       max(CAST(props->>'$.k' AS BIGINT)) AS max_k,
+       floor((avg(CAST(props->>'$.k' AS BIGINT))) * 100.0 + 0.5) / 100.0 AS avg_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
 # -- per-source corpus statistics --------------------------------------------
 
 
@@ -247,6 +279,7 @@ QUERIES = {
     "bpe_token_counts": bpe_token_counts,
     "rolling_fingerprints": rolling_fingerprints,
     "corpus_stats_by_source": corpus_stats_by_source,
+    "event_props_json": event_props_json,
 }
 
 ORACLE = {
@@ -256,4 +289,5 @@ ORACLE = {
     "bpe_token_counts": _BPE_SQL,
     "rolling_fingerprints": _ROLLING_FP_SQL,
     "corpus_stats_by_source": _CORPUS_STATS_SQL,
+    "event_props_json": _PROPS_JSON_SQL,
 }
