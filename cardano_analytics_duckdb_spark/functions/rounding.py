@@ -8,6 +8,13 @@ Spark but 4.47 in DuckDB — a hash-mismatch generator on any ``avg``/``sum``.
 ``rnd``/``rnd_sql`` sidestep engine semantics entirely: both engines compute
 ``floor(x * 10^n + 0.5) / 10^n`` with identical IEEE-754 double ops, so the
 results are bit-identical by construction.
+
+Contract domain: bit-stability requires ``|x|·10ⁿ < 2^53`` (beyond that,
+doubles can't represent consecutive integers and the engines' floor/division
+orders can differ in the last ulp — property-tested at the boundary in
+tests/test_properties.py).  Every rounded quantity in this engine is orders
+of magnitude inside the domain; revisit if aggregating raw lovelace sums at
+full-chain scale before dividing.
 """
 
 from __future__ import annotations

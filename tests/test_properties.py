@@ -1,0 +1,143 @@
+"""Property-based tests (hypothesis) for the cross-engine determinism
+primitives — the pieces every oracle comparison leans on.
+
+No SparkSession needed: the properties pin the *formulas* shared by both
+engines (Python floats are IEEE-754 doubles, same as JVM doubles and DuckDB
+DOUBLE), so violations here mean oracle flakiness at some SF even if the
+current fixtures happen to pass.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+def _rnd_py(x: float, n: int) -> float:
+    scale = float(10**n)
+    return math.floor(x * scale + 0.5) / scale
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.floats(
+        min_value=-1e12, max_value=1e12, allow_nan=False, allow_infinity=False
+    ),
+    st.integers(min_value=0, max_value=6),
+)
+def test_rounding_formula_matches_duckdb(x: float, n: int):
+    """floor(x·10ⁿ+0.5)/10ⁿ computes bit-identically in Python and DuckDB
+    within the contract domain |x|·10ⁿ < 2^53 (see functions/rounding.py —
+    hypothesis found the boundary: x=900719925474.9999, n=4 differs in the
+    last ulp once the scaled value exceeds 2^53).
+
+    The input reaches DuckDB via parameter binding, which is how real
+    oracle comparisons see values too (shared parquet doubles): hypothesis
+    also demonstrated that *SQL-literal* doubles parse through DECIMAL and
+    can land 1 ulp away — a hazard the oracle SQL avoids by never inlining
+    float literals derived from data.
+    """
+    if abs(x) * 10**n >= 2**53:
+        return
+    scale = float(10**n)
+    got = duckdb.execute(
+        f"SELECT floor(? * {scale} + 0.5) / {scale}", [x]
+    ).fetchone()[0]
+    assert got == _rnd_py(x, n)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10**15),  # ts in microseconds
+            st.floats(min_value=-100, max_value=100, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_session_kernel_matches_windowed_reference(events):
+    """The applyInPandasWithState sessionization kernel (gap > 30 min splits)
+    agrees with the lag/cumsum formulation used by the batch query and its
+    SQL oracle, for arbitrary event streams including boundary gaps."""
+    GAP = 1_800_000_000  # 30 min in microseconds
+    ordered = sorted(events)
+
+    # streaming-kernel logic (streaming/windows.py::_session_func)
+    sessions: list[list[float]] = []  # [start_us, last_us, n, total]
+    for us, value in ordered:
+        if sessions and us - sessions[-1][1] <= GAP:
+            cur = sessions[-1]
+            cur[1] = us
+            cur[2] += 1
+            cur[3] += value
+        else:
+            sessions.append([us, us, 1, value])
+
+    # batch/window-function reference: new session iff gap is NULL or > GAP
+    ref: list[list[float]] = []
+    prev_us = None
+    for us, value in ordered:
+        if prev_us is None or us - prev_us > GAP:
+            ref.append([us, us, 1, value])
+        else:
+            ref[-1][1] = us
+            ref[-1][2] += 1
+            ref[-1][3] += value
+        prev_us = us
+
+    assert [(s[0], s[2]) for s in sessions] == [(r[0], r[2]) for r in ref]
+    for s, r in zip(sessions, ref):
+        assert math.isclose(s[3], r[3], rel_tol=1e-12, abs_tol=1e-12)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(min_size=0, max_size=256))
+def test_blake2b_matches_reference_hashlib(payload: bytes):
+    """The pandas-UDF blake2b must equal hashlib's blake2b-256 digest (the
+    reference's datum-hash function) for arbitrary payloads."""
+    import hashlib
+
+    import pandas as pd
+
+    from cardano_analytics_duckdb_spark.functions.hashes import blake2b_256_udf
+
+    # exercise the wrapped vectorized function directly (no Spark session)
+    inner = blake2b_256_udf().func
+    out = inner(pd.Series([payload]))[0]
+    assert out == hashlib.blake2b(payload, digest_size=32).digest()
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=10**12), min_size=2, max_size=50
+    ).map(sorted)
+)
+def test_banded_range_join_covers_exactly(ms_values):
+    """The neighbor-bucket candidate generation of the banded range join
+    finds exactly the pairs with 0 < dt <= band — no misses, no dupes."""
+    BAND = 60_000
+    rows = list(dict.fromkeys(ms_values))  # unique, sorted
+    truth = {
+        (a, b)
+        for i, a in enumerate(rows)
+        for b in rows[i + 1:]
+        if 0 < b - a <= BAND
+    }
+    # candidate generation: b emitted at (bucket, bucket-1); a joins on its
+    # own bucket (operators/temporal.py::events_within_minute_pairs)
+    found = set()
+    by_bucket: dict[int, list[int]] = {}
+    for a in rows:
+        by_bucket.setdefault(a // BAND, []).append(a)
+    for b in rows:
+        for bucket in (b // BAND, b // BAND - 1):
+            for a in by_bucket.get(bucket, []):
+                if b > a and b - a <= BAND:
+                    found.add((a, b))
+    assert found == truth
