@@ -34,6 +34,7 @@ def _modules():
     from . import (
         cardano,
         dedup,
+        graph,
         multimodal,
         relational,
         reports,
@@ -53,5 +54,6 @@ def _modules():
         multimodal,
         cardano,
         reports,
+        graph,
         stream_windows,
     ]

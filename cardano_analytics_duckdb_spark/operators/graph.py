@@ -1,0 +1,147 @@
+"""Iterative graph analytics over the Cardano lake: address clustering.
+
+The reference declares ``networkx`` as a dependency but never imports it
+(SURVEY intro; /root/reference/pyproject.toml:10) — UTxO-flow graph analysis
+is intended-but-unbuilt capability.  Here: the classic common-input-ownership
+heuristic (addresses whose UTxOs are consumed by the same transaction are
+assumed co-owned) resolved into connected components with distributed label
+propagation.
+
+This is the one genuinely *iterative* operator family in the engine — not
+expressible as a single SQL statement, so it is declared without an oracle
+(the driver records a rows-only check); ``tests/test_graph.py`` verifies it
+against a union-find reference implementation instead.
+
+Scale design: each iteration is one join (labels ⋈ edges) + one min-
+aggregate — two shuffles keyed by address.  Convergence takes
+O(diameter) iterations; blockchain co-spend clusters are shallow (heavy
+hitters collapse in 2-3 rounds).  The edge list is deduplicated once up
+front; labels are the only state carried between iterations (no growing
+lineage — each round materializes via localCheckpoint to keep the plan
+flat, the standard Spark idiom for iterative algorithms).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..lake.fixtures import ensure_fixture_lake
+
+
+def _lake(spark: SparkSession, table: str) -> DataFrame:
+    root = ensure_fixture_lake(spark)
+    return spark.read.parquet(f"{root}/{table}")
+
+
+def cospend_edges(spark: SparkSession) -> DataFrame:
+    """(addr_a, addr_b) pairs consumed by the same transaction."""
+    tx = _lake(spark, "tx")
+    utxo = _lake(spark, "utxo").select(
+        F.col("tx_id").alias("src_tx_id"),
+        F.col("output_index").alias("src_output_index"),
+        "address",
+    )
+    consumed = (
+        tx.select("tx_id", F.explode("inputs").alias("r"))
+        .select(
+            "tx_id",
+            F.col("r.tx_id").alias("src_tx_id"),
+            F.col("r.output_index").alias("src_output_index"),
+        )
+        .join(utxo, on=["src_tx_id", "src_output_index"])
+        .select("tx_id", "address")
+        .distinct()
+    )
+    a = consumed.alias("a")
+    b = consumed.alias("b")
+    return (
+        a.join(b, "tx_id")
+        .filter(F.col("a.address") < F.col("b.address"))
+        .select(
+            F.col("a.address").alias("addr_a"),
+            F.col("b.address").alias("addr_b"),
+        )
+        .distinct()
+    )
+
+
+def address_components(
+    spark: SparkSession, sf_dir: str | None = None, max_iter: int = 10
+) -> DataFrame:
+    """Connected components of the co-spend graph via min-label propagation.
+
+    Returns (address, component) where component is the lexicographically
+    smallest address in the component — a deterministic canonical id.
+    Singleton addresses (never co-spent) map to themselves.
+    """
+    edges = cospend_edges(spark).cache()
+    # undirected: send labels both ways
+    bidir = edges.union(
+        edges.select(
+            F.col("addr_b").alias("addr_a"), F.col("addr_a").alias("addr_b")
+        )
+    ).cache()
+
+    all_addrs = (
+        _lake(spark, "utxo").select("address").distinct()
+    )
+    labels = all_addrs.select(
+        F.col("address"), F.col("address").alias("component")
+    ).localCheckpoint()
+
+    for _ in range(max_iter):
+        neighbor_min = (
+            bidir.join(
+                labels.withColumnsRenamed(
+                    {"address": "addr_b", "component": "nbr_component"}
+                ),
+                "addr_b",
+            )
+            .groupBy(F.col("addr_a").alias("address"))
+            .agg(F.min("nbr_component").alias("nbr_min"))
+        )
+        updated = (
+            labels.join(neighbor_min, "address", "left")
+            .select(
+                "address",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_min", "component")
+                ).alias("component"),
+            )
+        ).localCheckpoint()
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "address")
+            .filter(F.col("u.component") != F.col("l.component"))
+            .limit(1)
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    edges.unpersist()
+    bidir.unpersist()
+    return labels.orderBy("address")
+
+
+def cardano_address_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster summary: component id, member count, members (sorted)."""
+    comp = address_components(spark)
+    return (
+        comp.groupBy("component")
+        .agg(
+            F.count("*").alias("n_addresses"),
+            F.array_sort(F.collect_list("address")).alias("members"),
+        )
+        .orderBy("component")
+    )
+
+
+QUERIES = {
+    "cardano_address_clusters": cardano_address_clusters,
+}
+
+# Iterative fixpoint — not expressible as one SQL statement; verified by
+# tests/test_graph.py against a union-find reference instead of DuckDB.
+ORACLE: dict[str, str] = {}

@@ -1,0 +1,66 @@
+"""Address-clustering (iterative label propagation) vs a union-find
+reference — the verification stand-in for the SQL oracle this fixpoint
+operator can't have."""
+
+from __future__ import annotations
+
+from cardano_analytics_duckdb_spark.operators.graph import (
+    address_components,
+    cardano_address_clusters,
+    cospend_edges,
+)
+
+
+def _union_find_components(edges, vertices):
+    parent = {v: v for v in vertices}
+
+    def find(v):
+        while parent[v] != v:
+            parent[v] = parent[parent[v]]
+            v = parent[v]
+        return v
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical label = lexicographic min of each component
+    comp_members: dict[str, list[str]] = {}
+    for v in vertices:
+        comp_members.setdefault(find(v), []).append(v)
+    out = {}
+    for members in comp_members.values():
+        label = min(members)
+        for v in members:
+            out[v] = label
+    return out
+
+
+def test_label_propagation_matches_union_find(spark, sf_dir):
+    edges = [
+        (r["addr_a"], r["addr_b"]) for r in cospend_edges(spark).collect()
+    ]
+    assert edges, "fixture lake must produce co-spend edges"
+    got = {
+        r["address"]: r["component"]
+        for r in address_components(spark).collect()
+    }
+    expected = _union_find_components(edges, set(got))
+    assert got == expected
+
+
+def test_cluster_summary_shape(spark, sf_dir):
+    rows = cardano_address_clusters(spark, sf_dir).collect()
+    by_component = {r["component"]: r for r in rows}
+    # every member list is sorted, led by its component id
+    for r in rows:
+        assert r["members"] == sorted(r["members"])
+        assert r["members"][0] == r["component"]
+        assert r["n_addresses"] == len(r["members"])
+    # fixture has at least one multi-address cluster (tx4 fan-in of c,d + b)
+    assert any(r["n_addresses"] >= 3 for r in rows)
+    # total membership covers every address exactly once
+    assert sum(r["n_addresses"] for r in rows) == len(
+        {m for r in rows for m in r["members"]}
+    )
+    assert len(by_component) == len(rows)

@@ -13,8 +13,13 @@ QUERIES = all_queries()
 ORACLES = all_oracles()
 
 
+# Iterative/fixpoint operators declared without SQL oracles (the driver
+# records a rows-only check); each must have its own reference-impl test.
+NO_ORACLE_DECLARED = {"cardano_address_clusters"}  # tests/test_graph.py
+
+
 def test_every_query_has_an_oracle():
-    missing = set(QUERIES) - set(ORACLES)
+    missing = set(QUERIES) - set(ORACLES) - NO_ORACLE_DECLARED
     assert not missing, f"queries without oracle SQL: {missing}"
 
 
@@ -25,7 +30,7 @@ def duck(sf_dir):
     con.close()
 
 
-@pytest.mark.parametrize("name", sorted(QUERIES))
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - NO_ORACLE_DECLARED))
 def test_oracle_match(spark, sf_dir, duck, name):
     df = QUERIES[name](spark, sf_dir)
     compare(df, duck, ORACLES[name])
