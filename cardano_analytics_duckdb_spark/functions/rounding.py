@@ -33,3 +33,27 @@ def rnd_sql(expr: str, n: int) -> str:
     """The DuckDB-side rendering of the same rounding formula."""
     scale = float(10**n)
     return f"floor(({expr}) * {scale} + 0.5) / {scale}"
+
+
+def cent_sum(col: Column) -> Column:
+    """Order-independent 2-decimal sum: quantize each term to integer cents
+    (bit-identical per row — same IEEE double ops in both engines), sum as
+    exact int64, divide once at the end.
+
+    ``rnd(F.sum(x), 2)`` is only reproducible up to the ulp of the float
+    sum, which depends on partition/accumulation ORDER — fine within one
+    engine, but Spark and DuckDB add in different orders, and with many
+    output groups one of them eventually lands on a .005 rounding boundary
+    (observed: nation_pair_volume at sf0.01, 285207.03 vs .04).  Integer
+    summation is associative, so the result is independent of both engine
+    and parallelism.  Domain: per-group cent totals < 2^53.
+    """
+    return (
+        F.sum(F.floor(col * F.lit(100.0) + F.lit(0.5)).cast("long"))
+        / F.lit(100.0)
+    )
+
+
+def cent_sum_sql(expr: str) -> str:
+    """DuckDB rendering of :func:`cent_sum`."""
+    return f"sum(cast(floor(({expr}) * 100.0 + 0.5) AS BIGINT)) / 100.0"

@@ -32,6 +32,7 @@ def all_oracles() -> dict[str, str]:
 def _modules():
     from ..streaming import windows as stream_windows
     from . import (
+        analytic,
         cardano,
         dedup,
         graph,
@@ -46,6 +47,7 @@ def _modules():
 
     return [
         relational,
+        analytic,
         windows,
         temporal,
         dedup,

@@ -1,0 +1,461 @@
+"""Decision-support query shapes the reference's SQL surface implies but its
+bundled workloads never exercise: correlated scalar subqueries, EXISTS
+semantics, disjunctive join predicates, HAVING + join-back, conditional-
+aggregate shares, argmax-by-subquery, and grouping sets.
+
+The reference embeds DuckDB, whose SQL dialect supports all of these
+(SURVEY §2.8 notes the engine surface is "whatever DuckDB parses"); a user
+switching engines will write them, so they are first-class here.  Each is
+re-expressed as a declarative DataFrame plan (decorrelated by hand where
+Spark would otherwise plan a correlated subquery) and oracle-checked
+against DuckDB running the *correlated* form — proving the decorrelation.
+
+Scale notes (100 TB posture):
+- Correlated scalar subqueries (Q17/Q22 shapes) become a pre-aggregated
+  join: the inner aggregate is computed once, distributed, and joined on
+  its correlation key — never re-evaluated per outer row.
+- Scalar thresholds (avg/max of a whole table) are 1-row aggregates
+  attached via broadcast cross-join: no shuffle of the big side.
+- EXISTS is a left-semi join: Spark stops probing a key after the first
+  match and never materializes the inner side's payload columns.
+- ``price_decile_stats`` uses a global-order ``ntile`` for bit-exact
+  oracle parity; at 100 TB you'd swap the window for percentile-boundary
+  binning (one distributed ``percentile`` agg broadcast to a range
+  ``CASE`` — no single-partition sort).  The window form is kept because
+  rank arithmetic over a unique sort key is the only formulation that is
+  deterministic across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.rounding import cent_sum, rnd
+from ..lake.tables import load_table
+
+# -- correlated scalar subquery, decorrelated (TPC-H Q17 shape) ---------------
+# revenue from line items ordering less than 20% of their part's average
+# quantity.  Inner avg-per-part is computed once and joined on l_partkey.
+
+
+def small_quantity_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    qty_cut = li.groupBy("l_partkey").agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_cut")
+    )
+    return (
+        li.join(qty_cut, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_cut"))
+        .agg(
+            rnd(F.sum("l_extendedprice"), 2).alias("small_qty_revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+_SMALL_QTY_SQL = """
+SELECT floor((sum(l_extendedprice)) * 100.0 + 0.5) / 100.0 AS small_qty_revenue,
+       count(*) AS n_items
+FROM lineitem l
+WHERE l.l_quantity < (
+    SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
+    WHERE l2.l_partkey = l.l_partkey
+)
+"""
+
+# -- EXISTS → grouped count (TPC-H Q4 shape) ----------------------------------
+# orders with at least one returned line item, counted per priority.
+# Left-semi join: the probe stops at the first match per order key.
+
+
+def priority_returned_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    returned = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(
+            returned, orders.o_orderkey == returned.l_orderkey, "left_semi"
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+_PRIORITY_RETURNED_SQL = """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders o
+WHERE EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R'
+)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+# -- disjunctive multi-clause join predicate (TPC-H Q19 shape) ----------------
+# OR of (brand, size, quantity-band) clauses.  The shared l_partkey =
+# p_partkey equi-conjunct stays a hash join; only the residual OR is
+# post-join — Catalyst also derives a pushable superset filter
+# (size <= 50, quantity bounds) for the scans.
+
+
+def disjunctive_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    clause = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & (F.col("p_size") <= 15)
+            & F.col("l_quantity").between(5, 25)
+        )
+        | (
+            (F.col("p_brand") == "Brand#12")
+            & (F.col("p_size") <= 30)
+            & F.col("l_quantity").between(10, 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & (F.col("p_size") <= 50)
+            & F.col("l_quantity").between(20, 40)
+        )
+    )
+    return j.filter(clause).agg(
+        rnd(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "disjunct_revenue"
+        ),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+_DISJUNCT_SQL = """
+SELECT floor((sum(l_extendedprice * (1 - l_discount))) * 100.0 + 0.5) / 100.0
+         AS disjunct_revenue,
+       count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1'  AND p_size <= 15 AND l_quantity BETWEEN 5  AND 25)
+   OR (p_brand = 'Brand#12' AND p_size <= 30 AND l_quantity BETWEEN 10 AND 30)
+   OR (p_brand = 'Brand#23' AND p_size <= 50 AND l_quantity BETWEEN 20 AND 40)
+"""
+
+# -- HAVING + join-back (TPC-H Q18 shape) -------------------------------------
+# orders whose total quantity exceeds 300, re-joined to orders + customer.
+# The aggregate runs first (map-side partials on l_orderkey), and only the
+# tiny surviving key set flows into the join-back.
+
+
+def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 300.0)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            rnd(F.col("o_totalprice"), 2).alias("o_totalprice"),
+            rnd(F.col("total_qty"), 2).alias("total_qty"),
+        )
+        .orderBy(F.col("total_qty").desc(), F.col("o_orderkey"))
+    )
+
+
+_LARGE_VOLUME_SQL = """
+SELECT c.c_custkey, c.c_name, o.o_orderkey,
+       floor((o.o_totalprice) * 100.0 + 0.5) / 100.0 AS o_totalprice,
+       floor((sums.total_qty) * 100.0 + 0.5) / 100.0 AS total_qty
+FROM (
+    SELECT l_orderkey, sum(l_quantity) AS total_qty
+    FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 300.0
+) sums
+JOIN orders o ON o.o_orderkey = sums.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+ORDER BY sums.total_qty DESC, o.o_orderkey
+"""
+
+# -- nation-pair trade volume (TPC-H Q7 shape) --------------------------------
+# bilateral shipping volume between distinct nation pairs, by ship year.
+# Both nation lookups broadcast; the lineitem↔orders join carries the
+# only large shuffle.
+
+
+def nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    supp_nation = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cust_nation = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.filter(F.year("l_shipdate").between(1996, 1997))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(supp_nation), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(cust_nation), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("ship_year")
+        )
+        .agg(
+            # cent-exact: ~1400 output groups makes an ulp-boundary hit on a
+            # float sum near-certain somewhere (see functions/rounding.py)
+            cent_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "volume"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("supp_nation", "cust_nation", "ship_year")
+    )
+
+
+_NATION_PAIR_SQL = """
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       year(l.l_shipdate) AS ship_year,
+       sum(cast(floor((l.l_extendedprice * (1 - l.l_discount)) * 100.0 + 0.5)
+                AS BIGINT)) / 100.0 AS volume,
+       count(*) AS n_items
+FROM lineitem l
+JOIN orders o    ON l.l_orderkey = o.o_orderkey
+JOIN customer c  ON o.o_custkey  = c.c_custkey
+JOIN supplier s  ON l.l_suppkey  = s.s_suppkey
+JOIN nation sn   ON s.s_nationkey = sn.n_nationkey
+JOIN nation cn   ON c.c_nationkey = cn.n_nationkey
+WHERE year(l.l_shipdate) BETWEEN 1996 AND 1997
+  AND sn.n_name <> cn.n_name
+GROUP BY supp_nation, cust_nation, ship_year
+ORDER BY supp_nation, cust_nation, ship_year
+"""
+
+# -- conditional-aggregate market share (TPC-H Q8 shape) ----------------------
+# fraction of yearly revenue supplied by nation 7 — one pass, a CASE
+# inside the numerator sum instead of a second scan.
+
+
+def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supplier = load_table(spark, sf_dir, "supplier")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            rnd(
+                F.sum(F.when(F.col("s_nationkey") == 7, rev).otherwise(F.lit(0.0)))
+                / F.sum(rev),
+                4,
+            ).alias("mkt_share"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("o_year")
+    )
+
+
+_MARKET_SHARE_SQL = """
+SELECT year(o.o_orderdate) AS o_year,
+       floor((sum(CASE WHEN s.s_nationkey = 7
+                       THEN l.l_extendedprice * (1 - l.l_discount)
+                       ELSE 0.0 END)
+              / sum(l.l_extendedprice * (1 - l.l_discount))) * 10000.0 + 0.5)
+         / 10000.0 AS mkt_share,
+       count(*) AS n_items
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey  = s.s_suppkey
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+# -- argmax via scalar subquery (TPC-H Q15 shape) -----------------------------
+# supplier(s) with the maximum lineitem revenue.  The per-supplier
+# aggregate is reused for both the max (1-row agg, broadcast) and the
+# final filter — Spark never re-scans lineitem.
+
+
+def top_revenue_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_rev")
+    )
+    max_rev = rev.agg(F.max("total_rev").alias("max_rev"))
+    return (
+        rev.join(F.broadcast(max_rev), F.col("total_rev") == F.col("max_rev"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey", "s_name", rnd(F.col("total_rev"), 2).alias("total_rev")
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+_TOP_SUPPLIER_SQL = """
+WITH rev AS (
+    SELECT l_suppkey, sum(l_extendedprice * (1 - l_discount)) AS total_rev
+    FROM lineitem GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name,
+       floor((rev.total_rev) * 100.0 + 0.5) / 100.0 AS total_rev
+FROM rev JOIN supplier s ON s.s_suppkey = rev.l_suppkey
+WHERE rev.total_rev = (SELECT max(total_rev) FROM rev)
+ORDER BY s.s_suppkey
+"""
+
+# -- scalar threshold + NOT EXISTS (TPC-H Q22 shape) --------------------------
+# customers richer than the average positive balance who never ordered,
+# per nation.  The global average is a 1-row broadcast; NOT EXISTS is a
+# left-anti join.
+
+
+def rich_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    avg_bal = customer.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    return (
+        customer.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(
+            orders.select("o_custkey"),
+            customer.c_custkey == orders.o_custkey,
+            "left_anti",
+        )
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            rnd(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+_RICH_INACTIVE_SQL = """
+SELECT c.c_nationkey, count(*) AS n_custs,
+       floor((sum(c.c_acctbal)) * 100.0 + 0.5) / 100.0 AS total_bal
+FROM customer c
+WHERE c.c_acctbal > (
+        SELECT avg(c2.c_acctbal) FROM customer c2 WHERE c2.c_acctbal > 0.0
+      )
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+GROUP BY c.c_nationkey
+ORDER BY c.c_nationkey
+"""
+
+# -- ntile decile bands -------------------------------------------------------
+# order-price deciles.  ntile over a UNIQUE sort key (price, orderkey) is
+# pure rank arithmetic — deterministic and engine-independent, unlike
+# value-interpolated quantile binning.  Scale path documented in the
+# module docstring (percentile-boundary binning, no global window).
+
+
+def price_decile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        orders.select("o_totalprice", F.ntile(10).over(w).alias("decile"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            rnd(F.min("o_totalprice"), 2).alias("min_price"),
+            rnd(F.max("o_totalprice"), 2).alias("max_price"),
+        )
+        .orderBy("decile")
+    )
+
+
+_DECILE_SQL = """
+SELECT decile, count(*) AS n,
+       floor((min(o_totalprice)) * 100.0 + 0.5) / 100.0 AS min_price,
+       floor((max(o_totalprice)) * 100.0 + 0.5) / 100.0 AS max_price
+FROM (
+    SELECT o_totalprice,
+           ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+    FROM orders
+)
+GROUP BY decile
+ORDER BY decile
+"""
+
+# -- grouping sets ------------------------------------------------------------
+# one scan, three aggregation shapes: by returnflag, by linestatus, and
+# the grand total.  Spark expands this into a single expand+aggregate —
+# no triple scan.  Rounding applied DataFrame-side (a `100.0` literal in
+# Spark SQL parses as DECIMAL and breaks cross-engine bit parity).
+
+
+def revenue_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_gs")
+    raw = spark.sql(
+        """
+        SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+               coalesce(l_linestatus, 'ALL') AS linestatus,
+               sum(l_extendedprice) AS sum_price_raw,
+               count(*) AS n
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+    return raw.select(
+        "returnflag",
+        "linestatus",
+        rnd(F.col("sum_price_raw"), 2).alias("sum_price"),
+        "n",
+    ).orderBy("returnflag", "linestatus")
+
+
+_GROUPING_SETS_SQL = """
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       floor((sum(l_extendedprice)) * 100.0 + 0.5) / 100.0 AS sum_price,
+       count(*) AS n
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+ORDER BY returnflag, linestatus
+"""
+
+
+QUERIES = {
+    "small_quantity_part_revenue": small_quantity_part_revenue,
+    "priority_returned_order_counts": priority_returned_order_counts,
+    "disjunctive_brand_revenue": disjunctive_brand_revenue,
+    "large_volume_customers": large_volume_customers,
+    "nation_pair_volume": nation_pair_volume,
+    "nation_market_share": nation_market_share,
+    "top_revenue_suppliers": top_revenue_suppliers,
+    "rich_inactive_customers": rich_inactive_customers,
+    "price_decile_stats": price_decile_stats,
+    "revenue_grouping_sets": revenue_grouping_sets,
+}
+
+ORACLE = {
+    "small_quantity_part_revenue": _SMALL_QTY_SQL,
+    "priority_returned_order_counts": _PRIORITY_RETURNED_SQL,
+    "disjunctive_brand_revenue": _DISJUNCT_SQL,
+    "large_volume_customers": _LARGE_VOLUME_SQL,
+    "nation_pair_volume": _NATION_PAIR_SQL,
+    "nation_market_share": _MARKET_SHARE_SQL,
+    "top_revenue_suppliers": _TOP_SUPPLIER_SQL,
+    "rich_inactive_customers": _RICH_INACTIVE_SQL,
+    "price_decile_stats": _DECILE_SQL,
+    "revenue_grouping_sets": _GROUPING_SETS_SQL,
+}
