@@ -434,6 +434,121 @@ ORDER BY returnflag, linestatus
 """
 
 
+# -- unpivot / melt -----------------------------------------------------------
+# wide-to-long reshaping: per-status priority-bucket revenue columns melted
+# into rows.  Spark's `unpivot` is a zero-shuffle narrow transform over the
+# (tiny) aggregated frame; the oracle mirrors it with UNION ALL, the
+# dialect-portable rendering.
+
+
+def order_status_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    urgent = F.when(
+        F.col("o_orderpriority") == "1-URGENT", F.col("o_totalprice")
+    ).otherwise(F.lit(0.0))
+    high = F.when(
+        F.col("o_orderpriority") == "2-HIGH", F.col("o_totalprice")
+    ).otherwise(F.lit(0.0))
+    other = F.when(
+        ~F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+        F.col("o_totalprice"),
+    ).otherwise(F.lit(0.0))
+    wide = orders.groupBy("o_orderstatus").agg(
+        cent_sum(urgent).alias("urgent"),
+        cent_sum(high).alias("high"),
+        cent_sum(other).alias("other"),
+    )
+    return (
+        wide.unpivot(
+            ids=["o_orderstatus"],
+            values=["urgent", "high", "other"],
+            variableColumnName="priority_bucket",
+            valueColumnName="total_price",
+        )
+        .orderBy("o_orderstatus", "priority_bucket")
+    )
+
+
+_UNPIVOT_SQL = """
+WITH wide AS (
+  SELECT o_orderstatus,
+         sum(cast(floor((CASE WHEN o_orderpriority = '1-URGENT'
+                              THEN o_totalprice ELSE 0.0 END) * 100.0 + 0.5)
+                  AS BIGINT)) / 100.0 AS urgent,
+         sum(cast(floor((CASE WHEN o_orderpriority = '2-HIGH'
+                              THEN o_totalprice ELSE 0.0 END) * 100.0 + 0.5)
+                  AS BIGINT)) / 100.0 AS high,
+         sum(cast(floor((CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                              THEN o_totalprice ELSE 0.0 END) * 100.0 + 0.5)
+                  AS BIGINT)) / 100.0 AS other
+  FROM orders GROUP BY o_orderstatus
+)
+SELECT o_orderstatus, 'urgent' AS priority_bucket, urgent AS total_price FROM wide
+UNION ALL
+SELECT o_orderstatus, 'high', high FROM wide
+UNION ALL
+SELECT o_orderstatus, 'other', other FROM wide
+ORDER BY o_orderstatus, priority_bucket
+"""
+
+# -- deterministic stratified sampling ---------------------------------------
+# ~10% sample, reproducible across engines and cluster sizes: the sampling
+# predicate is a multiplicative integer hash of the key — pure int64
+# arithmetic, so the SAME rows are chosen everywhere (unlike TABLESAMPLE /
+# rand(), which are engine- and partitioning-dependent).  This is the
+# pattern for carving stable train/eval splits out of a 100 TB corpus:
+# membership is a pushdown-able scan predicate, no shuffle, no state.
+
+
+def stratified_order_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    keep = (F.col("o_orderkey") * F.lit(2654435761)) % F.lit(100) < 10
+    return (
+        orders.filter(keep)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            cent_sum(F.col("o_totalprice")).alias("sampled_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+_SAMPLE_SQL = """
+SELECT o_orderstatus, count(*) AS n_sampled,
+       sum(cast(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) / 100.0
+         AS sampled_price
+FROM orders
+WHERE (o_orderkey * 2654435761) % 100 < 10
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+# -- approximate sketches (scale path; no SQL oracle) -------------------------
+# HyperLogLog++ distinct counts and KLL-ish approximate quantiles: at
+# 100 TB these replace exact distinct (full shuffle of the key) and exact
+# percentile (global sort) with fixed-size mergeable sketches — the
+# default first pass over any new corpus.  Engine sketches are not
+# bit-comparable across engines, so this is declared WITHOUT an oracle
+# (driver records a rows-only check); tests/test_properties.py bounds the
+# error against exact answers instead.
+
+
+def approx_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            rnd(F.percentile_approx("value", 0.5, 10000), 2).alias(
+                "approx_median_value"
+            ),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
 QUERIES = {
     "small_quantity_part_revenue": small_quantity_part_revenue,
     "priority_returned_order_counts": priority_returned_order_counts,
@@ -445,9 +560,16 @@ QUERIES = {
     "rich_inactive_customers": rich_inactive_customers,
     "price_decile_stats": price_decile_stats,
     "revenue_grouping_sets": revenue_grouping_sets,
+    "order_status_unpivot": order_status_unpivot,
+    "stratified_order_sample": stratified_order_sample,
+    "approx_user_stats": approx_user_stats,
 }
 
 ORACLE = {
+    "order_status_unpivot": _UNPIVOT_SQL,
+    "stratified_order_sample": _SAMPLE_SQL,
+    # approx_user_stats: sketches are engine-specific — no SQL oracle;
+    # accuracy bounded against exact answers in tests/test_properties.py
     "small_quantity_part_revenue": _SMALL_QTY_SQL,
     "priority_returned_order_counts": _PRIORITY_RETURNED_SQL,
     "disjunctive_brand_revenue": _DISJUNCT_SQL,

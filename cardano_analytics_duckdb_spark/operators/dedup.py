@@ -309,11 +309,121 @@ ORDER BY doc_id
 """
 
 
+# -- near-dup CLUSTERS: connected components over the Jaccard pair graph ------
+# Pairwise near-dup lists under-serve a training-data pipeline: to keep one
+# representative per duplicate *group* you need the transitive closure
+# (A~B, B~C ⇒ {A,B,C} is one group even if A!~C).  Spark side reuses the
+# generic distributed min-label propagation kernel (operators/graph.py);
+# the oracle proves the fixpoint against a DuckDB *recursive CTE* computing
+# reachability closure over the identical edge set — an iterative operator
+# with an exact SQL oracle.
+
+
+def near_dup_doc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .graph import min_label_components
+
+    nodes = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 300)
+        .select(F.col("doc_id").alias("node"))
+    )
+    edges = ngram_jaccard_pairs(spark, sf_dir).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    comp = min_label_components(nodes, edges, max_iter=15)
+    return (
+        comp.groupBy("component")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.array_sort(F.collect_list("node")).alias("members"),
+        )
+        .orderBy("component")
+    )
+
+
+_NEAR_DUP_CLUSTERS_SQL = (
+    "WITH RECURSIVE "
+    + _SHINGLES_CTE.format(src="(SELECT * FROM documents WHERE doc_id < 300)")
+    + """
+, sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY doc_a, doc_b
+),
+pairs AS (
+  SELECT doc_a, doc_b
+  FROM common
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE floor((n_common / (sa.n_sh + sb.n_sh - n_common)) * 10000.0 + 0.5)
+          / 10000.0 >= 0.2
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+reach(node, label) AS (
+  SELECT doc_id, doc_id FROM documents WHERE doc_id < 300
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+)
+SELECT x.label AS component, count(*) AS n_docs,
+       list(node ORDER BY node) AS members
+FROM (SELECT node, min(label) AS label FROM reach GROUP BY node) x
+GROUP BY x.label
+ORDER BY component
+"""
+)
+
+# -- fuzzy matching: edit-distance near-identical part names ------------------
+# Bounded all-pairs: blocking on p_brand caps the candidate set at
+# Σ per-brand² (the standard entity-resolution blocking pattern — at scale
+# swap the blocking key for a coarser canopy, the join shape is unchanged).
+# `levenshtein` is a JVM builtin in Spark and a native function in DuckDB
+# with identical unit-cost edit-distance semantics.
+
+
+def part_name_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_name"
+    )
+    a = part.alias("a")
+    b = part.alias("b")
+    return (
+        a.join(b, "p_brand")
+        .filter(F.col("a.p_partkey") < F.col("b.p_partkey"))
+        .withColumn(
+            "edit_dist", F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+        )
+        .filter(F.col("edit_dist") <= 2)
+        .select(
+            "p_brand",
+            F.col("a.p_partkey").alias("part_a"),
+            F.col("b.p_partkey").alias("part_b"),
+            "edit_dist",
+        )
+        .orderBy("p_brand", "part_a", "part_b")
+    )
+
+
+_LEVENSHTEIN_SQL = """
+SELECT a.p_brand, a.p_partkey AS part_a, b.p_partkey AS part_b,
+       levenshtein(a.p_name, b.p_name) AS edit_dist
+FROM part a
+JOIN part b ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) <= 2
+ORDER BY a.p_brand, part_a, part_b
+"""
+
+
 QUERIES = {
     "exact_dedup_groups": exact_dedup_groups,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "minhash_band_buckets": minhash_band_buckets,
     "simhash_fingerprints": simhash_fingerprints,
+    "near_dup_doc_clusters": near_dup_doc_clusters,
+    "part_name_levenshtein_pairs": part_name_levenshtein_pairs,
 }
 
 ORACLE = {
@@ -321,4 +431,6 @@ ORACLE = {
     "ngram_jaccard_pairs": _JACCARD_SQL,
     "minhash_band_buckets": _minhash_sql(),
     "simhash_fingerprints": _simhash_sql(),
+    "near_dup_doc_clusters": _NEAR_DUP_CLUSTERS_SQL,
+    "part_name_levenshtein_pairs": _LEVENSHTEIN_SQL,
 }

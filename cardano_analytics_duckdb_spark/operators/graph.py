@@ -66,6 +66,64 @@ def cospend_edges(spark: SparkSession) -> DataFrame:
     )
 
 
+def min_label_components(
+    nodes: DataFrame, edges: DataFrame, max_iter: int = 10
+) -> DataFrame:
+    """Generic connected components via distributed min-label propagation.
+
+    ``nodes``: one column ``node`` (any orderable type); ``edges``: columns
+    ``src``/``dst`` (undirected — symmetrized internally).  Returns
+    (node, component) where component is the smallest node id in the
+    component — a deterministic canonical id.  Singletons map to themselves.
+
+    Each iteration is one join (labels ⋈ edges) + one min-aggregate — two
+    shuffles keyed by node; labels are the only carried state
+    (localCheckpoint keeps the plan flat across rounds).
+    """
+    e = edges.select("src", "dst").cache()
+    bidir = e.union(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).cache()
+
+    labels = nodes.select(
+        F.col("node"), F.col("node").alias("component")
+    ).localCheckpoint()
+
+    for _ in range(max_iter):
+        neighbor_min = (
+            bidir.join(
+                labels.withColumnsRenamed(
+                    {"node": "dst", "component": "nbr_component"}
+                ),
+                "dst",
+            )
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.min("nbr_component").alias("nbr_min"))
+        )
+        updated = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_min", "component")
+                ).alias("component"),
+            )
+        ).localCheckpoint()
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "node")
+            .filter(F.col("u.component") != F.col("l.component"))
+            .limit(1)
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    e.unpersist()
+    bidir.unpersist()
+    return labels
+
+
 def address_components(
     spark: SparkSession, sf_dir: str | None = None, max_iter: int = 10
 ) -> DataFrame:
@@ -75,54 +133,17 @@ def address_components(
     smallest address in the component — a deterministic canonical id.
     Singleton addresses (never co-spent) map to themselves.
     """
-    edges = cospend_edges(spark).cache()
-    # undirected: send labels both ways
-    bidir = edges.union(
-        edges.select(
-            F.col("addr_b").alias("addr_a"), F.col("addr_a").alias("addr_b")
-        )
-    ).cache()
-
-    all_addrs = (
-        _lake(spark, "utxo").select("address").distinct()
+    edges = cospend_edges(spark).select(
+        F.col("addr_a").alias("src"), F.col("addr_b").alias("dst")
     )
-    labels = all_addrs.select(
-        F.col("address"), F.col("address").alias("component")
-    ).localCheckpoint()
-
-    for _ in range(max_iter):
-        neighbor_min = (
-            bidir.join(
-                labels.withColumnsRenamed(
-                    {"address": "addr_b", "component": "nbr_component"}
-                ),
-                "addr_b",
-            )
-            .groupBy(F.col("addr_a").alias("address"))
-            .agg(F.min("nbr_component").alias("nbr_min"))
-        )
-        updated = (
-            labels.join(neighbor_min, "address", "left")
-            .select(
-                "address",
-                F.least(
-                    F.col("component"), F.coalesce("nbr_min", "component")
-                ).alias("component"),
-            )
-        ).localCheckpoint()
-        changed = (
-            updated.alias("u")
-            .join(labels.alias("l"), "address")
-            .filter(F.col("u.component") != F.col("l.component"))
-            .limit(1)
-            .count()
-        )
-        labels = updated
-        if changed == 0:
-            break
-    edges.unpersist()
-    bidir.unpersist()
-    return labels.orderBy("address")
+    all_addrs = (
+        _lake(spark, "utxo").select(F.col("address").alias("node")).distinct()
+    )
+    return (
+        min_label_components(all_addrs, edges, max_iter)
+        .withColumnsRenamed({"node": "address"})
+        .orderBy("address")
+    )
 
 
 def cardano_address_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:

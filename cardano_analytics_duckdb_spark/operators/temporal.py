@@ -147,12 +147,70 @@ ORDER BY a.user_id, event_a, event_b
 """
 
 
+# -- time-series gap filling --------------------------------------------------
+# Dense hourly activity series per user: missing hours materialized with a
+# zero count (the precondition for any rolling/forecast pass downstream).
+# The grid is generated distributed — `sequence()` per user row then
+# `explode`, so grid size scales with Σ per-user span and is produced where
+# the user's rows live; no driver-side loop, no cross join against a global
+# calendar.  DuckDB's `generate_series` lateral is the oracle mirror.
+# Hour index = floor(epoch_ms / 3600000): pure int64 arithmetic, identical
+# in both engines, immune to session timezone.
+
+
+def user_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 20)
+        .select(
+            "user_id",
+            F.floor(F.unix_millis("ts") / F.lit(3600000)).alias("hr"),
+        )
+    )
+    counts = ev.groupBy("user_id", "hr").agg(F.count(F.lit(1)).alias("n"))
+    grid = (
+        ev.groupBy("user_id")
+        .agg(F.min("hr").alias("mn"), F.max("hr").alias("mx"))
+        .select(
+            "user_id", F.explode(F.sequence("mn", "mx")).alias("hr")
+        )
+    )
+    return (
+        grid.join(counts, ["user_id", "hr"], "left")
+        .select(
+            "user_id",
+            (F.col("hr") * F.lit(3600000)).alias("hour_ms"),
+            F.coalesce("n", F.lit(0)).alias("n_events"),
+        )
+        .orderBy("user_id", "hour_ms")
+    )
+
+
+_GAPFILL_SQL = """
+WITH ev AS (
+  SELECT user_id, epoch_ms(ts) // 3600000 AS hr
+  FROM events WHERE user_id < 20
+),
+counts AS (SELECT user_id, hr, count(*) AS n FROM ev GROUP BY user_id, hr),
+spans AS (SELECT user_id, min(hr) AS mn, max(hr) AS mx FROM ev GROUP BY user_id),
+grid AS (
+  SELECT user_id, unnest(generate_series(mn, mx)) AS hr FROM spans
+)
+SELECT g.user_id, g.hr * 3600000 AS hour_ms, coalesce(c.n, 0) AS n_events
+FROM grid g
+LEFT JOIN counts c ON c.user_id = g.user_id AND c.hr = g.hr
+ORDER BY g.user_id, hour_ms
+"""
+
+
 QUERIES = {
     "events_asof_purchase": events_asof_purchase,
     "events_within_minute_pairs": events_within_minute_pairs,
+    "user_hourly_gapfill": user_hourly_gapfill,
 }
 
 ORACLE = {
     "events_asof_purchase": _ASOF_SQL,
     "events_within_minute_pairs": _WITHIN_SQL,
+    "user_hourly_gapfill": _GAPFILL_SQL,
 }

@@ -141,3 +141,34 @@ def test_banded_range_join_covers_exactly(ms_values):
                 if b > a and b - a <= BAND:
                     found.add((a, b))
     assert found == truth
+
+
+def test_approx_user_stats_error_bounds(spark, sf_dir):
+    """approx_user_stats has no SQL oracle (sketches are engine-specific);
+    bound its error against exact answers computed in the same engine."""
+    from cardano_analytics_duckdb_spark.operators.analytic import approx_user_stats
+    from cardano_analytics_duckdb_spark.lake.tables import load_table
+    from pyspark.sql import functions as F
+
+    approx = {r["event_type"]: r for r in approx_user_stats(spark, sf_dir).collect()}
+    exact = {
+        r["event_type"]: r
+        for r in (
+            load_table(spark, sf_dir, "events")
+            .groupBy("event_type")
+            .agg(
+                F.countDistinct("user_id").alias("users"),
+                F.expr("percentile(value, 0.5)").alias("median_value"),
+            )
+            .collect()
+        )
+    }
+    assert set(approx) == set(exact)
+    for et, ex in exact.items():
+        ap = approx[et]
+        # HLL++ at rsd=0.02: allow 3x the configured relative error
+        assert abs(ap["approx_users"] - ex["users"]) <= max(2, 0.06 * ex["users"])
+        # percentile_approx at accuracy=10000 on ~10k rows is near-exact
+        assert abs(ap["approx_median_value"] - ex["median_value"]) <= max(
+            0.05 * abs(ex["median_value"]), 0.5
+        )

@@ -15,7 +15,10 @@ ORACLES = all_oracles()
 
 # Iterative/fixpoint operators declared without SQL oracles (the driver
 # records a rows-only check); each must have its own reference-impl test.
-NO_ORACLE_DECLARED = {"cardano_address_clusters"}  # tests/test_graph.py
+NO_ORACLE_DECLARED = {
+    "cardano_address_clusters",  # fixpoint — tests/test_graph.py
+    "approx_user_stats",  # engine-specific sketches — tests/test_properties.py
+}
 
 
 def test_every_query_has_an_oracle():
