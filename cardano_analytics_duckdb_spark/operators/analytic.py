@@ -434,6 +434,80 @@ ORDER BY returnflag, linestatus
 """
 
 
+# -- dual EXISTS / NOT EXISTS (TPC-H Q21 shape) -------------------------------
+# orders that have a returned ('R') line item but no accepted ('A') one:
+# a left-semi and a left-anti probe against the same table, fused over one
+# lineitem scan per branch with only the join key materialized.
+
+
+def returned_without_accepted_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    r_keys = li.filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    a_keys = li.filter(F.col("l_returnflag") == "A").select("l_orderkey")
+    return (
+        orders.join(r_keys, orders.o_orderkey == r_keys.l_orderkey, "left_semi")
+        .join(a_keys, orders.o_orderkey == a_keys.l_orderkey, "left_anti")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            cent_sum(F.col("o_totalprice")).alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+_DUAL_EXISTS_SQL = """
+SELECT o_orderstatus, count(*) AS n_orders,
+       sum(cast(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) / 100.0
+         AS total_price
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+  AND NOT EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'A')
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+# -- per-group argmin join-back (TPC-H Q2 shape) ------------------------------
+# cheapest supplier(s) for each part: min price per part, join back to
+# recover the supplier rows at that price (ties kept — deterministic set).
+# Unlike Q15's global argmax (1-row broadcast), the min here is a keyed
+# aggregate re-joined on its group key — the decorrelated form of
+# Q2's correlated min subquery.
+
+
+def cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_partkey") < 200)
+    min_price = li.groupBy("l_partkey").agg(
+        F.min("l_extendedprice").alias("min_price")
+    )
+    return (
+        li.join(min_price, "l_partkey")
+        .filter(F.col("l_extendedprice") == F.col("min_price"))
+        .select(
+            "l_partkey",
+            "l_suppkey",
+            rnd(F.col("min_price"), 2).alias("min_price"),
+        )
+        .distinct()
+        .orderBy("l_partkey", "l_suppkey")
+    )
+
+
+_CHEAPEST_SUPPLIER_SQL = """
+SELECT DISTINCT l.l_partkey, l.l_suppkey,
+       floor(l.l_extendedprice * 100.0 + 0.5) / 100.0 AS min_price
+FROM lineitem l
+WHERE l.l_partkey < 200
+  AND l.l_extendedprice = (
+      SELECT min(l2.l_extendedprice) FROM lineitem l2
+      WHERE l2.l_partkey = l.l_partkey AND l2.l_partkey < 200
+  )
+ORDER BY l_partkey, l_suppkey
+"""
+
 # -- unpivot / melt -----------------------------------------------------------
 # wide-to-long reshaping: per-status priority-bucket revenue columns melted
 # into rows.  Spark's `unpivot` is a zero-shuffle narrow transform over the
@@ -563,11 +637,15 @@ QUERIES = {
     "order_status_unpivot": order_status_unpivot,
     "stratified_order_sample": stratified_order_sample,
     "approx_user_stats": approx_user_stats,
+    "returned_without_accepted_orders": returned_without_accepted_orders,
+    "cheapest_supplier_per_part": cheapest_supplier_per_part,
 }
 
 ORACLE = {
     "order_status_unpivot": _UNPIVOT_SQL,
     "stratified_order_sample": _SAMPLE_SQL,
+    "returned_without_accepted_orders": _DUAL_EXISTS_SQL,
+    "cheapest_supplier_per_part": _CHEAPEST_SUPPLIER_SQL,
     # approx_user_stats: sketches are engine-specific — no SQL oracle;
     # accuracy bounded against exact answers in tests/test_properties.py
     "small_quantity_part_revenue": _SMALL_QTY_SQL,

@@ -272,6 +272,44 @@ ORDER BY source
 """
 
 
+# -- regex + string-function family -------------------------------------------
+# extraction, counting, destructive rewrite, padding — all JVM-side string
+# builtins.  Patterns are kept in the ASCII word-char subset where Java
+# regex (Spark) and RE2 (DuckDB) semantics coincide; both engines replace
+# non-overlapping matches left-to-right.
+
+
+def doc_regex_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return (
+        docs.select(
+            "doc_id",
+            F.regexp_extract("text", r"^([a-z]+)", 1).alias("first_tok"),
+            F.regexp_count("text", F.lit(r"\bthe\b")).alias("n_the"),
+            F.length(
+                F.trim(F.regexp_replace("text", r"\b[a-z]{1,3}\b", ""))
+            ).alias("long_tok_chars"),
+            F.lpad(F.regexp_extract("text", r"^([a-z]+)", 1), 12, "_").alias(
+                "padded_first"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_REGEX_FEATURES_SQL = r"""
+SELECT doc_id,
+       regexp_extract(text, '^([a-z]+)', 1) AS first_tok,
+       len(regexp_extract_all(text, '\bthe\b')) AS n_the,
+       length(trim(regexp_replace(text, '\b[a-z]{1,3}\b', '', 'g')))
+         AS long_tok_chars,
+       lpad(regexp_extract(text, '^([a-z]+)', 1), 12, '_') AS padded_first
+FROM documents
+WHERE doc_id < 200
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "doc_quality_scores": doc_quality_scores,
     "lang_id_scores": lang_id_scores,
@@ -280,9 +318,11 @@ QUERIES = {
     "rolling_fingerprints": rolling_fingerprints,
     "corpus_stats_by_source": corpus_stats_by_source,
     "event_props_json": event_props_json,
+    "doc_regex_features": doc_regex_features,
 }
 
 ORACLE = {
+    "doc_regex_features": _REGEX_FEATURES_SQL,
     "doc_quality_scores": _QUALITY_SQL,
     "lang_id_scores": _lang_id_sql(),
     "alpha_token_stats": _ALPHA_SQL,

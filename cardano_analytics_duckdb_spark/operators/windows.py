@@ -214,6 +214,96 @@ ORDER BY window_start_ms, event_type
 """
 
 
+# -- RANGE-frame window: value-banded running sum -----------------------------
+# For each order: total of all same-status orders priced within 10,000
+# below it (RANGE frame — peers included by VALUE, so the result is
+# deterministic without a unique tie-break).  Frame sums are integer cents:
+# a float sum over a frame is ulp-order-dependent and flips 2-decimal
+# rounding somewhere across 15k output rows (see functions/rounding.py).
+
+
+def status_price_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5)).cast(
+        "long"
+    )
+    w = (
+        W.partitionBy("o_orderstatus")
+        .orderBy("o_totalprice")
+        .rangeBetween(-10_000, 0)
+    )
+    return (
+        orders.withColumn("c", cents)
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            rnd(F.col("o_totalprice"), 2).alias("o_totalprice"),
+            (F.sum("c").over(w) / F.lit(100.0)).alias("band_sum"),
+            F.count(F.lit(1)).over(w).alias("band_n"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+_RANGE_FRAME_SQL = """
+SELECT o_orderkey, o_orderstatus,
+       floor(o_totalprice * 100.0 + 0.5) / 100.0 AS o_totalprice,
+       sum(cast(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) OVER w / 100.0
+         AS band_sum,
+       count(*) OVER w AS band_n
+FROM orders
+WINDOW w AS (
+  PARTITION BY o_orderstatus ORDER BY o_totalprice
+  RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW
+)
+ORDER BY o_orderkey
+"""
+
+# -- rank-statistics windows: percent_rank, cume_dist, first/last_value -------
+# Unique (price, orderkey) ordering makes every rank statistic exact and
+# engine-independent; first/last_value use the full-partition frame (the
+# default frame stops at CURRENT ROW, which would make last_value a no-op).
+
+
+def status_price_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    wfull = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return (
+        orders.filter(F.col("o_orderkey") < 3000)
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            rnd(F.percent_rank().over(w), 6).alias("pct_rank"),
+            rnd(F.cume_dist().over(w), 6).alias("cume"),
+            rnd(F.first_value("o_totalprice").over(wfull), 2).alias(
+                "cheapest"
+            ),
+            rnd(F.last_value("o_totalprice").over(wfull), 2).alias(
+                "priciest"
+            ),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+_PRICE_POSITION_SQL = """
+SELECT o_orderkey, o_orderstatus,
+       floor(percent_rank() OVER w * 1000000.0 + 0.5) / 1000000.0 AS pct_rank,
+       floor(cume_dist() OVER w * 1000000.0 + 0.5) / 1000000.0 AS cume,
+       floor(first_value(o_totalprice) OVER wf * 100.0 + 0.5) / 100.0
+         AS cheapest,
+       floor(last_value(o_totalprice) OVER wf * 100.0 + 0.5) / 100.0
+         AS priciest
+FROM orders
+WHERE o_orderkey < 3000
+WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey),
+       wf AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+ORDER BY o_orderkey
+"""
+
+
 QUERIES = {
     "top_orders_per_customer": top_orders_per_customer,
     "user_running_value": user_running_value,
@@ -221,6 +311,8 @@ QUERIES = {
     "user_sessions": user_sessions,
     "events_tumbling_5min": events_tumbling_5min,
     "events_sliding_10min": events_sliding_10min,
+    "status_price_range_frame": status_price_range_frame,
+    "status_price_position": status_price_position,
 }
 
 ORACLE = {
@@ -230,4 +322,6 @@ ORACLE = {
     "user_sessions": _SESSIONS_SQL,
     "events_tumbling_5min": _TUMBLING_SQL,
     "events_sliding_10min": _SLIDING_SQL,
+    "status_price_range_frame": _RANGE_FRAME_SQL,
+    "status_price_position": _PRICE_POSITION_SQL,
 }

@@ -318,14 +318,88 @@ ORDER BY user_id, session_id
 """
 
 
+# -- stream-stream interval join ----------------------------------------------
+# clicks joined to same-user purchases from the preceding 10 minutes — two
+# watermarked streams, inner join on key + event-time range.  Watermarks
+# bound both join-state buffers (Spark evicts rows whose event time can no
+# longer match), which is what keeps state finite on an unbounded feed; on
+# bounded replay with availableNow the result equals the batch interval
+# join, so DuckDB verifies it exactly.
+
+
+def streaming_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    clicks = (
+        streaming_events(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("c_ts", "10 minutes")
+    )
+    purchases = (
+        streaming_events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+        .withWatermark("p_ts", "10 minutes")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            "c_user = p_user AND "
+            "p_ts BETWEEN c_ts - INTERVAL 10 MINUTES AND c_ts"
+        ),
+    ).select(
+        "click_id",
+        "purchase_id",
+        F.col("c_user").alias("user_id"),
+        (F.unix_millis("c_ts") - F.unix_millis("p_ts")).alias("gap_ms"),
+    )
+    name = f"stream_join_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(
+        f"SELECT * FROM {name} ORDER BY click_id, purchase_id"
+    )
+
+
+_STREAM_JOIN_SQL = """
+SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+       c.user_id,
+       epoch_ms(c.ts) - epoch_ms(p.ts) AS gap_ms
+FROM events c
+JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.ts BETWEEN c.ts - INTERVAL 10 MINUTE AND c.ts
+ORDER BY click_id, purchase_id
+"""
+
+
 QUERIES = {
     "streaming_tumbling_counts": streaming_tumbling_counts,
     "streaming_session_windows": streaming_session_windows,
     "streaming_stateful_sessions": streaming_stateful_sessions,
+    "streaming_click_purchase_join": streaming_click_purchase_join,
 }
 
 ORACLE = {
     "streaming_tumbling_counts": _STREAM_TUMBLING_SQL,
     "streaming_session_windows": _STREAM_SESSION_SQL,
     "streaming_stateful_sessions": _STREAM_STATEFUL_SQL,
+    "streaming_click_purchase_join": _STREAM_JOIN_SQL,
 }
