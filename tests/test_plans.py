@@ -192,3 +192,81 @@ def test_bucketed_join_elides_both_exchanges(spark, sf_dir, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS t_li_bucketed")
         spark.sql("DROP TABLE IF EXISTS t_orders_bucketed")
+
+
+def test_analytic_shapes_broadcast_and_probe(spark, sf_dir):
+    """Batch-3/4 decision-support plans keep their scale posture: scalar
+    subqueries broadcast, EXISTS compiles to semi/anti probes, the
+    disjunctive join stays a single hash join on the equi-conjunct."""
+    from cardano_analytics_duckdb_spark.operators.analytic import (
+        disjunctive_brand_revenue,
+        returned_without_accepted_orders,
+        rich_inactive_customers,
+        top_revenue_suppliers,
+    )
+
+    plan = _plan(top_revenue_suppliers(spark, sf_dir))
+    # the 1-row max side and the supplier dim both broadcast
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+    plan = _plan(rich_inactive_customers(spark, sf_dir))
+    # avg threshold: broadcast nested-loop of a 1-row side; orders: anti probe
+    assert "LeftAnti" in plan
+
+    plan = _plan(returned_without_accepted_orders(spark, sf_dir))
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+
+    plan = _plan(disjunctive_brand_revenue(spark, sf_dir))
+    # ONE join on p_partkey; the OR residual must not degrade it to a
+    # nested-loop cross product
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_grouping_sets_single_scan(spark, sf_dir):
+    """GROUPING SETS compiles to one scan + Expand, not one scan per set."""
+    from cardano_analytics_duckdb_spark.operators.analytic import (
+        revenue_grouping_sets,
+    )
+
+    plan = _plan(revenue_grouping_sets(spark, sf_dir))
+    assert "Expand" in plan
+    assert plan.count("FileScan parquet") == 1
+
+
+def test_regex_features_pushdown_and_codegen(spark, sf_dir):
+    from cardano_analytics_duckdb_spark.operators.textops import (
+        doc_regex_features,
+    )
+
+    plan = _plan(doc_regex_features(spark, sf_dir))
+    assert "PushedFilters: [IsNotNull(doc_id), LessThan(doc_id" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_gapfill_grid_is_distributed(spark, sf_dir):
+    """The time grid comes from sequence()+explode (Generate), not a
+    driver-side calendar; counts attach via a keyed join."""
+    from cardano_analytics_duckdb_spark.operators.temporal import (
+        user_hourly_gapfill,
+    )
+
+    plan = _plan(user_hourly_gapfill(spark, sf_dir))
+    assert "Generate explode" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_deterministic_sample_predicate_stays_in_scan_stage(spark, sf_dir):
+    """Sampling is a pure scan predicate — no exchange before the partial
+    aggregate, so membership never costs a shuffle."""
+    from cardano_analytics_duckdb_spark.operators.analytic import (
+        stratified_order_sample,
+    )
+
+    df = stratified_order_sample(spark, sf_dir)
+    plan = _plan(df)
+    # exactly the aggregate exchange (+ the presentation sort's): the filter
+    # itself adds none
+    assert plan.count("Exchange") <= 2
+    assert "rand" not in plan.lower().replace("operand", "")
