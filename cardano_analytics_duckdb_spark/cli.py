@@ -1,0 +1,207 @@
+"""Command-line surface — parity with the reference's three entry points
+(SURVEY §3):
+
+- ``extract``       ≙ ``python main.py extract`` (main.py:69-131): replay
+  blocks (JSON-lines file or the built-in fixture chain) into a
+  slot-group-partitioned parquet lake, with named start presets, a stop
+  slot, micro-batch sizing, and optional final compaction.
+- ``query``         ≙ ``python main.py query`` (main.py:14-63): the
+  high-fee report — top-N transactions by fee plus a 4-way summary
+  aggregate — over any lake directory.
+- ``analyze-token`` ≙ ``python token_fee_analysis.py <data_dir> <token>``
+  (token_fee_analysis.py:396-430): the flagship ownership-changing
+  transfer analysis with optional slot window and CSV dump.
+
+All subcommands accept ``--lake`` so they run against any compatible lake,
+not just the bundled fixture.  ``main(argv, spark=...)`` takes an existing
+SparkSession for tests/embedding; standalone invocation builds the tuned
+session from ``plans.session``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+# Named chain points ≙ the reference's start-point presets
+# (config.py:32-73 spans last_byron → block_2025_10_28).
+START_PRESETS = {
+    "origin": 0,
+    "last_byron": 4_492_799,
+    "block_2025_10_28": 170_099_400,
+}
+
+# name → (policy_id, asset_name) ≙ the reference's token info table
+# (token_fee_analysis.py:94-103).  Raw "policyhex.assethex" also accepted.
+def _token_registry() -> dict[str, tuple[bytes, bytes]]:
+    from .lake.fixtures import TOKEN_NAME, TOKEN_POLICY
+
+    return {"fixture-token": (TOKEN_POLICY, TOKEN_NAME)}
+
+
+def _resolve_token(token: str) -> tuple[bytes, bytes]:
+    registry = _token_registry()
+    if token in registry:
+        return registry[token]
+    if "." in token:
+        policy_hex, name_hex = token.split(".", 1)
+        try:
+            return bytes.fromhex(policy_hex), bytes.fromhex(name_hex)
+        except ValueError:
+            pass
+    known = ", ".join(sorted(registry))
+    raise SystemExit(
+        f"unknown token {token!r}: use one of [{known}] or 'policyhex.assethex'"
+    )
+
+
+def _get_spark(spark: SparkSession | None) -> SparkSession:
+    if spark is not None:
+        return spark
+    from .plans import get_session
+
+    return get_session(app_name="cardano-analytics-cli")
+
+
+def _cmd_extract(args: argparse.Namespace, spark: SparkSession) -> int:
+    from .streaming.ingest import compact_lake, ingest_blocks
+
+    if args.blocks == "fixture":
+        from .lake.fixtures import fixture_blocks
+
+        blocks = iter(fixture_blocks())
+    else:
+        # stream the JSON-lines file lazily — the driver never holds the
+        # full chain in memory (the executor-side path is read_block_files;
+        # this replay path mirrors the reference's websocket loop shape)
+        def _gen(path: str):
+            with open(path) as f:
+                for line in f:
+                    if line.strip():
+                        yield json.loads(line)
+
+        blocks = _gen(args.blocks)
+
+    start_slot = START_PRESETS.get(args.start_point)
+    if start_slot is None:
+        start_slot = int(args.start_point)
+    if start_slot:
+        blocks = (b for b in blocks if b["slot"] >= start_slot)
+
+    stats = ingest_blocks(
+        spark,
+        blocks,
+        args.dest,
+        batch_size=args.batch_size,
+        stop_slot=args.stop_slot,
+    )
+    if args.compact:
+        compact_lake(spark, args.dest)
+        stats["compacted"] = 1
+    print(json.dumps(stats))
+    return 0
+
+
+def _cmd_query(args: argparse.Namespace, spark: SparkSession) -> int:
+    from .functions.rounding import rnd
+    from .operators.cardano import _lake
+
+    tx = _lake(spark, "tx", args.lake)
+    top = (
+        tx.filter(F.col("tx_fee") > args.min_fee)
+        .select("slot", F.lower(F.hex("tx_id")).alias("tx_id"), "tx_fee")
+        .orderBy(F.col("tx_fee").desc(), "tx_id")
+        .limit(args.limit)
+        .collect()
+    )
+    print(f"Top {len(top)} transactions by fee (> {args.min_fee} lovelace):")
+    for r in top:
+        print(f"  slot={r['slot']} tx={r['tx_id']} fee={r['tx_fee']}")
+    s = tx.agg(
+        F.count(F.lit(1)).alias("n"),
+        rnd(F.avg("tx_fee") / 1e6, 6).alias("avg_ada"),
+        rnd(F.max("tx_fee") / 1e6, 6).alias("max_ada"),
+        rnd(F.min("tx_fee") / 1e6, 6).alias("min_ada"),
+    ).first()
+    print(
+        f"Summary: n={s['n']} avg={s['avg_ada']} ADA"
+        f" max={s['max_ada']} ADA min={s['min_ada']} ADA"
+    )
+    return 0
+
+
+def _cmd_analyze_token(args: argparse.Namespace, spark: SparkSession) -> int:
+    from .operators.reports import token_transfer_report
+
+    policy, asset_name = _resolve_token(args.token)
+    print(
+        token_transfer_report(
+            spark,
+            min_slot=args.min_slot,
+            max_slot=args.max_slot,
+            csv_path=args.csv,
+            root=args.lake,
+            policy=policy,
+            asset_name=asset_name,
+        )
+    )
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="cardano-analytics-spark",
+        description="PySpark Cardano analytics engine",
+    )
+    sub = p.add_subparsers(dest="command", required=True)
+
+    ex = sub.add_parser("extract", help="replay blocks into a parquet lake")
+    ex.add_argument(
+        "--blocks",
+        default="fixture",
+        help="JSON-lines block file, or 'fixture' for the built-in chain",
+    )
+    ex.add_argument("--dest", required=True, help="lake output directory")
+    ex.add_argument(
+        "--start-point",
+        default="origin",
+        help=f"slot number or preset ({', '.join(START_PRESETS)})",
+    )
+    ex.add_argument("--stop-slot", type=int, default=None)
+    ex.add_argument("--batch-size", type=int, default=100)
+    ex.add_argument(
+        "--compact",
+        action="store_true",
+        help="merge chunk files per partition after ingest",
+    )
+    ex.set_defaults(func=_cmd_extract)
+
+    q = sub.add_parser("query", help="high-fee transaction report")
+    q.add_argument("--lake", default=None, help="lake root (default: fixture)")
+    q.add_argument("--min-fee", type=int, default=2_000_000)
+    q.add_argument("--limit", type=int, default=100)
+    q.set_defaults(func=_cmd_query)
+
+    an = sub.add_parser(
+        "analyze-token", help="ownership-changing token transfer analysis"
+    )
+    an.add_argument("token", help="registered name or 'policyhex.assethex'")
+    an.add_argument("--lake", default=None, help="lake root (default: fixture)")
+    an.add_argument("--min-slot", type=int, default=None)
+    an.add_argument("--max-slot", type=int, default=None)
+    an.add_argument("--csv", default=None, help="write detail CSV here")
+    an.set_defaults(func=_cmd_analyze_token)
+    return p
+
+
+def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.func(args, _get_spark(spark))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -38,8 +38,8 @@ from ..lake.fixtures import (
 _hex = lambda c: F.lower(F.hex(F.col(c)))  # noqa: E731
 
 
-def _lake(spark: SparkSession, table: str) -> DataFrame:
-    root = ensure_fixture_lake(spark)
+def _lake(spark: SparkSession, table: str, root: str | None = None) -> DataFrame:
+    root = root or ensure_fixture_lake(spark)
     return spark.read.parquet(f"{root}/{table}")
 
 
@@ -107,13 +107,16 @@ def _token_transfers(
     spark: SparkSession,
     min_slot: int | None,
     max_slot: int | None,
+    root: str | None = None,
+    policy: bytes = TOKEN_POLICY,
+    asset_name: bytes = TOKEN_NAME,
 ) -> DataFrame:
-    asset = _lake(spark, "asset")
-    tx = _lake(spark, "tx")
+    asset = _lake(spark, "asset", root)
+    tx = _lake(spark, "tx", root)
 
     token_utxos = asset.filter(
-        (F.col("policy_id") == F.lit(TOKEN_POLICY))
-        & (F.col("asset_name") == F.lit(TOKEN_NAME))
+        (F.col("policy_id") == F.lit(policy))
+        & (F.col("asset_name") == F.lit(asset_name))
     )
     if min_slot is not None:
         token_utxos = token_utxos.filter(F.col("slot") >= min_slot)

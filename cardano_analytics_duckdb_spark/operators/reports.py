@@ -117,6 +117,9 @@ def token_transfer_report(
     min_slot: int | None = None,
     max_slot: int | None = None,
     csv_path: str | None = None,
+    root: str | None = None,
+    policy: bytes | None = None,
+    asset_name: bytes | None = None,
 ) -> str:
     """End-to-end analysis ≙ token_fee_analysis.py:263-352 + summary :354-389.
 
@@ -125,7 +128,16 @@ def token_transfer_report(
     summary.  Only the (single-row) stats and the grouped type stats are
     ever collected to the driver.
     """
-    transfers = _token_transfers(spark, min_slot, max_slot).cache()
+    from ..lake.fixtures import TOKEN_NAME, TOKEN_POLICY
+
+    transfers = _token_transfers(
+        spark,
+        min_slot,
+        max_slot,
+        root=root,
+        policy=policy if policy is not None else TOKEN_POLICY,
+        asset_name=asset_name if asset_name is not None else TOKEN_NAME,
+    ).cache()
     try:
         stats = _summary_agg(transfers).first()
         by_type = (
