@@ -362,8 +362,51 @@ ORDER BY a.bucket, vec_a, vec_b
 """
 
 
+# -- per-dimension statistics -------------------------------------------------
+# feature-drift / normalization pass: mean per (label, dimension).  Spark
+# `posexplode` ↔ DuckDB `unnest ... WITH ORDINALITY` (1-based, hence ord-1).
+# Sums are micro-quantized int64 (floor(x·1e6+0.5)) so they are exact and
+# summation-order-independent — float partial sums differ per engine and
+# would flip the rounded mean on some of the label×dim output groups.
+# Scale: explode is narrow (64× fan-out), one hash agg on (label, dim) —
+# map-side partials apply; no join, no sort but the presentation one.
+
+
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = F.floor(
+        F.col("val").cast("double") * F.lit(1e6) + F.lit(0.5)
+    ).cast("long")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("dim", "val"))
+        .filter(F.col("dim") < 8)
+        .select("label", "dim", q.alias("q"))
+        .groupBy("label", "dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            rnd(F.sum("q") / F.lit(1e6) / F.count(F.lit(1)), 6).alias(
+                "mean_val"
+            ),
+        )
+        .orderBy("label", "dim")
+    )
+
+
+_DIM_STATS_SQL = """
+SELECT label, ord - 1 AS dim, count(*) AS n,
+       floor((sum(cast(floor(cast(val AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))
+              / 1000000.0 / count(*)) * 1000000.0 + 0.5) / 1000000.0
+         AS mean_val
+FROM embeddings, unnest(embedding) WITH ORDINALITY AS u(val, ord)
+WHERE ord - 1 < 8
+GROUP BY label, dim
+ORDER BY label, dim
+"""
+
+
 QUERIES = {
     "cosine_topk": cosine_topk,
+    "embedding_dim_stats": embedding_dim_stats,
     "embedding_norm_stats": embedding_norm_stats,
     "lsh_bucket_assignments": lsh_bucket_assignments,
     "embedding_near_dup_pairs": embedding_near_dup_pairs,
@@ -373,6 +416,7 @@ QUERIES = {
 
 ORACLE = {
     "cosine_topk": _COSINE_TOPK_SQL,
+    "embedding_dim_stats": _DIM_STATS_SQL,
     "embedding_norm_stats": _NORM_STATS_SQL,
     "lsh_bucket_assignments": _lsh_sql(),
     "embedding_near_dup_pairs": _NEAR_DUP_SQL,
