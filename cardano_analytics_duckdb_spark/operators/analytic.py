@@ -598,17 +598,18 @@ GROUP BY o_orderstatus
 ORDER BY o_orderstatus
 """
 
-# -- approximate sketches (scale path; no SQL oracle) -------------------------
+# -- approximate sketches (scale path) ----------------------------------------
 # HyperLogLog++ distinct counts and KLL-ish approximate quantiles: at
 # 100 TB these replace exact distinct (full shuffle of the key) and exact
 # percentile (global sort) with fixed-size mergeable sketches — the
 # default first pass over any new corpus.  Engine sketches are not
-# bit-comparable across engines, so this is declared WITHOUT an oracle
-# (driver records a rows-only check); tests/test_properties.py bounds the
-# error against exact answers instead.
+# bit-comparable across engines, so the REGISTERED query folds the sketch
+# into deterministic error-bound booleans (plus exact columns that do
+# hash-match), giving the driver a hard check; the raw sketch values are
+# exposed via approx_user_sketches for tests/test_properties.py.
 
 
-def approx_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def approx_user_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy("event_type")
@@ -621,6 +622,42 @@ def approx_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def approx_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+        F.percentile_approx("value", 0.5, 10000).alias("approx_median"),
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    users_ok = F.abs(F.col("approx_users") - F.col("exact_users")) <= F.greatest(
+        F.ceil(F.col("exact_users") * F.lit(0.06)), F.lit(2)
+    )
+    median_ok = (F.col("approx_median") >= F.col("vmin")) & (
+        F.col("approx_median") <= F.col("vmax")
+    )
+    return agg.select(
+        "event_type",
+        "n_events",
+        "exact_users",
+        users_ok.alias("approx_users_within_6pct"),
+        median_ok.alias("approx_median_in_range"),
+    ).orderBy("event_type")
+
+
+_APPROX_USER_STATS_SQL = """
+SELECT event_type, count(*) AS n_events,
+       count(DISTINCT user_id) AS exact_users,
+       true AS approx_users_within_6pct,
+       true AS approx_median_in_range
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
 
 
 QUERIES = {
@@ -646,8 +683,9 @@ ORACLE = {
     "stratified_order_sample": _SAMPLE_SQL,
     "returned_without_accepted_orders": _DUAL_EXISTS_SQL,
     "cheapest_supplier_per_part": _CHEAPEST_SUPPLIER_SQL,
-    # approx_user_stats: sketches are engine-specific — no SQL oracle;
-    # accuracy bounded against exact answers in tests/test_properties.py
+    # sketch values folded into error-bound booleans so the driver gets a
+    # hard check; raw sketch accuracy bounded in tests/test_properties.py
+    "approx_user_stats": _APPROX_USER_STATS_SQL,
     "small_quantity_part_revenue": _SMALL_QTY_SQL,
     "priority_returned_order_counts": _PRIORITY_RETURNED_SQL,
     "disjunctive_brand_revenue": _DISJUNCT_SQL,

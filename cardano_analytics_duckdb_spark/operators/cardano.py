@@ -147,11 +147,21 @@ def _token_transfers(
             on=["src_tx_id", "src_output_index"],
         )
         .groupBy("consuming_tx_id")
-        .agg(F.array_sort(F.collect_set("address")).alias("input_addr_set"))
+        # Addresses are binary; hex then '|'-join the sorted distinct set so
+        # the output column is a scalar string (driver canonicalizer can't
+        # hash list cells).  Stringify INSIDE the agg: concat_ws would turn a
+        # post-left-join NULL into '', breaking IS DISTINCT FROM semantics.
+        .agg(
+            F.concat_ws(
+                "|", F.array_sort(F.collect_set(F.lower(F.hex("address"))))
+            ).alias("input_addr_set")
+        )
         .withColumnRenamed("consuming_tx_id", "tx_id")
     )
     outputs_set = token_utxos.groupBy("tx_id").agg(
-        F.array_sort(F.collect_set("address")).alias("output_addr_set")
+        F.concat_ws(
+            "|", F.array_sort(F.collect_set(F.lower(F.hex("address"))))
+        ).alias("output_addr_set")
     )
     return (
         relevant.join(inputs_set, "tx_id", "left")
@@ -201,7 +211,9 @@ WITH token_utxos AS (
   SELECT * FROM {_scan("tx")}
   WHERE tx_id IN (SELECT DISTINCT tx_id FROM token_utxos)
 ), input_addresses AS (
-  SELECT t.tx_id, list_sort(list(DISTINCT tu.address)) AS input_addr_set
+  SELECT t.tx_id,
+         array_to_string(list_sort(list(DISTINCT lower(hex(tu.address)))), '|')
+           AS input_addr_set
   FROM (
     SELECT tx.tx_id, unnest(tx.inputs) AS r FROM relevant_txs tx
   ) t
@@ -209,7 +221,9 @@ WITH token_utxos AS (
     ON tu.tx_id = t.r.tx_id AND tu.output_index = t.r.output_index
   GROUP BY t.tx_id
 ), output_addresses AS (
-  SELECT tx_id, list_sort(list(DISTINCT address)) AS output_addr_set
+  SELECT tx_id,
+         array_to_string(list_sort(list(DISTINCT lower(hex(address)))), '|')
+           AS output_addr_set
   FROM token_utxos GROUP BY tx_id
 )
 SELECT tx.slot, lower(hex(tx.tx_id)) AS tx_id_hex, tx.tx_fee,

@@ -204,9 +204,18 @@ def minhash_band_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
     return (
         all_bands.groupBy("band", "band_key")
+        # members as a '|'-joined numerically-sorted string (sort before the
+        # string cast — '10' < '2' lexicographically): the driver canonicalizer
+        # can't hash array cells.
         .agg(
             F.count("*").alias("bucket_size"),
-            F.array_sort(F.collect_list("doc_id")).alias("members"),
+            F.concat_ws(
+                "|",
+                F.transform(
+                    F.array_sort(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+            ).alias("members"),
         )
         .filter(F.col("bucket_size") > 1)
         .orderBy("band", "band_key")
@@ -237,7 +246,7 @@ def _minhash_sql() -> str:
 {bands_union}
 )
 SELECT band, band_key, count(*) AS bucket_size,
-       list_sort(list(doc_id)) AS members
+       array_to_string(list_sort(list(doc_id)), '|') AS members
 FROM bands
 GROUP BY band, band_key
 HAVING count(*) > 1
@@ -335,7 +344,13 @@ def near_dup_doc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         comp.groupBy("component")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.array_sort(F.collect_list("node")).alias("members"),
+            F.concat_ws(
+                "|",
+                F.transform(
+                    F.array_sort(F.collect_list("node")),
+                    lambda x: x.cast("string"),
+                ),
+            ).alias("members"),
         )
         .orderBy("component")
     )
@@ -369,7 +384,7 @@ reach(node, label) AS (
   SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
 )
 SELECT x.label AS component, count(*) AS n_docs,
-       list(node ORDER BY node) AS members
+       array_to_string(list(node ORDER BY node), '|') AS members
 FROM (SELECT node, min(label) AS label FROM reach GROUP BY node) x
 GROUP BY x.label
 ORDER BY component

@@ -151,9 +151,13 @@ def cardano_address_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp = address_components(spark)
     return (
         comp.groupBy("component")
+        # '|'-joined sorted string, not array<string>: scalar columns keep the
+        # driver's rows-only canonicalization from crashing on list cells.
         .agg(
             F.count("*").alias("n_addresses"),
-            F.array_sort(F.collect_list("address")).alias("members"),
+            F.concat_ws("|", F.array_sort(F.collect_list("address"))).alias(
+                "members"
+            ),
         )
         .orderBy("component")
     )

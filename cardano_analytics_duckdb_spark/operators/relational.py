@@ -210,14 +210,21 @@ def order_brand_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(part.select("p_partkey", "p_brand")),
                 li.l_partkey == F.col("p_partkey"))
         .groupBy("l_orderkey")
-        .agg(F.array_sort(F.collect_set("p_brand")).alias("brand_set"))
+        # Canonical string, not array<string>: the driver's canonicalizer
+        # (pandas sort_values) can't hash list cells, and a '|'-joined
+        # sorted set is an equivalent canonical form.
+        .agg(
+            F.concat_ws("|", F.array_sort(F.collect_set("p_brand"))).alias(
+                "brand_set"
+            )
+        )
         .orderBy("l_orderkey")
     )
 
 
 _ORDER_BRAND_SETS_SQL = """
 SELECT l_orderkey,
-       list_sort(list(DISTINCT p_brand)) AS brand_set
+       array_to_string(list_sort(list(DISTINCT p_brand)), '|') AS brand_set
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
 GROUP BY l_orderkey
@@ -245,12 +252,19 @@ def cross_nation_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation.select("n_nationkey", "n_name")),
               F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("l_orderkey")
-        .agg(F.array_sort(F.collect_set("n_name")).alias("supp_nation_set"))
+        # Stringified inside the agg (NOT after the left join below):
+        # concat_ws maps a NULL array to '', so stringifying post-join would
+        # destroy the NULL-side semantics of the IS DISTINCT FROM rule.
+        .agg(
+            F.concat_ws("|", F.array_sort(F.collect_set("n_name"))).alias(
+                "supp_nation_set"
+            )
+        )
     )
     cust_nation = (
         customer.join(F.broadcast(nation.select("n_nationkey", "n_name")),
                       customer.c_nationkey == F.col("n_nationkey"))
-        .select(F.col("c_custkey"), F.array(F.col("n_name")).alias("cust_nation_set"))
+        .select(F.col("c_custkey"), F.col("n_name").alias("cust_nation_set"))
     )
     return (
         orders.join(F.broadcast(cust_nation), orders.o_custkey == F.col("c_custkey"), "left")
@@ -264,13 +278,13 @@ def cross_nation_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CROSS_NATION_ORDERS_SQL = """
 WITH supp_nations AS (
   SELECT l_orderkey,
-         list_sort(list(DISTINCT n_name)) AS supp_nation_set
+         array_to_string(list_sort(list(DISTINCT n_name)), '|') AS supp_nation_set
   FROM lineitem
   JOIN supplier ON l_suppkey = s_suppkey
   JOIN nation ON s_nationkey = n_nationkey
   GROUP BY l_orderkey
 ), cust_nation AS (
-  SELECT c_custkey, [n_name] AS cust_nation_set
+  SELECT c_custkey, n_name AS cust_nation_set
   FROM customer JOIN nation ON c_nationkey = n_nationkey
 )
 SELECT o_orderkey, supp_nation_set, cust_nation_set

@@ -392,13 +392,18 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# No WITH ORDINALITY (DuckDB 1.0.0): index the list by a generated dim
+# series instead — the _ROLLING_FP_SQL pattern in textops.py.
 _DIM_STATS_SQL = """
-SELECT label, ord - 1 AS dim, count(*) AS n,
+WITH dims AS (
+  SELECT label, g AS dim, embedding[g + 1] AS val
+  FROM embeddings, unnest(generate_series(0, 7)) AS t(g)
+)
+SELECT label, dim, count(*) AS n,
        floor((sum(cast(floor(cast(val AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))
               / 1000000.0 / count(*)) * 1000000.0 + 0.5) / 1000000.0
          AS mean_val
-FROM embeddings, unnest(embedding) WITH ORDINALITY AS u(val, ord)
-WHERE ord - 1 < 8
+FROM dims
 GROUP BY label, dim
 ORDER BY label, dim
 """

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from ..functions.rounding import rnd
+from ..functions.rounding import cent_sum, cent_sum_sql, rnd
 from ..lake.tables import load_table
 
 # -- top-k per group ----------------------------------------------------------
@@ -123,7 +123,9 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "session_id")
         .agg(
             F.count("*").alias("n_events"),
-            rnd(F.sum("value"), 2).alias("session_value"),
+            # cent_sum, not rnd(sum(...)): float partial-sum order differs
+            # between engines and flips 2-decimal rounding (r1 hash mismatch).
+            cent_sum(F.col("value")).alias("session_value"),
         )
         .orderBy("user_id", "session_id")
     )
@@ -145,11 +147,11 @@ WITH gaps AS (
   FROM marked
 )
 SELECT user_id, session_id, count(*) AS n_events,
-       floor((sum(value)) * 100.0 + 0.5) / 100.0 AS session_value
+       {cs} AS session_value
 FROM sessioned
 GROUP BY user_id, session_id
 ORDER BY user_id, session_id
-"""
+""".format(cs=cent_sum_sql("value"))
 
 # -- tumbling event-time window (batch analog of streaming groupBy(window)) ---
 
@@ -161,7 +163,7 @@ def events_tumbling_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         events.groupBy(bucket, "event_type")
-        .agg(F.count("*").alias("n"), rnd(F.sum("value"), 2).alias("total_value"))
+        .agg(F.count("*").alias("n"), cent_sum(F.col("value")).alias("total_value"))
         .orderBy("bucket_start_ms", "event_type")
     )
 
@@ -170,11 +172,11 @@ _TUMBLING_SQL = """
 SELECT (epoch_ms(ts) // 300000) * 300000 AS bucket_start_ms,
        event_type,
        count(*) AS n,
-       floor((sum(value)) * 100.0 + 0.5) / 100.0 AS total_value
+       {cs} AS total_value
 FROM events
 GROUP BY bucket_start_ms, event_type
 ORDER BY bucket_start_ms, event_type
-"""
+""".format(cs=cent_sum_sql("value"))
 
 
 # -- sliding event-time window (10 min windows every 5 min) ------------------
@@ -193,14 +195,14 @@ def events_sliding_10min(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(starts).alias("window_start_ms"), "event_type", "value"
         )
         .groupBy("window_start_ms", "event_type")
-        .agg(F.count("*").alias("n"), rnd(F.sum("value"), 2).alias("total_value"))
+        .agg(F.count("*").alias("n"), cent_sum(F.col("value")).alias("total_value"))
         .orderBy("window_start_ms", "event_type")
     )
 
 
 _SLIDING_SQL = """
 SELECT window_start_ms, event_type, count(*) AS n,
-       floor((sum(value)) * 100.0 + 0.5) / 100.0 AS total_value
+       {cs} AS total_value
 FROM (
   SELECT unnest([
            (epoch_ms(ts) // 300000) * 300000 - 300000,
@@ -211,7 +213,7 @@ FROM (
 )
 GROUP BY window_start_ms, event_type
 ORDER BY window_start_ms, event_type
-"""
+""".format(cs=cent_sum_sql("value"))
 
 
 # -- RANGE-frame window: value-banded running sum -----------------------------

@@ -46,7 +46,13 @@ def _canon_cell(v):
             return None
         return round(v, 6)
     if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
-        return tuple(_canon_cell(x) for x in v)
+        # The driver's canonicalizer (pandas sort_values over all columns)
+        # crashes on list cells — fail loudly here so no query ships an
+        # array-typed output column that only breaks at driver time.
+        raise TypeError(
+            "array-typed output column reached the oracle harness; emit a "
+            "'|'-joined sorted string (concat_ws / array_to_string) instead"
+        )
     if isinstance(v, bytes):
         return v.hex()
     return v

@@ -45,14 +45,21 @@ def test_flagship_null_set_directions(spark, sf_dir):
     rows = {
         r.tx_id_hex: r for r in cardano_token_transfers(spark, sf_dir).collect()
     }
+    def hexset(*addrs: str) -> str:
+        # addr sets are emitted as '|'-joined sorted lowercase-hex strings
+        # (scalar columns — the driver canonicalizer can't hash list cells)
+        return "|".join(sorted(a.encode().hex() for a in addrs))
+
     mint = rows[_hexid(0)]  # mint: no token inputs
     assert mint.input_addr_set is None
-    assert mint.output_addr_set == ["addr_test_a"]
+    assert mint.output_addr_set == hexset("addr_test_a")
     ghost = rows[_hexid(7)]  # inputs outside the dataset behave like a mint
     assert ghost.input_addr_set is None
     fan = rows[_hexid(4)]  # dedup + sort canonicalization
-    assert fan.input_addr_set == ["addr_test_b", "addr_test_c", "addr_test_d"]
-    assert fan.output_addr_set == ["addr_test_e", "addr_test_f"]
+    assert fan.input_addr_set == hexset(
+        "addr_test_b", "addr_test_c", "addr_test_d"
+    )
+    assert fan.output_addr_set == hexset("addr_test_e", "addr_test_f")
 
 
 def test_flagship_slot_window_prunes_boundary(spark, sf_dir):

@@ -52,15 +52,16 @@ def test_label_propagation_matches_union_find(spark, sf_dir):
 def test_cluster_summary_shape(spark, sf_dir):
     rows = cardano_address_clusters(spark, sf_dir).collect()
     by_component = {r["component"]: r for r in rows}
-    # every member list is sorted, led by its component id
+    # members is a '|'-joined sorted string led by its component id
     for r in rows:
-        assert r["members"] == sorted(r["members"])
-        assert r["members"][0] == r["component"]
-        assert r["n_addresses"] == len(r["members"])
+        members = r["members"].split("|")
+        assert members == sorted(members)
+        assert members[0] == r["component"]
+        assert r["n_addresses"] == len(members)
     # fixture has at least one multi-address cluster (tx4 fan-in of c,d + b)
     assert any(r["n_addresses"] >= 3 for r in rows)
     # total membership covers every address exactly once
     assert sum(r["n_addresses"] for r in rows) == len(
-        {m for r in rows for m in r["members"]}
+        {m for r in rows for m in r["members"].split("|")}
     )
     assert len(by_component) == len(rows)

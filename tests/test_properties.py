@@ -146,11 +146,11 @@ def test_banded_range_join_covers_exactly(ms_values):
 def test_approx_user_stats_error_bounds(spark, sf_dir):
     """approx_user_stats has no SQL oracle (sketches are engine-specific);
     bound its error against exact answers computed in the same engine."""
-    from cardano_analytics_duckdb_spark.operators.analytic import approx_user_stats
+    from cardano_analytics_duckdb_spark.operators.analytic import approx_user_sketches
     from cardano_analytics_duckdb_spark.lake.tables import load_table
     from pyspark.sql import functions as F
 
-    approx = {r["event_type"]: r for r in approx_user_stats(spark, sf_dir).collect()}
+    approx = {r["event_type"]: r for r in approx_user_sketches(spark, sf_dir).collect()}
     exact = {
         r["event_type"]: r
         for r in (
