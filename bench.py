@@ -64,31 +64,68 @@ def main() -> None:
     for name in HEADLINE:
         queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
-    # Median of 3 timed runs per query: the host has noisy-neighbor CPU
+    # Median of 5 timed runs per query: the host has noisy-neighbor CPU
     # variance, and single-shot timings at sub-second scale are dominated by
     # it (observed 3x swings on identical plans).
     timings: dict[str, float] = {}
     for name in HEADLINE:
         runs = []
-        for _ in range(3):
+        for _ in range(5):
             df = queries[name](spark, sf_dir)
             t0 = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
             runs.append(time.perf_counter() - t0)
-        timings[name] = round(sorted(runs)[1], 3)
+        timings[name] = round(sorted(runs)[2], 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_wall_time",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf),
-            }
-        )
-    )
+
+    # DuckDB side of the same queries (oracle SQL on the same parquet), so
+    # the Spark-vs-single-node-baseline ratio is a recorded fact in every
+    # BENCH_r*.json rather than a remembered number.  Same protocol:
+    # one warmup pass, then median of 3, results discarded via fetchall.
+    duck_timings: dict[str, float] = {}
+    duckdb_value = None
+    try:
+        import duckdb
+
+        from cardano_analytics_duckdb_spark.operators import all_oracles
+
+        oracles = all_oracles()
+        con = duckdb.connect()
+        con.execute(f"SET threads TO {os.cpu_count()}")
+        for t in (
+            "region", "nation", "customer", "supplier", "part", "orders",
+            "lineitem", "events", "documents", "embeddings",
+        ):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{os.path.join(sf_dir, t + '.parquet')}')"
+            )
+        for name in HEADLINE:
+            con.execute(oracles[name]).fetchall()
+        for name in HEADLINE:
+            runs = []
+            for _ in range(5):
+                t0 = time.perf_counter()
+                con.execute(oracles[name]).fetchall()
+                runs.append(time.perf_counter() - t0)
+            duck_timings[name] = round(sorted(runs)[2], 3)
+        duckdb_value = round(sum(duck_timings.values()), 3)
+    except Exception:
+        pass  # baseline column is best-effort; never fail the bench
+
+    out = {
+        "metric": "headline_query_wall_time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+    }
+    if duckdb_value is not None:
+        out["duckdb_value"] = duckdb_value
+        out["duckdb_queries"] = duck_timings
+        out["vs_duckdb"] = round(total / duckdb_value, 3)
+    print(json.dumps(out))
     spark.stop()
 
 

@@ -203,7 +203,11 @@ def minhash_band_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(band_structs).alias("bk")
     ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
     return (
-        all_bands.groupBy("band", "band_key")
+        # one range shuffle serves the bucket agg and the final ORDER BY
+        # (see order_brand_sets): band_key is near-unique, so map-side
+        # partials would not shrink this shuffle anyway
+        all_bands.repartitionByRange("band", "band_key")
+        .groupBy("band", "band_key")
         # members as a '|'-joined numerically-sorted string (sort before the
         # string cast — '10' < '2' lexicographically): the driver canonicalizer
         # can't hash array cells.
@@ -218,7 +222,7 @@ def minhash_band_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("members"),
         )
         .filter(F.col("bucket_size") > 1)
-        .orderBy("band", "band_key")
+        .sortWithinPartitions("band", "band_key")
     )
 
 
@@ -392,30 +396,56 @@ ORDER BY component
 )
 
 # -- fuzzy matching: edit-distance near-identical part names ------------------
-# Bounded all-pairs: blocking on p_brand caps the candidate set at
-# Σ per-brand² (the standard entity-resolution blocking pattern — at scale
-# swap the blocking key for a coarser canopy, the join shape is unchanged).
-# `levenshtein` is a JVM builtin in Spark and a native function in DuckDB
-# with identical unit-cost edit-distance semantics.
+# Blocked all-pairs on a LOSSLESS composite canopy: (p_brand, length band).
+# edit_dist <= 2 forces |len(a)-len(b)| <= 2, so banding names by
+# floor(len/W) and duplicating the probe side into the (at most 2) bands
+# its +/-2 window can reach finds every qualifying pair exactly once while
+# multiplying block-key cardinality by the number of length bands — per-block
+# candidate sets shrink quadratically vs brand-only blocking, which at 100x
+# data is the difference between 25 quadratic blocks and thousands of small
+# ones.  `levenshtein` is a JVM builtin in Spark and a native function in
+# DuckDB with identical unit-cost edit-distance semantics.
+
+_LEN_BAND = 4
 
 
 def part_name_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part").select(
-        "p_partkey", "p_brand", "p_name"
+        "p_partkey", "p_brand", "p_name", F.length("p_name").alias("nlen")
     )
-    a = part.alias("a")
-    b = part.alias("b")
+    # probe side: explode into every band its [len-2, len+2] window touches
+    # (floor is monotone, so that set is {floor((len-2)/W), floor((len+2)/W)}
+    # — at most 2 bands for W >= 3)
+    lo = F.floor((F.col("nlen") - 2) / _LEN_BAND)
+    hi = F.floor((F.col("nlen") + 2) / _LEN_BAND)
+    a = part.select(
+        F.col("p_partkey").alias("pk_a"),
+        "p_brand",
+        F.col("p_name").alias("name_a"),
+        F.col("nlen").alias("nlen_a"),
+        F.explode(F.array_distinct(F.array(lo, hi))).alias("len_band"),
+    )
+    # build side: each name sits in exactly its own band, so every
+    # qualifying pair is produced exactly once
+    b = part.select(
+        F.col("p_partkey").alias("pk_b"),
+        "p_brand",
+        F.col("p_name").alias("name_b"),
+        F.col("nlen").alias("nlen_b"),
+        F.floor(F.col("nlen") / _LEN_BAND).alias("len_band"),
+    )
     return (
-        a.join(b, "p_brand")
-        .filter(F.col("a.p_partkey") < F.col("b.p_partkey"))
-        .withColumn(
-            "edit_dist", F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+        a.join(b, ["p_brand", "len_band"])
+        .filter(
+            (F.col("pk_a") < F.col("pk_b"))
+            & (F.abs(F.col("nlen_a") - F.col("nlen_b")) <= 2)
         )
+        .withColumn("edit_dist", F.levenshtein("name_a", "name_b"))
         .filter(F.col("edit_dist") <= 2)
         .select(
             "p_brand",
-            F.col("a.p_partkey").alias("part_a"),
-            F.col("b.p_partkey").alias("part_b"),
+            F.col("pk_a").alias("part_a"),
+            F.col("pk_b").alias("part_b"),
             "edit_dist",
         )
         .orderBy("p_brand", "part_a", "part_b")

@@ -209,6 +209,14 @@ def order_brand_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(F.broadcast(part.select("p_partkey", "p_brand")),
                 li.l_partkey == F.col("p_partkey"))
+        # ONE range shuffle serves both the agg (range partitioning on the
+        # group key satisfies its clustering requirement) and the global
+        # ORDER BY (range partitions are ordered, so a partition-local sort
+        # finishes the job).  The orderBy-after-agg plan costs a second
+        # exchange whose range sampler re-executes the aggregate.  Map-side
+        # partials lose little: l_orderkey groups are near-unique, so
+        # partial collect_set barely shrinks the shuffle.
+        .repartitionByRange("l_orderkey")
         .groupBy("l_orderkey")
         # Canonical string, not array<string>: the driver's canonicalizer
         # (pandas sort_values) can't hash list cells, and a '|'-joined
@@ -218,7 +226,7 @@ def order_brand_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "brand_set"
             )
         )
-        .orderBy("l_orderkey")
+        .sortWithinPartitions("l_orderkey")
     )
 
 
@@ -239,39 +247,68 @@ ORDER BY l_orderkey
 
 
 def cross_nation_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Both the supplier side (from lineitem) and the customer side (from
+    # orders) key on the SAME id, so instead of aggregating one side and
+    # fact-fact-joining the other (two shuffles + a sort-merge join whose
+    # range-sort sampler re-executes it), tag the two streams, union them,
+    # and compute both sets in ONE range-partitioned aggregate.  The range
+    # shuffle simultaneously satisfies the agg's clustering and the global
+    # ORDER BY (partition-local sort finishes it).  Every order contributes
+    # exactly one customer-side row, so the union-agg preserves the left-
+    # join semantics: orders with no lineitem get an empty supplier set,
+    # mapped to NULL via nullif to keep the IS DISTINCT FROM rule intact.
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
     li = load_table(spark, sf_dir, "lineitem")
     supplier = load_table(spark, sf_dir, "supplier")
 
-    supp_nations = (
+    supp_rows = (
         li.select("l_orderkey", "l_suppkey")
         .join(F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
               F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(nation.select("n_nationkey", "n_name")),
               F.col("s_nationkey") == F.col("n_nationkey"))
-        .groupBy("l_orderkey")
-        # Stringified inside the agg (NOT after the left join below):
-        # concat_ws maps a NULL array to '', so stringifying post-join would
-        # destroy the NULL-side semantics of the IS DISTINCT FROM rule.
-        .agg(
-            F.concat_ws("|", F.array_sort(F.collect_set("n_name"))).alias(
-                "supp_nation_set"
-            )
+        .select(
+            F.col("l_orderkey").alias("o_orderkey"),
+            F.col("n_name").alias("name"),
+            F.lit("s").alias("side"),
         )
     )
-    cust_nation = (
-        customer.join(F.broadcast(nation.select("n_nationkey", "n_name")),
-                      customer.c_nationkey == F.col("n_nationkey"))
-        .select(F.col("c_custkey"), F.col("n_name").alias("cust_nation_set"))
+    cust_rows = (
+        orders.join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            orders.o_custkey == F.col("c_custkey"), "left")
+        .join(F.broadcast(nation.select("n_nationkey", "n_name")),
+              F.col("c_nationkey") == F.col("n_nationkey"), "left")
+        .select(
+            "o_orderkey",
+            F.col("n_name").alias("name"),
+            F.lit("c").alias("side"),
+        )
     )
     return (
-        orders.join(F.broadcast(cust_nation), orders.o_custkey == F.col("c_custkey"), "left")
-        .join(supp_nations, orders.o_orderkey == supp_nations.l_orderkey, "left")
+        supp_rows.unionByName(cust_rows)
+        .repartitionByRange("o_orderkey")
+        .groupBy("o_orderkey")
+        .agg(
+            F.nullif(
+                F.concat_ws(
+                    "|",
+                    F.array_sort(
+                        F.collect_set(
+                            F.when(F.col("side") == "s", F.col("name"))
+                        )
+                    ),
+                ),
+                F.lit(""),
+            ).alias("supp_nation_set"),
+            F.max(F.when(F.col("side") == "c", F.col("name"))).alias(
+                "cust_nation_set"
+            ),
+        )
         .filter(~F.col("supp_nation_set").eqNullSafe(F.col("cust_nation_set")))
-        .select("o_orderkey", "supp_nation_set", "cust_nation_set")
-        .orderBy("o_orderkey")
+        .sortWithinPartitions("o_orderkey")
     )
 
 

@@ -173,6 +173,15 @@ def _allpairs_cosine_kernel():
         import numpy as np
         import pandas as pd
 
+        # Hard guard: this kernel is the BOUNDED all-pairs oracle baseline
+        # (one Arrow batch, one task, O(n²) memory).  Fail fast rather than
+        # silently running unbounded — the subquadratic production path is
+        # lsh_bucketed_near_dup_pairs.
+        if len(pdf) > 10_000:
+            raise ValueError(
+                f"all-pairs cosine kernel received {len(pdf)} rows (cap "
+                "10000); use lsh_bucketed_near_dup_pairs for unbounded input"
+            )
         pdf = pdf.sort_values("vec_id")
         ids = pdf["vec_id"].to_numpy()
         if len(ids) < 2:

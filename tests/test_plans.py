@@ -270,3 +270,44 @@ def test_deterministic_sample_predicate_stays_in_scan_stage(spark, sf_dir):
     # itself adds none
     assert plan.count("Exchange") <= 2
     assert "rand" not in plan.lower().replace("operand", "")
+
+
+def test_allpairs_kernel_guard_fails_fast_on_unbounded_input(spark, sf_dir):
+    """The single-group all-pairs cosine kernel is a bounded oracle baseline;
+    past 10k rows per group it must raise instead of silently running an
+    O(n^2) single-task computation."""
+    import pandas as pd
+    import pytest
+
+    from cardano_analytics_duckdb_spark.operators.similarity import (
+        _allpairs_cosine_kernel,
+    )
+
+    kernel = _allpairs_cosine_kernel()
+    big = pd.DataFrame(
+        {
+            "g": ["all"] * 10_001,
+            "vec_id": range(10_001),
+            "embedding": [[0.0, 1.0]] * 10_001,
+        }
+    )
+    with pytest.raises(ValueError, match="cap 10000"):
+        kernel(big)
+
+
+def test_levenshtein_blocking_uses_composite_canopy(spark, sf_dir):
+    """Fuzzy matching must block on (brand, length band), not brand alone:
+    the join keys must include the banding column and the probe side must
+    Generate (explode) the band duplication."""
+    from cardano_analytics_duckdb_spark.operators.dedup import (
+        part_name_levenshtein_pairs,
+    )
+
+    df = part_name_levenshtein_pairs(spark, sf_dir)
+    plan = _plan(df)
+    assert "len_band" in plan
+    assert "Generate explode" in plan
+    # levenshtein must run AFTER the banded equi-join, as a post-join filter,
+    # never as part of a cartesian/broadcast-nested-loop candidate join
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
