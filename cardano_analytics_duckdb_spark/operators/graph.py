@@ -167,6 +167,48 @@ QUERIES = {
     "cardano_address_clusters": cardano_address_clusters,
 }
 
-# Iterative fixpoint — not expressible as one SQL statement; verified by
-# tests/test_graph.py against a union-find reference instead of DuckDB.
-ORACLE: dict[str, str] = {}
+
+def _scan(table: str) -> str:
+    from ..lake.fixtures import DEFAULT_LAKE_ROOT
+
+    return (
+        f"read_parquet('{DEFAULT_LAKE_ROOT}/{table}/*/*.parquet',"
+        " hive_partitioning=1)"
+    )
+
+
+# The Spark side is an iterative fixpoint (label propagation), but its RESULT
+# is still SQL-checkable: a recursive CTE enumerating the reachability
+# closure over the identical co-spend edge set, then min-label per node —
+# the same exact-oracle pattern as near_dup_doc_clusters (dedup.py).
+# tests/test_graph.py additionally verifies against a union-find reference.
+_ADDRESS_CLUSTERS_SQL = f"""
+WITH RECURSIVE consumed AS (
+  SELECT DISTINCT t.tx_id, u.address
+  FROM (SELECT tx.tx_id, unnest(tx.inputs) AS r FROM {_scan('tx')} tx) t
+  JOIN {_scan('utxo')} u
+    ON u.tx_id = t.r.tx_id AND u.output_index = t.r.output_index
+), pairs AS (
+  SELECT DISTINCT a.address AS addr_a, b.address AS addr_b
+  FROM consumed a JOIN consumed b
+    ON a.tx_id = b.tx_id AND a.address < b.address
+), edges AS (
+  SELECT addr_a AS src, addr_b AS dst FROM pairs
+  UNION SELECT addr_b, addr_a FROM pairs
+), nodes AS (
+  SELECT DISTINCT address AS node FROM {_scan('utxo')}
+), reach(node, label) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+)
+SELECT x.label AS component, count(*) AS n_addresses,
+       array_to_string(list(node ORDER BY node), '|') AS members
+FROM (SELECT node, min(label) AS label FROM reach GROUP BY node) x
+GROUP BY x.label
+ORDER BY component
+"""
+
+ORACLE: dict[str, str] = {
+    "cardano_address_clusters": _ADDRESS_CLUSTERS_SQL,
+}

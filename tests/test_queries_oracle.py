@@ -13,12 +13,11 @@ QUERIES = all_queries()
 ORACLES = all_oracles()
 
 
-# Iterative/fixpoint operators declared without SQL oracles (the driver
-# records a rows-only check); each must have its own reference-impl test.
-NO_ORACLE_DECLARED = {
-    "cardano_address_clusters",  # fixpoint — tests/test_graph.py
-    "approx_user_stats",  # engine-specific sketches — tests/test_properties.py
-}
+# Every query now carries a SQL oracle — the fixpoint operators check their
+# RESULT via recursive-CTE closure (graph.py, dedup.py) and the sketch query
+# via error-bound booleans (analytic.py); reference-impl tests
+# (test_graph.py, test_properties.py) stay as additional guards.
+NO_ORACLE_DECLARED: set[str] = set()
 
 
 def test_every_query_has_an_oracle():
