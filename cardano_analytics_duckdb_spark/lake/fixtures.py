@@ -241,13 +241,18 @@ def _out(
     assets: list[tuple[bytes, bytes, int]] = (),
     datum_hash: bytes | None = None,
     inline_datum: bytes | None = None,
+    script: dict | None = None,
 ) -> dict:
+    # ``script``: Ogmios reference-script object ({"language": ..,
+    # "cbor": ..}); the lake records only its presence (has_ref_script),
+    # mirroring ogmios_parquet.py:278 `bool(output.get('script'))`.
     return dict(
         address=address,
         lovelace=lovelace,
         assets=list(assets),
         datum_hash=datum_hash,
         inline_datum=inline_datum,
+        script=script,
     )
 
 
@@ -368,7 +373,9 @@ def tx_specs() -> list[dict]:
 
     # governance (README-only stretch tables): votes + a proposal, and a
     # script tx with redeemers
-    add(196, 100_120, 195_000, [], [_out(ADDRS[0], 3_000_000)],
+    add(196, 100_120, 195_000, [],
+        [_out(ADDRS[0], 3_000_000,
+              script={"language": "plutus:v3", "cbor": "49480100002221200101"})],
         votes=[
             dict(voter="drep1gov", action_id_tx=_txid(15),
                  action_id_index=0, vote=1,
@@ -434,7 +441,7 @@ def _build_rows(specs: list[dict]) -> dict[str, list[dict]]:
                     lovelace=o["lovelace"],
                     has_token=bool(o["assets"]),
                     has_datum=has_datum,
-                    has_ref_script=False,
+                    has_ref_script=bool(o.get("script")),
                 )
             )
             for policy, name, amt in o["assets"]:
@@ -544,6 +551,7 @@ def fixture_blocks(specs: list[dict] | None = None) -> list[dict]:
                                 if o["inline_datum"] is not None
                                 else None
                             ),
+                            "script": o.get("script"),
                         }
                         for o in s["outputs"]
                     ],

@@ -102,6 +102,17 @@ _TX = T.StructType(
                         T.StructField("value", _AMOUNTS),
                         T.StructField("datumHash", T.StringType()),
                         T.StructField("datum", T.StringType()),
+                        # reference script (ogmios_parquet.py:278 derives
+                        # has_ref_script from output.get('script'))
+                        T.StructField(
+                            "script",
+                            T.StructType(
+                                [
+                                    T.StructField("language", T.StringType()),
+                                    T.StructField("cbor", T.StringType()),
+                                ]
+                            ),
+                        ),
                     ]
                 )
             ),

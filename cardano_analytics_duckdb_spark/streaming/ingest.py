@@ -136,6 +136,7 @@ def extract_tables(blocks_df: DataFrame) -> dict[str, DataFrame]:
         F.col("o.value").alias("value"),
         F.col("o.datumHash").alias("datum_hash_hex"),
         F.col("o.datum").alias("inline_datum_hex"),
+        F.col("o.script").alias("out_script"),
     )
 
     utxo = outs.select(
@@ -149,7 +150,7 @@ def extract_tables(blocks_df: DataFrame) -> dict[str, DataFrame]:
             F.col("datum_hash_hex").isNotNull()
             | F.col("inline_datum_hex").isNotNull()
         ).alias("has_datum"),
-        F.lit(False).alias("has_ref_script"),
+        F.col("out_script").isNotNull().alias("has_ref_script"),
     )
 
     asset = (

@@ -61,6 +61,20 @@ def test_extraction_parity_all_tables(spark, ingested):
         assert actual == expected, f"table {t} diverges after ingestion"
 
 
+def test_ref_script_flag_derived_from_output_script(spark, ingested):
+    # ogmios_parquet.py:278 derives has_ref_script from output.get('script');
+    # the fixture carries exactly one reference-script output (tx 196).  Pin
+    # a non-zero true count so the flag can't regress to constant-false on
+    # both sides of the parity test at once.
+    dest, _ = ingested
+    trues = (
+        spark.read.parquet(f"{dest}/utxo")
+        .filter(F.col("has_ref_script"))
+        .count()
+    )
+    assert trues == 1
+
+
 def test_rollback_events_are_skipped(spark, tmp_path):
     dest = str(tmp_path / "lake_rb")
     blocks = fixture_blocks()[:3]
