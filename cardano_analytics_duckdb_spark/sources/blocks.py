@@ -151,6 +151,8 @@ def read_block_files(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.schema(BLOCK_SCHEMA).json(path)
 
 
-# Live chain-sync adapter (websocket → block dicts) intentionally absent:
-# CI is offline (SURVEY §7.5).  A production adapter would implement
-# find_intersection/nextBlock pipelining and yield the same dict shape.
+# Live chain-sync adapter: sources/chainsync.py (ChainSyncClient /
+# read_chain_sync) — findIntersection + pipelined nextBlock over a stdlib
+# RFC 6455 websocket, yielding this same dict shape.  CI exercises it
+# against an in-process fake node (tests/test_chainsync.py), staying
+# offline per SURVEY §7.5.
