@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.ordering import small_sorted
 from ..functions.rounding import rnd
 from ..lake.tables import load_table
 
@@ -40,7 +41,10 @@ def exact_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("canonical_doc_id"),
             F.count("*").alias("dup_count"),
         )
-        .orderBy("canonical_doc_id")
+        # sort key ≠ group key, so the shuffles can't merge; the result is
+        # group-bounded and small, so one-pass coalesced sort beats
+        # orderBy's plan-re-executing range sampler (functions/ordering.py)
+        .transform(small_sorted, "canonical_doc_id")
     )
 
 
@@ -294,7 +298,8 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         bit_sums.select("doc_id", fp.cast("int").alias("simhash16"))
-        .orderBy("doc_id")
+        # one row per doc: coalesced one-pass sort (functions/ordering.py)
+        .transform(small_sorted, "doc_id")
     )
 
 

@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.ordering import small_sorted
 from ..functions.rounding import rnd
 from ..lake.tables import load_table
 
@@ -95,7 +96,7 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             rnd(F.avg("l_discount"), 4).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
-        .orderBy("l_returnflag", "l_linestatus")
+        .transform(small_sorted, "l_returnflag", "l_linestatus")
     )
 
 
@@ -182,7 +183,7 @@ def revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
             rnd(F.sum("o_totalprice"), 2).alias("revenue"),
             F.count("*").alias("order_count"),
         )
-        .orderBy("r_name")
+        .transform(small_sorted, "r_name")
     )
 
 
@@ -203,28 +204,71 @@ ORDER BY r_name
 #   (token_fee_analysis.py:218-236)
 
 
+def _alpha_bits(dim: DataFrame, name_col: str) -> tuple[DataFrame, DataFrame]:
+    """Assign each distinct dim value a bit position in alphabetical order.
+
+    Returns (value→bit mapping, 1-row DataFrame holding the sorted name
+    array) — the two sides of a bitset-encoded small-domain set aggregate.
+    Both are tiny (≤62 rows by construction) and meant to be broadcast; the
+    single-partition window is over that same tiny domain, never the fact.
+    """
+    from pyspark.sql import Window
+
+    bits = dim.withColumn(
+        "bit", F.row_number().over(Window.orderBy(name_col)) - 1
+    )
+    names = bits.groupBy().agg(
+        F.array_sort(F.collect_list(name_col)).alias("domain_names")
+    )
+    return bits, names
+
+
+# Decode a bitmask back to the '|'-joined alphabetically-sorted value set:
+# bit i ↔ domain_names[i+1].  String form, not array<string>: the driver's
+# canonicalizer (pandas sort_values) can't hash list cells, and a sorted
+# joined string is an equivalent canonical form.
+_BITSET_DECODE = (
+    "concat_ws('|', transform("
+    "  filter(sequence(0, size(domain_names) - 1),"
+    "         i -> (shiftright({mask}, i) & 1) = 1),"
+    "  i -> element_at(domain_names, i + 1)))"
+)
+
+
 def order_brand_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Small-domain set aggregate as a BITSET: p_brand has ~25 distinct
+    # values, so instead of shuffling brand strings into collect_set (heavy
+    # rows, per-group set buffers), attach an alphabetical bit index on the
+    # broadcast dim side and aggregate bit_or(1 << bit) — an 8-byte shuffle
+    # payload with a trivially map-side-combinable agg.  The mask decodes to
+    # the same sorted '|'-joined string after the agg via a 1-row broadcast
+    # of the domain array.  (collect_set remains the general-domain path —
+    # cardano.py's address sets — this rewrite is only legal when the dim
+    # side proves the domain ≤62 values.)
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
+    brand_bits, brand_names = _alpha_bits(
+        part.select(F.col("p_brand").alias("name")).distinct(), "name"
+    )
+    part_dim = part.select("p_partkey", "p_brand").join(
+        F.broadcast(brand_bits), F.col("p_brand") == F.col("name")
+    )
     return (
-        li.join(F.broadcast(part.select("p_partkey", "p_brand")),
-                li.l_partkey == F.col("p_partkey"))
+        li.join(F.broadcast(part_dim), li.l_partkey == F.col("p_partkey"))
+        .select("l_orderkey", F.expr("shiftleft(1L, bit)").alias("brand_bit"))
         # ONE range shuffle serves both the agg (range partitioning on the
         # group key satisfies its clustering requirement) and the global
         # ORDER BY (range partitions are ordered, so a partition-local sort
-        # finishes the job).  The orderBy-after-agg plan costs a second
-        # exchange whose range sampler re-executes the aggregate.  Map-side
-        # partials lose little: l_orderkey groups are near-unique, so
-        # partial collect_set barely shrinks the shuffle.
+        # finishes the job).
         .repartitionByRange("l_orderkey")
         .groupBy("l_orderkey")
-        # Canonical string, not array<string>: the driver's canonicalizer
-        # (pandas sort_values) can't hash list cells, and a '|'-joined
-        # sorted set is an equivalent canonical form.
-        .agg(
-            F.concat_ws("|", F.array_sort(F.collect_set("p_brand"))).alias(
+        .agg(F.bit_or("brand_bit").alias("brand_mask"))
+        .crossJoin(F.broadcast(brand_names))
+        .select(
+            "l_orderkey",
+            F.expr(_BITSET_DECODE.format(mask="brand_mask")).alias(
                 "brand_set"
-            )
+            ),
         )
         .sortWithinPartitions("l_orderkey")
     )
@@ -257,34 +301,45 @@ def cross_nation_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exactly one customer-side row, so the union-agg preserves the left-
     # join semantics: orders with no lineitem get an empty supplier set,
     # mapped to NULL via nullif to keep the IS DISTINCT FROM rule intact.
+    #
+    # The nation domain is ≤25 values, so the supplier set is aggregated as
+    # a BITSET (see order_brand_sets): the shuffle carries (orderkey,
+    # mask-bit, cust-idx) fixed-width rows instead of nation-name strings,
+    # and bit_or replaces the per-group collect_set buffers.  Decoding back
+    # to the sorted '|'-joined string happens once, post-agg, via a 1-row
+    # broadcast of the alphabetical domain array.
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
     li = load_table(spark, sf_dir, "lineitem")
     supplier = load_table(spark, sf_dir, "supplier")
 
+    nation_bits, nation_names = _alpha_bits(
+        nation.select("n_nationkey", F.col("n_name").alias("name")), "name"
+    )
+
     supp_rows = (
         li.select("l_orderkey", "l_suppkey")
         .join(F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
               F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(nation.select("n_nationkey", "n_name")),
+        .join(F.broadcast(nation_bits),
               F.col("s_nationkey") == F.col("n_nationkey"))
         .select(
             F.col("l_orderkey").alias("o_orderkey"),
-            F.col("n_name").alias("name"),
-            F.lit("s").alias("side"),
+            F.expr("shiftleft(1L, bit)").alias("nation_bit"),
+            F.lit(None).cast("int").alias("cust_idx"),
         )
     )
     cust_rows = (
         orders.join(
             F.broadcast(customer.select("c_custkey", "c_nationkey")),
             orders.o_custkey == F.col("c_custkey"), "left")
-        .join(F.broadcast(nation.select("n_nationkey", "n_name")),
+        .join(F.broadcast(nation_bits),
               F.col("c_nationkey") == F.col("n_nationkey"), "left")
         .select(
             "o_orderkey",
-            F.col("n_name").alias("name"),
-            F.lit("c").alias("side"),
+            F.lit(0).cast("long").alias("nation_bit"),
+            F.col("bit").alias("cust_idx"),
         )
     )
     return (
@@ -292,22 +347,32 @@ def cross_nation_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartitionByRange("o_orderkey")
         .groupBy("o_orderkey")
         .agg(
-            F.nullif(
-                F.concat_ws(
-                    "|",
-                    F.array_sort(
-                        F.collect_set(
-                            F.when(F.col("side") == "s", F.col("name"))
-                        )
-                    ),
-                ),
-                F.lit(""),
-            ).alias("supp_nation_set"),
-            F.max(F.when(F.col("side") == "c", F.col("name"))).alias(
-                "cust_nation_set"
-            ),
+            F.bit_or("nation_bit").alias("supp_mask"),
+            F.max("cust_idx").alias("cust_idx"),
         )
-        .filter(~F.col("supp_nation_set").eqNullSafe(F.col("cust_nation_set")))
+        # The IS DISTINCT FROM rule compares the *encoded* sets: the string
+        # forms are null-safe-equal exactly when supp_mask equals the
+        # customer's single-bit mask (empty set ↔ mask 0 ↔ NULL string on
+        # both sides).  Filtering on the 8-byte masks keeps the comparison
+        # inside whole-stage codegen and decodes only surviving rows once —
+        # the string filter would be folded into the broadcast-join
+        # condition and evaluate the decode expression twice per row.
+        .filter(
+            F.expr(
+                "NOT (supp_mask <=> "
+                "if(cust_idx IS NULL, 0L, shiftleft(1L, cust_idx)))"
+            )
+        )
+        .crossJoin(F.broadcast(nation_names))
+        .select(
+            "o_orderkey",
+            F.nullif(
+                F.expr(_BITSET_DECODE.format(mask="supp_mask")), F.lit("")
+            ).alias("supp_nation_set"),
+            F.element_at(
+                F.col("domain_names"), F.col("cust_idx") + 1
+            ).alias("cust_nation_set"),
+        )
         .sortWithinPartitions("o_orderkey")
     )
 

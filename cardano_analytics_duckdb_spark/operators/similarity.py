@@ -126,9 +126,15 @@ def lsh_bucket_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         F.lit(0),
     )
+    # Range-partition the RAW vectors, then project: the sampler touches
+    # only the scan, the 8 hyperplane dot products compute once (orderBy
+    # after the projection would re-run them in the sampling pass), and
+    # ordered range partitions + a local sort give the global ORDER BY.
     return (
-        emb.select("vec_id", bucket.cast("int").alias("bucket"))
-        .orderBy("vec_id")
+        emb.select("vec_id", "embedding")
+        .repartitionByRange("vec_id")
+        .select("vec_id", bucket.cast("int").alias("bucket"))
+        .sortWithinPartitions("vec_id")
     )
 
 

@@ -30,8 +30,13 @@ def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         "aggregate(split(text, ' '), cast(0.0 as double),"
         " (acc, t) -> acc + length(t)) / size(split(text, ' '))"
     )
+    # Range-partition the raw docs first so the tokenization expressions
+    # compute once, post-shuffle, and a partition-local sort finishes the
+    # global ORDER BY (orderBy's sampler would re-run the whole projection).
     return (
-        docs.select(
+        docs.select("doc_id", "text")
+        .repartitionByRange("doc_id")
+        .select(
             "doc_id",
             F.length("text").alias("n_chars_actual"),
             n_tokens.alias("n_tokens"),
@@ -39,7 +44,7 @@ def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             rnd(n_distinct / n_tokens, 4).alias("type_token_ratio"),
             rnd(avg_tok_len, 2).alias("avg_token_len"),
         )
-        .orderBy("doc_id")
+        .sortWithinPartitions("doc_id")
     )
 
 

@@ -31,11 +31,17 @@ def top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = W.partitionBy("o_custkey").orderBy(
         F.col("o_totalprice").desc(), F.col("o_orderkey")
     )
+    # One range shuffle on the RAW scan serves the window's clustering
+    # requirement (range partitioning on o_custkey satisfies it), and range
+    # partitions are ordered, so a partition-local sort finishes the global
+    # ORDER BY.  orderBy-after-window would add a sampling pass that
+    # re-executes the whole window pipeline (see functions/ordering.py).
     return (
-        orders.withColumn("rn", F.row_number().over(w))
+        orders.repartitionByRange("o_custkey")
+        .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
         .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
-        .orderBy("o_custkey", "rn")
+        .sortWithinPartitions("o_custkey", "rn")
     )
 
 
@@ -117,8 +123,15 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     cum = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
         W.unboundedPreceding, W.currentRow
     )
+    # Single range shuffle up front: satisfies the window's user_id
+    # clustering, the groupBy's (user_id, session_id) clustering (user_id
+    # alone co-locates every session of a user), and — partitions being
+    # ordered ranges — the global ORDER BY via a partition-local sort.
+    # orderBy-after-agg would re-execute the window+agg pipeline for range
+    # sampling (see functions/ordering.py).
     return (
-        events.withColumn("new_sess", is_new)
+        events.repartitionByRange("user_id")
+        .withColumn("new_sess", is_new)
         .withColumn("session_id", F.sum("new_sess").over(cum))
         .groupBy("user_id", "session_id")
         .agg(
@@ -127,7 +140,7 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             # between engines and flips 2-decimal rounding (r1 hash mismatch).
             cent_sum(F.col("value")).alias("session_value"),
         )
-        .orderBy("user_id", "session_id")
+        .sortWithinPartitions("user_id", "session_id")
     )
 
 
@@ -161,10 +174,16 @@ def events_tumbling_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket = (F.floor(F.unix_millis(F.col("ts")) / 300_000) * 300_000).alias(
         "bucket_start_ms"
     )
+    # Range-partition on the derived bucket key BEFORE aggregating: the one
+    # shuffle serves the agg's clustering and the global ORDER BY (ordered
+    # range partitions + partition-local sort), and the range sampler only
+    # touches the narrow projection, not the aggregate.
     return (
-        events.groupBy(bucket, "event_type")
+        events.select(bucket, "event_type", "value")
+        .repartitionByRange("bucket_start_ms", "event_type")
+        .groupBy("bucket_start_ms", "event_type")
         .agg(F.count("*").alias("n"), cent_sum(F.col("value")).alias("total_value"))
-        .orderBy("bucket_start_ms", "event_type")
+        .sortWithinPartitions("bucket_start_ms", "event_type")
     )
 
 
@@ -194,9 +213,11 @@ def events_sliding_10min(spark: SparkSession, sf_dir: str) -> DataFrame:
         events.select(
             F.explode(starts).alias("window_start_ms"), "event_type", "value"
         )
+        # merged shuffle: see events_tumbling_5min
+        .repartitionByRange("window_start_ms", "event_type")
         .groupBy("window_start_ms", "event_type")
         .agg(F.count("*").alias("n"), cent_sum(F.col("value")).alias("total_value"))
-        .orderBy("window_start_ms", "event_type")
+        .sortWithinPartitions("window_start_ms", "event_type")
     )
 
 
