@@ -170,24 +170,31 @@ ORDER BY doc_a, doc_b
 )
 
 # -- MinHash + LSH banding ----------------------------------------------------
-# k=6 hash functions = min(md5(seed || shingle)) string-min; 2 bands × 3 rows.
+# k=6 hash functions from ONE digest per shingle: hash function i is the
+# 5-hex-char window [i*5, i*5+5) of md5(shingle) (one-permutation-hashing
+# style — one md5 instead of k seeded ones, 6x less hashing on the hot
+# 500k-shingle stage; windows of a uniform digest are uniform, and min is
+# taken per window across a doc's shingles).  2 bands x 3 rows.
 # Duplicate candidates = docs sharing a band signature.
 
-_MINHASH_SEEDS = ["s0|", "s1|", "s2|", "s3|", "s4|", "s5|"]
+_MINHASH_K = 6
 _BANDS = [(0, 3), (3, 6)]
 
 
 def minhash_band_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     # No distinct() on shingles: min over a multiset equals min over the set,
-    # so dedup-before-min would only add a shuffle.
+    # so dedup-before-min would only add a shuffle.  (A no-explode variant —
+    # per-doc digest arrays via higher-order transform + array_min — was
+    # measured 30% SLOWER despite skipping the doc_id exchange: HOF lambdas
+    # evaluate interpreted, while the exploded form keeps md5/substring/min
+    # inside whole-stage codegen with map-side partial aggregation.)
     sh = _shingles(docs, distinct=False)
+    digest = F.md5(F.col("sh").cast("binary"))
     sig = sh.groupBy("doc_id").agg(
         *[
-            F.min(F.md5(F.concat(F.lit(seed), F.col("sh")).cast("binary"))).alias(
-                f"h{i}"
-            )
-            for i, seed in enumerate(_MINHASH_SEEDS)
+            F.min(F.substring(digest, 1 + i * 5, 5)).alias(f"h{i}")
+            for i in range(_MINHASH_K)
         ]
     )
     # Emit both bands via one explode so the signature lineage is computed
@@ -232,8 +239,8 @@ def minhash_band_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _minhash_sql() -> str:
     hash_cols = ",\n         ".join(
-        f"min(md5('{seed}' || sh)) AS h{i}"
-        for i, seed in enumerate(_MINHASH_SEEDS)
+        f"min(substring(md5(sh), {1 + i * 5}, 5)) AS h{i}"
+        for i in range(_MINHASH_K)
     )
     band_selects = []
     for b, (lo, hi) in enumerate(_BANDS):
