@@ -273,6 +273,29 @@ def test_unknown_intersection_raises():
             client.find_intersection([{"slot": -5, "id": "00"}])
 
 
+def test_chain_sync_feeds_ingestion(spark, tmp_path):
+    """Full live path: websocket stream → ingest_blocks → lake tables.
+
+    The stream (with its protocol-mandated rollback preamble) must produce
+    the same tx table as a direct fixture replay, and the rollback must be
+    counted, not ingested.
+    """
+    from cardano_analytics_duckdb_spark.streaming.ingest import ingest_blocks
+
+    blocks = fixture_blocks()
+    node = FakeOgmios(blocks)
+    dest = str(tmp_path / "live_lake")
+    with ChainSyncClient("127.0.0.1", node.port) as client:
+        client.find_intersection(["origin"])
+        stats = ingest_blocks(
+            spark, client.stream(batch_size=50), dest, batch_size=100
+        )
+    assert stats["rollbacks"] == 1  # the roll-to-intersection preamble
+    assert stats["transactions"] == sum(len(b["transactions"]) for b in blocks)
+    got = spark.read.parquet(f"{dest}/tx")
+    assert got.count() == stats["transactions"]
+
+
 def test_read_chain_sync_dataframe(spark):
     blocks = fixture_blocks()
     node = FakeOgmios(blocks)

@@ -38,6 +38,31 @@ def test_oracle_match(spark, sf_dir, duck, name):
     compare(df, duck, ORACLES[name])
 
 
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_output_schema_is_driver_canonicalizable(spark, sf_dir, name):
+    """Driver-canonicalizer gate, enforced at the SCHEMA level.
+
+    The driver's compare harness pandas-sorts every output column (arrays
+    crash it: unhashable list cells) and collects timestamps through the
+    session timezone (rendering differs from DuckDB's naive rendering).
+    Arrays must ship as '|'-joined sorted strings, timestamps as
+    unix_millis epochs — for every registered query, not just the ones
+    currently inside the driver's check window.
+    """
+    from pyspark.sql import types as T
+
+    schema = QUERIES[name](spark, sf_dir).schema
+    for field in schema.fields:
+        assert not isinstance(
+            field.dataType, (T.ArrayType, T.MapType, T.StructType)
+        ), f"{name}.{field.name}: nested type {field.dataType} crashes the driver canonicalizer"
+        # timestamp_ntz is fine (naive on both engines, driver-proven in
+        # r01); session-TZ-bearing TIMESTAMP is the one that diverges.
+        assert not isinstance(
+            field.dataType, (T.TimestampType, T.DateType)
+        ), f"{name}.{field.name}: {field.dataType} renders session-timezone-dependently; emit unix_millis"
+
+
 def test_register_views(spark, sf_dir):
     """S3: one temp view per table, queryable via spark.sql."""
     from cardano_analytics_duckdb_spark.lake.tables import (
