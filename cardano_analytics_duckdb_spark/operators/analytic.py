@@ -31,6 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.ordering import small_sorted
 from ..functions.rounding import cent_sum, rnd
 from ..lake.tables import load_table
 
@@ -82,7 +83,7 @@ def priority_returned_order_counts(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("n_orders"))
-        .orderBy("o_orderpriority")
+        .transform(small_sorted, "o_orderpriority")
     )
 
 
@@ -168,7 +169,7 @@ def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             rnd(F.col("o_totalprice"), 2).alias("o_totalprice"),
             rnd(F.col("total_qty"), 2).alias("total_qty"),
         )
-        .orderBy(F.col("total_qty").desc(), F.col("o_orderkey"))
+        .transform(small_sorted, F.col("total_qty").desc(), F.col("o_orderkey"))
     )
 
 
@@ -222,7 +223,7 @@ def nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.count(F.lit(1)).alias("n_items"),
         )
-        .orderBy("supp_nation", "cust_nation", "ship_year")
+        .transform(small_sorted, "supp_nation", "cust_nation", "ship_year")
     )
 
 
@@ -266,7 +267,7 @@ def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mkt_share"),
             F.count(F.lit(1)).alias("n_items"),
         )
-        .orderBy("o_year")
+        .transform(small_sorted, "o_year")
     )
 
 
@@ -304,7 +305,7 @@ def top_revenue_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "s_suppkey", "s_name", rnd(F.col("total_rev"), 2).alias("total_rev")
         )
-        .orderBy("s_suppkey")
+        .transform(small_sorted, "s_suppkey")
     )
 
 
@@ -345,7 +346,7 @@ def rich_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_custs"),
             rnd(F.sum("c_acctbal"), 2).alias("total_bal"),
         )
-        .orderBy("c_nationkey")
+        .transform(small_sorted, "c_nationkey")
     )
 
 
@@ -379,7 +380,7 @@ def price_decile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             rnd(F.min("o_totalprice"), 2).alias("min_price"),
             rnd(F.max("o_totalprice"), 2).alias("max_price"),
         )
-        .orderBy("decile")
+        .transform(small_sorted, "decile")
     )
 
 
@@ -420,7 +421,7 @@ def revenue_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "linestatus",
         rnd(F.col("sum_price_raw"), 2).alias("sum_price"),
         "n",
-    ).orderBy("returnflag", "linestatus")
+    ).transform(small_sorted, "returnflag", "linestatus")
 
 
 _GROUPING_SETS_SQL = """
@@ -453,7 +454,7 @@ def returned_without_accepted_orders(spark: SparkSession, sf_dir: str) -> DataFr
             F.count(F.lit(1)).alias("n_orders"),
             cent_sum(F.col("o_totalprice")).alias("total_price"),
         )
-        .orderBy("o_orderstatus")
+        .transform(small_sorted, "o_orderstatus")
     )
 
 
@@ -492,7 +493,7 @@ def cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
             rnd(F.col("min_price"), 2).alias("min_price"),
         )
         .distinct()
-        .orderBy("l_partkey", "l_suppkey")
+        .transform(small_sorted, "l_partkey", "l_suppkey")
     )
 
 
@@ -539,7 +540,7 @@ def order_status_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             variableColumnName="priority_bucket",
             valueColumnName="total_price",
         )
-        .orderBy("o_orderstatus", "priority_bucket")
+        .transform(small_sorted, "o_orderstatus", "priority_bucket")
     )
 
 
@@ -584,7 +585,7 @@ def stratified_order_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_sampled"),
             cent_sum(F.col("o_totalprice")).alias("sampled_price"),
         )
-        .orderBy("o_orderstatus")
+        .transform(small_sorted, "o_orderstatus")
     )
 
 
@@ -620,7 +621,7 @@ def approx_user_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.count(F.lit(1)).alias("n_events"),
         )
-        .orderBy("event_type")
+        .transform(small_sorted, "event_type")
     )
 
 
@@ -646,7 +647,7 @@ def approx_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_users",
         users_ok.alias("approx_users_within_6pct"),
         median_ok.alias("approx_median_in_range"),
-    ).orderBy("event_type")
+    ).transform(small_sorted, "event_type")
 
 
 _APPROX_USER_STATS_SQL = """

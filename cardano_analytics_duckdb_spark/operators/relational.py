@@ -453,7 +453,7 @@ def repeat_buyer_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
     h2 = orders.filter(F.month("o_orderdate") > 6).select(
         F.col("o_custkey").alias("custkey")
     )
-    return h1.intersect(h2).orderBy("custkey")
+    return h1.intersect(h2).transform(small_sorted, "custkey")
 
 
 _INTERSECT_SQL = """
@@ -473,7 +473,7 @@ def first_half_only_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
     h2 = orders.filter(F.month("o_orderdate") > 6).select(
         F.col("o_custkey").alias("custkey")
     )
-    return h1.subtract(h2).orderBy("custkey")
+    return h1.subtract(h2).transform(small_sorted, "custkey")
 
 
 _EXCEPT_SQL = """
@@ -536,7 +536,7 @@ def status_price_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(F.when(F.col("o_orderstatus") == "P", F.col("o_totalprice"))), 2
             ).alias("pending_total"),
         )
-        .orderBy("o_orderpriority")
+        .transform(small_sorted, "o_orderpriority")
     )
 
 
@@ -559,7 +559,8 @@ def lineitem_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.rollup("l_returnflag", "l_linestatus")
         .agg(rnd(F.sum("l_quantity"), 2).alias("sum_qty"),
              F.count("*").alias("n"))
-        .orderBy(
+        .transform(
+            small_sorted,
             F.col("l_returnflag").asc_nulls_first(),
             F.col("l_linestatus").asc_nulls_first(),
         )
@@ -642,7 +643,7 @@ def supplier_volume_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_lineitems"),
             F.countDistinct("s_suppkey").alias("n_suppliers"),
         )
-        .orderBy(F.col("revenue").desc(), F.col("nation"))
+        .transform(small_sorted, F.col("revenue").desc(), F.col("nation"))
     )
 
 
