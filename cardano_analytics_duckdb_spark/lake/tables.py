@@ -84,16 +84,73 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if not os.path.exists(path):
         raise FileNotFoundError(f"table {name!r} not found at {path}")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-        # reader rejects ([PARQUET_TYPE_ILLEGAL]).  Read nanos as long and
-        # truncate to microseconds — exactly DuckDB's ns→us cast semantics,
-        # so oracle comparisons stay bit-identical.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        from pyspark.sql import functions as F
+        return _load_events(spark, path)
+    return spark.read.parquet(path)
 
+
+def events_ts_is_nanos(path: str) -> bool:
+    """Probe the parquet footer: does ``ts`` use TIMESTAMP(NANOS)?
+
+    The driver's testdata has shipped events.ts as both TIMESTAMP(NANOS) and
+    plain TIMESTAMP(MICROS) across regenerations; a footer read (one file,
+    driver-side, metadata only) decides which loader path applies instead of
+    hardcoding either encoding.
+    """
+    import pyarrow.parquet as pq
+
+    probe = path
+    if os.path.isdir(path):
+        parts = sorted(
+            f for f in os.listdir(path) if f.endswith(".parquet")
+        )
+        if not parts:
+            return False
+        probe = os.path.join(path, parts[0])
+    return str(pq.read_schema(probe).field("ts").type).startswith("timestamp[ns")
+
+
+def _load_events(spark: SparkSession, path: str) -> DataFrame:
+    """Load events with ``ts`` normalized to a session-TZ TIMESTAMP whatever
+    the parquet encoding:
+
+    - TIMESTAMP(NANOS): Spark's vectorized reader rejects it
+      ([PARQUET_TYPE_ILLEGAL]); read nanos as long, truncate to micros —
+      DuckDB's ns→us cast semantics, so oracle comparisons stay bit-identical.
+    - TIMESTAMP(MICROS/MILLIS) without UTC adjustment: surfaces as
+      TIMESTAMP_NTZ; cast to TIMESTAMP (session TZ is UTC, matching DuckDB's
+      naive timestamps bit-for-bit).
+    """
+    from pyspark.sql import functions as F
+
+    if events_ts_is_nanos(path):
+        # nanosAsLong only changes how otherwise-unreadable NANOS columns
+        # surface, and is only set when such a file is actually present.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
         return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    return spark.read.parquet(path)
+    df = spark.read.parquet(path)
+    if df.schema["ts"].dataType.typeName() == "timestamp_ntz":
+        df = df.withColumn("ts", _ntz_as_utc_instant("ts"))
+    return df
+
+
+def _ntz_as_utc_instant(col: str):
+    """TIMESTAMP_NTZ → TIMESTAMP interpreting the naive value as UTC,
+    independent of ``spark.sql.session.timeZone``.
+
+    A plain ``cast(ntz AS timestamp)`` reads the wall time in the *session*
+    zone — under the driver's vanilla (host-TZ) session that shifts every
+    epoch the oracle compares against (DuckDB treats naive timestamps as
+    UTC).  ``timestampdiff`` between two NTZ values is pure arithmetic, and
+    ``timestamp_micros`` maps epoch micros to an instant; neither consults
+    the session zone.
+    """
+    from pyspark.sql import functions as F
+
+    return F.expr(
+        "timestamp_micros(timestampdiff(MICROSECOND, "
+        f"TIMESTAMP_NTZ '1970-01-01 00:00:00', {col}))"
+    )
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -96,7 +96,7 @@ SELECT count(*) AS total_transactions,
        floor((avg(tx_fee)) * 100.0 + 0.5) / 100.0 AS avg_fee,
        max(tx_fee) AS max_fee,
        min(tx_fee) AS min_fee,
-       sum(tx_fee) AS total_fees
+       CAST(sum(tx_fee) AS BIGINT) AS total_fees
 FROM {_scan("tx")}
 """
 
@@ -262,9 +262,9 @@ def cardano_mint_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MINT_TOTALS_SQL = f"""
 SELECT lower(hex(policy_id)) AS policy_hex,
        lower(hex(asset_name)) AS asset_hex,
-       sum(quantity) AS net_quantity,
-       sum(CASE WHEN quantity > 0 THEN quantity ELSE 0 END) AS minted,
-       sum(CASE WHEN quantity < 0 THEN -quantity ELSE 0 END) AS burned,
+       CAST(sum(quantity) AS BIGINT) AS net_quantity,
+       CAST(sum(CASE WHEN quantity > 0 THEN quantity ELSE 0 END) AS BIGINT) AS minted,
+       CAST(sum(CASE WHEN quantity < 0 THEN -quantity ELSE 0 END) AS BIGINT) AS burned,
        count(*) AS n_events
 FROM {_scan("mint")}
 GROUP BY policy_hex, asset_hex
@@ -295,9 +295,9 @@ def cardano_address_utxo_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ADDRESS_UTXO_SQL = f"""
 SELECT address,
        count(*) AS n_utxos,
-       sum(lovelace) AS total_lovelace,
-       sum(CASE WHEN has_token THEN 1 ELSE 0 END) AS n_token_utxos,
-       sum(CASE WHEN has_datum THEN 1 ELSE 0 END) AS n_datum_utxos
+       CAST(sum(lovelace) AS BIGINT) AS total_lovelace,
+       CAST(sum(CASE WHEN has_token THEN 1 ELSE 0 END) AS BIGINT) AS n_token_utxos,
+       CAST(sum(CASE WHEN has_datum THEN 1 ELSE 0 END) AS BIGINT) AS n_datum_utxos
 FROM {_scan("utxo")}
 GROUP BY address
 ORDER BY address
@@ -372,7 +372,7 @@ def cardano_fee_by_slot_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _FEE_BY_GROUP_SQL = f"""
-SELECT slot_group, count(*) AS n_txs, sum(tx_fee) AS total_fees,
+SELECT slot_group, count(*) AS n_txs, CAST(sum(tx_fee) AS BIGINT) AS total_fees,
        min(CASE WHEN slot >= {_SHELLEY_SLOT}
             THEN {_SHELLEY_MS} + (slot - {_SHELLEY_SLOT}) * 1000
             ELSE {_BYRON_MS} + slot * 20000 END) AS first_ms,
@@ -409,7 +409,7 @@ def cardano_governance_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
 _GOVERNANCE_SQL = f"""
 SELECT v.voter,
        count(*) AS n_votes,
-       sum(v.vote) AS n_yes,
+       CAST(sum(v.vote) AS BIGINT) AS n_yes,
        count(DISTINCT lower(hex(v.action_id_tx))) AS n_actions,
        max(t.tx_fee) AS max_tx_fee
 FROM {_scan("vote")} v
@@ -437,8 +437,9 @@ def cardano_redeemer_costs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _REDEEMER_SQL = f"""
-SELECT tag, count(*) AS n, sum(mem) AS total_mem, sum(steps) AS total_steps,
-       sum(CASE WHEN data IS NOT NULL THEN 1 ELSE 0 END) AS n_with_data
+SELECT tag, count(*) AS n, CAST(sum(mem) AS BIGINT) AS total_mem,
+       CAST(sum(steps) AS BIGINT) AS total_steps,
+       CAST(sum(CASE WHEN data IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_with_data
 FROM {_scan("redeemer")}
 GROUP BY tag
 ORDER BY tag

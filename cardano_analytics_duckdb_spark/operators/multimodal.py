@@ -226,7 +226,7 @@ SELECT s.doc_id,
        count(*) AS n_samples,
        floor(sqrt(avg(CAST(s.s * s.s AS DOUBLE))) * 10000.0 + 0.5) / 10000.0 AS rms,
        max(abs(s.s)) AS peak,
-       (SELECT sum(zc) FROM crossings c WHERE c.doc_id = s.doc_id) AS zero_crossings
+       (SELECT CAST(sum(zc) AS BIGINT) FROM crossings c WHERE c.doc_id = s.doc_id) AS zero_crossings
 FROM samples s
 GROUP BY s.doc_id
 ORDER BY s.doc_id

@@ -59,7 +59,7 @@ def cardano_transfer_summary_stats(
 _SUMMARY_STATS_SQL = f"""
 WITH transfers AS ({_token_transfers_sql(None, None)})
 SELECT count(*) AS n_transfers,
-       sum(tx_fee) AS total_fee_lovelace,
+       CAST(sum(tx_fee) AS BIGINT) AS total_fee_lovelace,
        floor((sum(tx_fee) / 1e6) * 1000000.0 + 0.5) / 1000000.0 AS total_fee_ada,
        floor((avg(tx_fee) / 1e6) * 1000000.0 + 0.5) / 1000000.0 AS avg_fee_ada,
        min(slot) AS min_slot,
@@ -88,7 +88,7 @@ SELECT CASE WHEN input_addr_set IS NULL THEN 'mint'
             WHEN output_addr_set IS NULL THEN 'burn'
             ELSE 'transfer' END AS transfer_type,
        count(*) AS n,
-       sum(tx_fee) AS total_fee,
+       CAST(sum(tx_fee) AS BIGINT) AS total_fee,
        floor((avg(tx_fee)) * 100.0 + 0.5) / 100.0 AS avg_fee
 FROM transfers
 GROUP BY transfer_type

@@ -268,7 +268,7 @@ def corpus_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CORPUS_STATS_SQL = """
 SELECT source,
        count(*) AS n_docs,
-       sum(length(text)) AS total_chars,
+       CAST(sum(length(text)) AS BIGINT) AS total_chars,
        floor((avg(len(string_split(text, ' ')))) * 100.0 + 0.5) / 100.0 AS avg_tokens,
        count(DISTINCT lang) AS n_langs
 FROM documents

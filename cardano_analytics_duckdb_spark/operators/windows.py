@@ -159,7 +159,7 @@ WITH gaps AS (
                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
   FROM marked
 )
-SELECT user_id, session_id, count(*) AS n_events,
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id, count(*) AS n_events,
        {cs} AS session_value
 FROM sessioned
 GROUP BY user_id, session_id

@@ -23,28 +23,41 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions.rounding import rnd
+from ..lake.tables import _ntz_as_utc_instant, events_ts_is_nanos
 
-_EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as long
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+
+def _events_raw_schema(ts_nanos: bool) -> T.StructType:
+    # ts arrives as long when the file is TIMESTAMP(NANOS) (read via
+    # nanosAsLong), or as TIMESTAMP_NTZ for plain TIMESTAMP(MICROS) files.
+    ts_type = T.LongType() if ts_nanos else T.TimestampNTZType()
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
 
 
 def streaming_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """readStream over the events parquet (bounded replay source)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return (
-        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    """readStream over the events parquet (bounded replay source).
+
+    Normalizes ``ts`` to a session-TZ TIMESTAMP for both parquet encodings
+    the driver's testdata has used (see ``lake.tables._load_events``).
+    """
+    ts_nanos = events_ts_is_nanos(os.path.join(sf_dir, "events.parquet"))
+    reader = spark.readStream.schema(_events_raw_schema(ts_nanos)).option(
+        "pathGlobFilter", "events.parquet"
     )
+    if ts_nanos:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        return reader.parquet(sf_dir).withColumn(
+            "ts", F.expr("timestamp_micros(ts div 1000)")
+        )
+    return reader.parquet(sf_dir).withColumn("ts", _ntz_as_utc_instant("ts"))
 
 
 def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -310,7 +323,7 @@ WITH gaps AS (
                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
   FROM marked
 )
-SELECT user_id, session_id, count(*) AS n_events,
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id, count(*) AS n_events,
        floor((sum(value)) * 100.0 + 0.5) / 100.0 AS session_value
 FROM sessioned
 GROUP BY user_id, session_id

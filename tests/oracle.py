@@ -41,10 +41,17 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
 def _canon_cell(v):
     if v is None:
         return None
-    if isinstance(v, float):
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, float):  # also covers np.float64
         if math.isnan(v):
             return None
-        return round(v, 6)
+        # Tag floats so a float cell NEVER equals an int cell, even when
+        # numerically equal.  The driver hashes `509234444.0` != `509234444`
+        # (DuckDB promotes integer SUM to HUGEINT, which fetchdf() renders
+        # as float64) — without the tag, pytest stayed green while the
+        # driver's gate failed on exactly this class for two rounds.
+        return ("float", round(v, 6))
     if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
         # The driver's canonicalizer (pandas sort_values over all columns)
         # crashes on list cells — fail loudly here so no query ships an
