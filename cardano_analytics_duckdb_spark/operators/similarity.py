@@ -424,6 +424,100 @@ ORDER BY label, dim
 """
 
 
+# -- k-NN join: top-k neighbors for EVERY query vector ------------------------
+# The batch form of retrieval an LLM data pipeline runs corpus-wide
+# (cross-corpus near-dup, hard-negative mining): each of Q query vectors
+# gets its k nearest corpus vectors by cosine.  Plan shape is a two-phase
+# tournament so it scales where a naive per-query-group rank would not:
+#   1. broadcast the Q queries against the corpus scan (narrow ×Q
+#      expansion, sims computed inside whole-stage codegen), then reduce
+#      each partition to its local per-query top-k with a streaming
+#      Arrow-batched reducer (mapInPandas: O(Q×k + batch) memory, NO
+#      shuffle — a groupBy(collect_list) here would exchange every
+#      candidate row, since partial agg buffers aren't truncated);
+#   2. shuffle only the P×Q×k survivors (tiny) and rank per query.
+# With 1000 executors the phase-2 shuffle carries ~1000×Q×k rows — the
+# per-query skew of ranking the full crossJoin never materializes.
+
+_KNN_QUERIES = 10
+_KNN_K = 3
+
+
+def _local_topk_reducer(k: int):
+    """Factory (shipped by value — see _allpairs_cosine_kernel) for the
+    per-partition streaming top-k: fold each Arrow batch into the running
+    per-query head-k, so memory stays O(Q×k + batch) however large the
+    partition."""
+
+    def reduce(batches):
+        import pandas as pd
+
+        best = None
+        for pdf in batches:
+            cur = pdf if best is None else pd.concat([best, pdf])
+            cur = cur.sort_values(
+                ["q_id", "cos_sim", "vec_id"],
+                ascending=[True, False, True],
+            )
+            best = cur.groupby("q_id", sort=False).head(k)
+        if best is not None and len(best):
+            yield best
+
+    return reduce
+
+
+def knn_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _KNN_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q")
+    )
+    corpus = emb.filter(F.col("vec_id") >= _KNN_QUERIES).select(
+        "vec_id", "embedding"
+    )
+    sim = rnd(_dot("embedding", "q") / (_norm("embedding") * _norm("q")), 4)
+    cand = corpus.crossJoin(F.broadcast(queries)).select(
+        "q_id", "vec_id", sim.alias("cos_sim")
+    )
+    local_topk = cand.mapInPandas(
+        _local_topk_reducer(_KNN_K), "q_id long, vec_id long, cos_sim double"
+    )
+    return (
+        local_topk.withColumn(
+            "rk",
+            F.row_number()
+            .over(W.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), "vec_id"))
+            .cast("long"),
+        )
+        .filter(F.col("rk") <= _KNN_K)
+        .orderBy("q_id", "rk")
+    )
+
+
+_KNN_JOIN_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id < {_KNN_QUERIES}
+), c AS (
+  SELECT vec_id, embedding::DOUBLE[] AS ev
+  FROM embeddings WHERE vec_id >= {_KNN_QUERIES}
+), sims AS (
+  SELECT q_id, vec_id,
+         floor((list_cosine_similarity(ev, qv)) * 10000.0 + 0.5) / 10000.0
+           AS cos_sim
+  FROM q, c
+), ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rk
+  FROM sims
+)
+SELECT q_id, vec_id, cos_sim, rk
+FROM ranked WHERE rk <= {_KNN_K}
+ORDER BY q_id, rk
+"""
+
+
 QUERIES = {
     "cosine_topk": cosine_topk,
     "embedding_dim_stats": embedding_dim_stats,
@@ -432,6 +526,7 @@ QUERIES = {
     "embedding_near_dup_pairs": embedding_near_dup_pairs,
     "lsh_bucketed_near_dup_pairs": lsh_bucketed_near_dup_pairs,
     "ivf_topk": ivf_topk,
+    "knn_join_topk": knn_join_topk,
 }
 
 ORACLE = {
@@ -442,4 +537,5 @@ ORACLE = {
     "embedding_near_dup_pairs": _NEAR_DUP_SQL,
     "lsh_bucketed_near_dup_pairs": _lsh_near_dup_sql(),
     "ivf_topk": _ivf_sql(),
+    "knn_join_topk": _KNN_JOIN_SQL,
 }

@@ -403,11 +403,55 @@ ORDER BY click_id, purchase_id
 """
 
 
+# -- streaming deduplication --------------------------------------------------
+# The LLM-pipeline dedup family applied to an unbounded feed: watermarked
+# exact-dedup via dropDuplicatesWithinWatermark, whose state store retains a
+# key only until the watermark passes it — bounded state on an infinite
+# stream, where a batch distinct would need the full history.  Which physical
+# row survives a duplicate group is batch/partition-order dependent, so the
+# query aggregates only key-level facts (counts per event_type), which are
+# deterministic and exactly oracle-checkable on bounded replay.
+
+
+def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = streaming_events(spark, sf_dir).withWatermark("ts", "10 minutes")
+    dedup = ev.dropDuplicatesWithinWatermark(["user_id", "event_type"])
+    name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        dedup.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(
+        f"""
+        SELECT event_type, count(*) AS n_unique_users
+        FROM {name}
+        GROUP BY event_type
+        ORDER BY event_type
+        """
+    )
+
+
+_STREAM_DEDUP_SQL = """
+SELECT event_type, count(DISTINCT user_id) AS n_unique_users
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 QUERIES = {
     "streaming_tumbling_counts": streaming_tumbling_counts,
     "streaming_session_windows": streaming_session_windows,
     "streaming_stateful_sessions": streaming_stateful_sessions,
     "streaming_click_purchase_join": streaming_click_purchase_join,
+    "streaming_dedup_events": streaming_dedup_events,
 }
 
 ORACLE = {
@@ -415,4 +459,5 @@ ORACLE = {
     "streaming_session_windows": _STREAM_SESSION_SQL,
     "streaming_stateful_sessions": _STREAM_STATEFUL_SQL,
     "streaming_click_purchase_join": _STREAM_JOIN_SQL,
+    "streaming_dedup_events": _STREAM_DEDUP_SQL,
 }
