@@ -474,6 +474,54 @@ ORDER BY a.p_brand, part_a, part_b
 """
 
 
+# -- benchmark decontamination ------------------------------------------------
+# Training-data hygiene: flag corpus documents sharing any word 3-gram with
+# a held-out benchmark set (doc_id < 20 stands in for the eval corpus).
+# Spark-first shape: the benchmark shingle set is broadcast-sized by
+# construction (eval sets are small), so the inverted-index probe is a
+# broadcast inner join evaluated narrowly against the corpus shingle scan —
+# the only shuffle is the per-doc hit count, which map-side partials shrink
+# to one row per contaminated doc.  At 100 TB the corpus streams through a
+# single scan; nothing quadratic, nothing driver-side.
+
+_BENCH_DOCS = 20
+
+
+def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bench_sh = (
+        _shingles(docs.filter(F.col("doc_id") < _BENCH_DOCS))
+        .select("sh")
+        .distinct()
+    )
+    corpus_sh = _shingles(docs.filter(F.col("doc_id") >= _BENCH_DOCS))
+    return (
+        corpus_sh.join(F.broadcast(bench_sh), "sh")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared_shingles"))
+        .transform(small_sorted, "doc_id")
+    )
+
+
+_CONTAMINATION_SQL = f"""
+WITH
+cwords AS (SELECT doc_id, string_split(text, ' ') AS w
+           FROM documents WHERE doc_id >= {_BENCH_DOCS}),
+cshingles AS (
+  SELECT DISTINCT doc_id, array_to_string(w[g:g+2], ' ') AS sh
+  FROM cwords, unnest(generate_series(1, greatest(len(w)-2, 0))) AS t(g)),
+bwords AS (SELECT doc_id, string_split(text, ' ') AS w
+           FROM documents WHERE doc_id < {_BENCH_DOCS}),
+bshingles AS (
+  SELECT DISTINCT array_to_string(w[g:g+2], ' ') AS sh
+  FROM bwords, unnest(generate_series(1, greatest(len(w)-2, 0))) AS t(g))
+SELECT c.doc_id, count(*) AS n_shared_shingles
+FROM cshingles c JOIN bshingles b ON c.sh = b.sh
+GROUP BY c.doc_id
+ORDER BY c.doc_id
+"""
+
+
 QUERIES = {
     "exact_dedup_groups": exact_dedup_groups,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
@@ -481,6 +529,7 @@ QUERIES = {
     "simhash_fingerprints": simhash_fingerprints,
     "near_dup_doc_clusters": near_dup_doc_clusters,
     "part_name_levenshtein_pairs": part_name_levenshtein_pairs,
+    "benchmark_contamination": benchmark_contamination,
 }
 
 ORACLE = {
@@ -490,4 +539,5 @@ ORACLE = {
     "simhash_fingerprints": _simhash_sql(),
     "near_dup_doc_clusters": _NEAR_DUP_CLUSTERS_SQL,
     "part_name_levenshtein_pairs": _LEVENSHTEIN_SQL,
+    "benchmark_contamination": _CONTAMINATION_SQL,
 }

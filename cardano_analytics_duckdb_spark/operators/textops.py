@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.ordering import small_sorted
 from ..functions.rounding import rnd
 from ..lake.tables import load_table
 
@@ -315,6 +316,82 @@ ORDER BY doc_id
 """
 
 
+# -- end-to-end corpus curation ----------------------------------------------
+# The canonical LLM-data flow as ONE declarative plan — quality filter →
+# exact-dedup keeping the canonical doc per fingerprint → deterministic
+# stratified sample → per-source yield stats.  Everything stays in a single
+# Catalyst plan, so the quality filter pushes into the scan, the fingerprint
+# window is the only shuffle of full rows (keyed on md5 — uniformly
+# distributed, skew-free), and sampling is a pushdown-able int64 predicate
+# (same multiplicative-hash split as stratified_order_sample: identical row
+# membership on any engine or cluster size).  Per-doc ratios are folded to
+# 4-decimal ints before the average so float summation order can't flip
+# rounding between engines.
+
+
+def curated_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    ttr = F.size(F.array_distinct(toks)) / F.size(toks)
+    scored = docs.select(
+        "doc_id",
+        "source",
+        "text",
+        F.size(toks).alias("n_tokens"),
+        ttr.alias("ttr"),
+    )
+    quality = scored.filter((F.col("n_tokens") >= 5) & (F.col("ttr") >= 0.3))
+    from pyspark.sql import Window as W
+
+    canon = F.min("doc_id").over(W.partitionBy(F.md5("text")))
+    kept = (
+        quality.withColumn("canon_id", canon)
+        .filter(
+            (F.col("doc_id") == F.col("canon_id"))
+            & ((F.col("doc_id") * F.lit(2654435761)) % 100 < 30)
+        )
+    )
+    ttr4 = F.floor(F.col("ttr") * 10000 + F.lit(0.5)).cast("long")
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_tokens").alias("total_tokens"),
+            rnd(F.sum(ttr4) / F.lit(10000.0) / F.count(F.lit(1)), 4).alias(
+                "avg_ttr"
+            ),
+        )
+        .transform(small_sorted, "source")
+    )
+
+
+_CURATED_SQL = """
+WITH scored AS (
+  SELECT doc_id, source, text,
+         len(string_split(text, ' ')) AS n_tokens,
+         len(list_distinct(string_split(text, ' '))) * 1.0
+           / len(string_split(text, ' ')) AS ttr
+  FROM documents
+), quality AS (
+  SELECT * FROM scored WHERE n_tokens >= 5 AND ttr >= 0.3
+), canon AS (
+  SELECT *, min(doc_id) OVER (PARTITION BY md5(text)) AS canon_id
+  FROM quality
+), kept AS (
+  SELECT * FROM canon
+  WHERE doc_id = canon_id AND (doc_id * 2654435761) % 100 < 30
+)
+SELECT source,
+       count(*) AS n_kept,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       floor((sum(cast(floor(ttr * 10000.0 + 0.5) AS BIGINT)) / 10000.0
+              / count(*)) * 10000.0 + 0.5) / 10000.0 AS avg_ttr
+FROM kept
+GROUP BY source
+ORDER BY source
+"""
+
+
 QUERIES = {
     "doc_quality_scores": doc_quality_scores,
     "lang_id_scores": lang_id_scores,
@@ -324,6 +401,7 @@ QUERIES = {
     "corpus_stats_by_source": corpus_stats_by_source,
     "event_props_json": event_props_json,
     "doc_regex_features": doc_regex_features,
+    "curated_corpus_sample": curated_corpus_sample,
 }
 
 ORACLE = {
@@ -335,4 +413,5 @@ ORACLE = {
     "rolling_fingerprints": _ROLLING_FP_SQL,
     "corpus_stats_by_source": _CORPUS_STATS_SQL,
     "event_props_json": _PROPS_JSON_SQL,
+    "curated_corpus_sample": _CURATED_SQL,
 }
