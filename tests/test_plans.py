@@ -313,3 +313,49 @@ def test_levenshtein_blocking_uses_composite_canopy(spark, sf_dir):
     # never as part of a cartesian/broadcast-nested-loop candidate join
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_knn_join_phase1_is_narrow(spark, sf_dir):
+    """knn_join_topk's phase 1 (broadcast queries x corpus sims -> local
+    top-k reducer) must not shuffle: the only Exchange below the Python
+    reducer is the broadcast of the query vectors.  The per-query rank
+    shuffles only the P*Q*k survivors above it."""
+    from cardano_analytics_duckdb_spark.operators.similarity import (
+        knn_join_topk,
+    )
+
+    plan = _plan(knn_join_topk(spark, sf_dir))
+    head, _, tail = plan.partition("MapInPandas")
+    assert tail, "expected a MapInPandas local top-k stage"
+    # below the reducer (printed after it): broadcast exchange only
+    assert "BroadcastExchange" in tail
+    assert "Exchange hashpartitioning" not in tail
+    assert "Exchange rangepartitioning" not in tail
+    # above it: exactly the per-query rank shuffle over the survivors
+    assert "Window" in head
+
+
+def test_contamination_probe_is_broadcast(spark, sf_dir):
+    """The held-out shingle set must broadcast; the corpus side must never
+    be shuffled before the join (the only shuffle is the per-doc count)."""
+    from cardano_analytics_duckdb_spark.operators.dedup import (
+        benchmark_contamination,
+    )
+
+    plan = _plan(benchmark_contamination(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_curation_pipeline_single_fullrow_shuffle(spark, sf_dir):
+    """curated_corpus_sample: quality filter and sample predicate must fold
+    into the pre-shuffle stage; the md5-fingerprint window is the only
+    exchange of full rows (plus the tiny post-agg sort)."""
+    from cardano_analytics_duckdb_spark.operators.textops import (
+        curated_corpus_sample,
+    )
+
+    df = curated_corpus_sample(spark, sf_dir)
+    plan = _plan(df)
+    assert plan.count("Exchange hashpartitioning") <= 2  # window + groupBy
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
