@@ -152,6 +152,28 @@ def _cmd_analyze_token(args: argparse.Namespace, spark: SparkSession) -> int:
     return 0
 
 
+def _cmd_curate(args: argparse.Namespace, spark: SparkSession) -> int:
+    from .lake.tables import load_table
+    from .operators.textops import curated_documents
+
+    docs = load_table(spark, args.data, "documents")
+    kept = curated_documents(docs, sample_pct=args.sample_pct)
+    # one partitioned parquet sink per source: downstream training jobs pick
+    # strata by directory, and the write parallelism follows the pipeline's
+    kept.write.mode("overwrite").partitionBy("source").parquet(args.dest)
+    out = spark.read.parquet(args.dest)
+    print(
+        json.dumps(
+            {
+                "curated_docs": out.count(),
+                "sources": out.select("source").distinct().count(),
+                "dest": args.dest,
+            }
+        )
+    )
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="cardano-analytics-spark",
@@ -195,6 +217,20 @@ def build_parser() -> argparse.ArgumentParser:
     an.add_argument("--max-slot", type=int, default=None)
     an.add_argument("--csv", default=None, help="write detail CSV here")
     an.set_defaults(func=_cmd_analyze_token)
+
+    cu = sub.add_parser(
+        "curate",
+        help="quality-filter + dedup + stratified-sample a document corpus",
+    )
+    cu.add_argument("--data", required=True, help="dir containing documents.parquet")
+    cu.add_argument("--dest", required=True, help="curated parquet output dir")
+    cu.add_argument(
+        "--sample-pct",
+        type=int,
+        default=30,
+        help="deterministic sample percentage (multiplicative-hash split)",
+    )
+    cu.set_defaults(func=_cmd_curate)
     return p
 
 

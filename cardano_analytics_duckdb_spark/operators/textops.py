@@ -329,8 +329,10 @@ ORDER BY doc_id
 # rounding between engines.
 
 
-def curated_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+def curated_documents(docs: DataFrame, sample_pct: int = 30) -> DataFrame:
+    """The kept-document set of the curation pipeline (doc_id, source,
+    n_tokens, ttr) — reused by the ``curate`` CLI sink and by the
+    registered stats query below."""
     toks = F.split(F.col("text"), " ")
     ttr = F.size(F.array_distinct(toks)) / F.size(toks)
     scored = docs.select(
@@ -344,13 +346,18 @@ def curated_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     canon = F.min("doc_id").over(W.partitionBy(F.md5("text")))
-    kept = (
+    return (
         quality.withColumn("canon_id", canon)
         .filter(
             (F.col("doc_id") == F.col("canon_id"))
-            & ((F.col("doc_id") * F.lit(2654435761)) % 100 < 30)
+            & ((F.col("doc_id") * F.lit(2654435761)) % 100 < sample_pct)
         )
+        .select("doc_id", "source", "n_tokens", "ttr")
     )
+
+
+def curated_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    kept = curated_documents(load_table(spark, sf_dir, "documents"))
     ttr4 = F.floor(F.col("ttr") * 10000 + F.lit(0.5)).cast("long")
     return (
         kept.groupBy("source")

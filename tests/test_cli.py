@@ -67,3 +67,39 @@ def test_extract_respects_stop_slot(spark, tmp_path, capsys):
     main(["extract", "--dest", full_dest], spark=spark)
     full = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert stats["blocks"] < full["blocks"]
+
+
+def test_curate_writes_stratified_parquet(spark, tmp_path, capsys):
+    import duckdb
+
+    dest = str(tmp_path / "curated")
+    rc = main(
+        ["curate", "--data", "/root/testdata/sf0.001", "--dest", dest],
+        spark=spark,
+    )
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["curated_docs"] > 0
+    assert stats["sources"] > 1
+    # source strata are physical partition directories
+    strata = [d for d in os.listdir(dest) if d.startswith("source=")]
+    assert len(strata) == stats["sources"]
+    # membership matches the oracle pipeline exactly (deterministic sample)
+    expected = duckdb.sql(
+        """
+        WITH scored AS (
+          SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+                 len(list_distinct(string_split(text, ' '))) * 1.0
+                   / len(string_split(text, ' ')) AS ttr, text
+          FROM read_parquet('/root/testdata/sf0.001/documents.parquet')
+        ), quality AS (
+          SELECT * FROM scored WHERE n_tokens >= 5 AND ttr >= 0.3
+        ), canon AS (
+          SELECT *, min(doc_id) OVER (PARTITION BY md5(text)) AS canon_id
+          FROM quality
+        )
+        SELECT count(*) FROM canon
+        WHERE doc_id = canon_id AND (doc_id * 2654435761) % 100 < 30
+        """
+    ).fetchone()[0]
+    assert stats["curated_docs"] == expected
