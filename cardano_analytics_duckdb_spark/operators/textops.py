@@ -399,6 +399,37 @@ ORDER BY source
 """
 
 
+# -- vocabulary builder -------------------------------------------------------
+# Corpus-wide token frequencies, the precursor to tokenizer training: one
+# explode + one hash aggregate with map-side partials, then true top-k.
+# Scale: token keys follow a Zipf distribution, but partial aggregation
+# collapses each partition's counts before the shuffle, so the hot "the"
+# key moves one row per map task, not one per occurrence — the skew a naive
+# repartition-by-token would suffer never reaches the exchange.
+
+
+def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), "token")
+        .limit(100)
+    )
+
+
+_VOCAB_SQL = """
+SELECT t.token, count(*) AS n_occurrences
+FROM documents, unnest(string_split(text, ' ')) AS t(token)
+WHERE t.token != ''
+GROUP BY t.token
+ORDER BY n_occurrences DESC, t.token
+LIMIT 100
+"""
+
+
 QUERIES = {
     "doc_quality_scores": doc_quality_scores,
     "lang_id_scores": lang_id_scores,
@@ -409,6 +440,7 @@ QUERIES = {
     "event_props_json": event_props_json,
     "doc_regex_features": doc_regex_features,
     "curated_corpus_sample": curated_corpus_sample,
+    "vocab_top_tokens": vocab_top_tokens,
 }
 
 ORACLE = {
@@ -421,4 +453,5 @@ ORACLE = {
     "corpus_stats_by_source": _CORPUS_STATS_SQL,
     "event_props_json": _PROPS_JSON_SQL,
     "curated_corpus_sample": _CURATED_SQL,
+    "vocab_top_tokens": _VOCAB_SQL,
 }
