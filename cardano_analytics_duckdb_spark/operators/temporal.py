@@ -203,14 +203,81 @@ ORDER BY g.user_id, hour_ms
 """
 
 
+# -- conversion funnel --------------------------------------------------------
+# Product-analytics staple: per user, first click → first purchase AT OR
+# AFTER that click → conversion within 30 minutes.  One hash shuffle on
+# user_id serves both window passes AND the per-user collapse (same
+# clustering, no re-exchange); the second window expression references the
+# first's output, which stays in the same window stage.  The final stage is
+# a 1-row global aggregate with map-side partials.  "First purchase after
+# first click" is deliberately NOT min(purchase ts) overall — the funnel
+# must not count purchases that preceded any click.
+
+
+def user_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    )
+    w = Window.partitionBy("user_id")
+    fc = F.min(
+        F.when(F.col("event_type") == "click", F.col("ts"))
+    ).over(w)
+    fp_after = F.min(
+        F.when(
+            (F.col("event_type") == "purchase") & (F.col("ts") >= F.col("fc")),
+            F.col("ts"),
+        )
+    ).over(w)
+    per_user = (
+        ev.withColumn("fc", fc)
+        .withColumn("fp_after", fp_after)
+        .groupBy("user_id")
+        .agg(F.min("fc").alias("fc"), F.min("fp_after").alias("fp_after"))
+    )
+    clicked = F.col("fc").isNotNull()
+    purchased = clicked & F.col("fp_after").isNotNull()
+    converted = purchased & (
+        F.unix_millis("fp_after") - F.unix_millis("fc") <= 30 * 60 * 1000
+    )
+    return per_user.agg(
+        F.count(F.when(clicked, 1)).alias("n_users_clicked"),
+        F.count(F.when(purchased, 1)).alias("n_purchased_after_click"),
+        F.count(F.when(converted, 1)).alias("n_converted_30min"),
+    )
+
+
+_FUNNEL_SQL = """
+WITH per_user AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'click' THEN ts END) AS fc
+  FROM events GROUP BY user_id
+), enriched AS (
+  SELECT u.user_id, u.fc,
+         (SELECT min(ts) FROM events e
+          WHERE e.user_id = u.user_id AND e.event_type = 'purchase'
+            AND e.ts >= u.fc) AS fp_after
+  FROM per_user u
+)
+SELECT count(CASE WHEN fc IS NOT NULL THEN 1 END) AS n_users_clicked,
+       count(CASE WHEN fc IS NOT NULL AND fp_after IS NOT NULL
+                  THEN 1 END) AS n_purchased_after_click,
+       count(CASE WHEN fc IS NOT NULL AND fp_after IS NOT NULL
+                   AND epoch_ms(fp_after) - epoch_ms(fc) <= 1800000
+                  THEN 1 END) AS n_converted_30min
+FROM enriched
+"""
+
+
 QUERIES = {
     "events_asof_purchase": events_asof_purchase,
     "events_within_minute_pairs": events_within_minute_pairs,
     "user_hourly_gapfill": user_hourly_gapfill,
+    "user_conversion_funnel": user_conversion_funnel,
 }
 
 ORACLE = {
     "events_asof_purchase": _ASOF_SQL,
     "events_within_minute_pairs": _WITHIN_SQL,
     "user_hourly_gapfill": _GAPFILL_SQL,
+    "user_conversion_funnel": _FUNNEL_SQL,
 }
