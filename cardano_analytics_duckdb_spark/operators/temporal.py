@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.ordering import small_sorted
 from ..lake.tables import load_table
 
 # -- as-of join: each click's most recent purchase (same user, ts <=) ---------
@@ -268,11 +269,63 @@ FROM enriched
 """
 
 
+# -- weekly cohort retention --------------------------------------------------
+# The cohort matrix: users grouped by their first active week, counted in
+# each subsequent week they return.  The user_id window exchange also
+# satisfies the (user_id, cohort, offset) dedup's clustering requirement
+# (hash on a SUBSET of the dedup keys still co-locates equal tuples), so
+# dropDuplicates adds no exchange; only the final small (cohort, offset)
+# aggregate shuffles.
+
+_WEEK_MS = 7 * 24 * 3600 * 1000
+
+
+def weekly_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    base = ev.select(
+        "user_id",
+        F.floor(F.unix_millis("ts") / _WEEK_MS).cast("long").alias("wk"),
+    )
+    cohort = F.min("wk").over(Window.partitionBy("user_id"))
+    return (
+        base.withColumn("cohort_wk", cohort)
+        .select(
+            "user_id",
+            "cohort_wk",
+            (F.col("wk") - F.col("cohort_wk")).alias("week_offset"),
+        )
+        .dropDuplicates(["user_id", "cohort_wk", "week_offset"])
+        .groupBy("cohort_wk", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_active_users"))
+        .transform(small_sorted, "cohort_wk", "week_offset")
+    )
+
+
+_COHORT_SQL = f"""
+WITH wk AS (
+  SELECT user_id,
+         CAST(floor(epoch_ms(ts) / {_WEEK_MS}) AS BIGINT) AS wk
+  FROM events
+), cohort AS (
+  SELECT user_id, wk, min(wk) OVER (PARTITION BY user_id) AS cohort_wk
+  FROM wk
+), dist AS (
+  SELECT DISTINCT user_id, cohort_wk, wk - cohort_wk AS week_offset
+  FROM cohort
+)
+SELECT cohort_wk, week_offset, count(*) AS n_active_users
+FROM dist
+GROUP BY cohort_wk, week_offset
+ORDER BY cohort_wk, week_offset
+"""
+
+
 QUERIES = {
     "events_asof_purchase": events_asof_purchase,
     "events_within_minute_pairs": events_within_minute_pairs,
     "user_hourly_gapfill": user_hourly_gapfill,
     "user_conversion_funnel": user_conversion_funnel,
+    "weekly_cohort_retention": weekly_cohort_retention,
 }
 
 ORACLE = {
@@ -280,4 +333,5 @@ ORACLE = {
     "events_within_minute_pairs": _WITHIN_SQL,
     "user_hourly_gapfill": _GAPFILL_SQL,
     "user_conversion_funnel": _FUNNEL_SQL,
+    "weekly_cohort_retention": _COHORT_SQL,
 }
