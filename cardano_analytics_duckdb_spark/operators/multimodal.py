@@ -99,13 +99,17 @@ def image_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
         for pdf in batches:
-            feats = pdf["payload"].map(lambda p: _fake_decode(bytes(p)))
+            # one pass over the batch (the decode call is inherently
+            # per-item — a real decoder opens one image at a time), then
+            # zip straight into columns
+            feats = [_fake_decode(bytes(p)) for p in pdf["payload"]]
+            width, height, fp = zip(*feats) if feats else ((), (), ())
             yield _pd.DataFrame(
                 {
-                    "doc_id": pdf["doc_id"],
-                    "width": feats.map(lambda f: f[0]),
-                    "height": feats.map(lambda f: f[1]),
-                    "fingerprint": feats.map(lambda f: f[2]),
+                    "doc_id": pdf["doc_id"].to_numpy(),
+                    "width": width,
+                    "height": height,
+                    "fingerprint": fp,
                 }
             )
 
@@ -184,14 +188,16 @@ def audio_waveform_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             return len(s), rms, peak, zc
 
         for pdf in batches:
-            out = pdf["payload"].map(lambda p: _feats(bytes(p)))
+            # per-item kernel (variable-length payloads), one pass + zip
+            out = [_feats(bytes(p)) for p in pdf["payload"]]
+            n, rms, peak, zc = zip(*out) if out else ((), (), (), ())
             yield _pd.DataFrame(
                 {
-                    "doc_id": pdf["doc_id"],
-                    "n_samples": out.map(lambda f: f[0]),
-                    "rms": out.map(lambda f: f[1]),
-                    "peak": out.map(lambda f: f[2]),
-                    "zero_crossings": out.map(lambda f: f[3]),
+                    "doc_id": pdf["doc_id"].to_numpy(),
+                    "n_samples": n,
+                    "rms": rms,
+                    "peak": peak,
+                    "zero_crossings": zc,
                 }
             )
 
