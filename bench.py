@@ -64,27 +64,12 @@ def main() -> None:
     for name in HEADLINE:
         queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
-    # Median of 5 timed runs per query: the host has noisy-neighbor CPU
-    # variance, and single-shot timings at sub-second scale are dominated by
-    # it (observed 3x swings on identical plans).
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        runs = []
-        for _ in range(5):
-            df = queries[name](spark, sf_dir)
-            t0 = time.perf_counter()
-            df.write.format("noop").mode("overwrite").save()
-            runs.append(time.perf_counter() - t0)
-        timings[name] = round(sorted(runs)[2], 3)
-
-    total = round(sum(timings.values()), 3)
-
     # DuckDB side of the same queries (oracle SQL on the same parquet), so
     # the Spark-vs-single-node-baseline ratio is a recorded fact in every
-    # BENCH_r*.json rather than a remembered number.  Same protocol:
-    # one warmup pass, then median of 3, results discarded via fetchall.
-    duck_timings: dict[str, float] = {}
-    duckdb_value = None
+    # BENCH_r*.json rather than a remembered number.  Best-effort: if the
+    # baseline can't set up, the Spark column still reports.
+    con = None
+    oracles = {}
     try:
         import duckdb
 
@@ -102,17 +87,37 @@ def main() -> None:
                 f"read_parquet('{os.path.join(sf_dir, t + '.parquet')}')"
             )
         for name in HEADLINE:
-            con.execute(oracles[name]).fetchall()
-        for name in HEADLINE:
-            runs = []
-            for _ in range(5):
+            con.execute(oracles[name]).fetchall()  # warmup
+    except Exception:
+        con = None
+
+    # Median of 5 timed runs per query, with the Spark run and its DuckDB
+    # baseline INTERLEAVED inside each round: the host has noisy-neighbor
+    # CPU variance (observed 3x swings on identical plans), and timing all
+    # of one engine then all of the other lets a noise burst land on a
+    # single side and skew the ratio.  Pairing the measurements makes the
+    # recorded ratio robust to drifts slower than one round.
+    timings: dict[str, float] = {}
+    duck_timings: dict[str, float] = {}
+    for name in HEADLINE:
+        s_runs, d_runs = [], []
+        for _ in range(5):
+            df = queries[name](spark, sf_dir)
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            s_runs.append(time.perf_counter() - t0)
+            if con is not None:
                 t0 = time.perf_counter()
                 con.execute(oracles[name]).fetchall()
-                runs.append(time.perf_counter() - t0)
-            duck_timings[name] = round(sorted(runs)[2], 3)
-        duckdb_value = round(sum(duck_timings.values()), 3)
-    except Exception:
-        pass  # baseline column is best-effort; never fail the bench
+                d_runs.append(time.perf_counter() - t0)
+        timings[name] = round(sorted(s_runs)[2], 3)
+        if d_runs:
+            duck_timings[name] = round(sorted(d_runs)[2], 3)
+
+    total = round(sum(timings.values()), 3)
+    duckdb_value = (
+        round(sum(duck_timings.values()), 3) if duck_timings else None
+    )
 
     out = {
         "metric": "headline_query_wall_time",
