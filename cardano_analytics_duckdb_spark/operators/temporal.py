@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.ordering import small_sorted
+from ..functions.rounding import rnd
 from ..lake.tables import load_table
 
 # -- as-of join: each click's most recent purchase (same user, ts <=) ---------
@@ -320,12 +321,46 @@ ORDER BY cohort_wk, week_offset
 """
 
 
+# -- fixed-width histogram ----------------------------------------------------
+# Data-profiling staple: distribution of events.value in 5.0-wide bins.
+# Bin assignment is narrow int arithmetic inside codegen; the aggregate
+# shuffles one partial row per (partition, bin) — at 100 TB the exchange
+# carries P×n_bins rows no matter how many events there are.
+
+
+def event_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    bin_no = F.floor(F.col("value") / 5.0).cast("long")
+    return (
+        ev.select(bin_no.alias("bin_no"), "value")
+        .groupBy("bin_no")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            rnd(F.min("value"), 2).alias("bin_min"),
+            rnd(F.max("value"), 2).alias("bin_max"),
+        )
+        .transform(small_sorted, "bin_no")
+    )
+
+
+_HISTOGRAM_SQL = """
+SELECT CAST(floor(value / 5.0) AS BIGINT) AS bin_no,
+       count(*) AS n_events,
+       floor((min(value)) * 100.0 + 0.5) / 100.0 AS bin_min,
+       floor((max(value)) * 100.0 + 0.5) / 100.0 AS bin_max
+FROM events
+GROUP BY bin_no
+ORDER BY bin_no
+"""
+
+
 QUERIES = {
     "events_asof_purchase": events_asof_purchase,
     "events_within_minute_pairs": events_within_minute_pairs,
     "user_hourly_gapfill": user_hourly_gapfill,
     "user_conversion_funnel": user_conversion_funnel,
     "weekly_cohort_retention": weekly_cohort_retention,
+    "event_value_histogram": event_value_histogram,
 }
 
 ORACLE = {
@@ -334,4 +369,5 @@ ORACLE = {
     "user_hourly_gapfill": _GAPFILL_SQL,
     "user_conversion_funnel": _FUNNEL_SQL,
     "weekly_cohort_retention": _COHORT_SQL,
+    "event_value_histogram": _HISTOGRAM_SQL,
 }
