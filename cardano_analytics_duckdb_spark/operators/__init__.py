@@ -63,23 +63,25 @@ _WINDOW = (
     "events_within_minute_pairs",
     "user_hourly_gapfill",
     # analytic family picks (never checked)
-    "small_quantity_part_revenue",
-    "priority_returned_order_counts",
     "large_volume_customers",
-    "nation_market_share",
     "top_revenue_suppliers",
     "price_decile_stats",
     "revenue_grouping_sets",
     "order_status_unpivot",
-    # relational family picks (never checked)
+    # relational family picks (never checked; the first three are also
+    # bench-headline queries, so their driver rows double as perf parity)
     "high_value_orders",
     "pricing_summary",
     "revenue_by_region",
     "lineitem_rollup",
     "shipping_priority",
-    "supplier_volume_by_nation",
-    "price_percentiles",
-    "slot_time_conversion",
+    # r4-new LLM-pipeline operators (never checked)
+    "benchmark_contamination",
+    "knn_join_topk",
+    "curated_corpus_sample",
+    "streaming_dedup_events",
+    "user_conversion_funnel",
+    "weekly_cohort_retention",
 )
 
 
