@@ -49,10 +49,9 @@ _WINDOW = (
     "streaming_stateful_sessions",
     "streaming_click_purchase_join",
     "approx_user_stats",
-    # windows family (user_sessions/events_tumbling were r3-ERR; rest never checked)
+    # windows family (user_running_value / user_event_gaps went green in r4 and
+    # rotated out to free slots for the two never-driver-checked queries below)
     "top_orders_per_customer",
-    "user_running_value",
-    "user_event_gaps",
     "user_sessions",
     "events_tumbling_5min",
     "events_sliding_10min",
@@ -75,13 +74,16 @@ _WINDOW = (
     "revenue_by_region",
     "lineitem_rollup",
     "shipping_priority",
-    # r4-new LLM-pipeline operators (never checked)
+    # r4-new LLM-pipeline operators (went green r4; retained one more round)
     "benchmark_contamination",
     "knn_join_topk",
     "curated_corpus_sample",
     "streaming_dedup_events",
     "user_conversion_funnel",
     "weekly_cohort_retention",
+    # the final two never-driver-checked queries (added after the r4 window froze)
+    "event_value_histogram",
+    "vocab_top_tokens",
 )
 
 
