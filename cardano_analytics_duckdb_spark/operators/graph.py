@@ -35,7 +35,15 @@ def _lake(spark: SparkSession, table: str) -> DataFrame:
 
 
 def cospend_edges(spark: SparkSession) -> DataFrame:
-    """(addr_a, addr_b) pairs consumed by the same transaction."""
+    """Star-shaped co-spend edges: each address consumed by a transaction is
+    linked to the per-tx *minimum* address (the hub).
+
+    A clique over the k addresses of one transaction and the k-1 star edges
+    to the hub have identical connected components, but the star is linear in
+    k where the clique self-join is O(k²) — a consolidation tx with thousands
+    of inputs would otherwise emit millions of edge rows at 100 TB scale.
+    Hub = min(address), so ``addr_a < addr_b`` still holds on every edge.
+    """
     tx = _lake(spark, "tx")
     utxo = _lake(spark, "utxo").select(
         F.col("tx_id").alias("src_tx_id"),
@@ -53,14 +61,13 @@ def cospend_edges(spark: SparkSession) -> DataFrame:
         .select("tx_id", "address")
         .distinct()
     )
-    a = consumed.alias("a")
-    b = consumed.alias("b")
+    hub = consumed.groupBy("tx_id").agg(F.min("address").alias("hub"))
     return (
-        a.join(b, "tx_id")
-        .filter(F.col("a.address") < F.col("b.address"))
+        consumed.join(hub, "tx_id")
+        .filter(F.col("address") != F.col("hub"))
         .select(
-            F.col("a.address").alias("addr_a"),
-            F.col("b.address").alias("addr_b"),
+            F.col("hub").alias("addr_a"),
+            F.col("address").alias("addr_b"),
         )
         .distinct()
     )
@@ -188,10 +195,11 @@ WITH RECURSIVE consumed AS (
   FROM (SELECT tx.tx_id, unnest(tx.inputs) AS r FROM {_scan('tx')} tx) t
   JOIN {_scan('utxo')} u
     ON u.tx_id = t.r.tx_id AND u.output_index = t.r.output_index
+), hub AS (
+  SELECT tx_id, min(address) AS hub FROM consumed GROUP BY tx_id
 ), pairs AS (
-  SELECT DISTINCT a.address AS addr_a, b.address AS addr_b
-  FROM consumed a JOIN consumed b
-    ON a.tx_id = b.tx_id AND a.address < b.address
+  SELECT DISTINCT h.hub AS addr_a, c.address AS addr_b
+  FROM consumed c JOIN hub h ON c.tx_id = h.tx_id AND c.address <> h.hub
 ), edges AS (
   SELECT addr_a AS src, addr_b AS dst FROM pairs
   UNION SELECT addr_b, addr_a FROM pairs
