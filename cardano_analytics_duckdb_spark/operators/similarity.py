@@ -323,36 +323,192 @@ LIMIT 10
 
 # -- LSH-bucketed near-dup pairs: the subquadratic ANN scale path -------------
 # Candidate pairs are generated only within a shared random-hyperplane
-# bucket: one shuffle keyed by bucket, quadratic work bounded by bucket
-# size.  Same numpy kernel as the brute-force baseline, applied per group —
-# at 100 TB this is the shape that holds (cost ∝ Σ bucket², not N²).
+# bucket: one shuffle keyed by (band, bucket), quadratic work bounded by
+# bucket size.  Same numpy kernel as the brute-force baseline, applied per
+# group — at 100 TB this is the shape that holds (cost ∝ Σ bucket², not N²).
+#
+# Scale-adaptive banding: plane count per band is derived from corpus size
+# (``lsh_banding_params``) so the EXPECTED bucket size stays a 16× safety
+# margin under the kernel's hard cap however large N grows — at 1e12 rows
+# the sizing picks ~32 planes (~4e9 buckets) instead of the fixed 8 planes
+# (256 buckets) that would funnel ~4e9 rows into each group and trip the
+# fail-fast guard.  Recall is recovered with a multi-band OR-construction
+# (a pair is a candidate if it collides in ANY band), the same scheme
+# ``minhash_band_buckets`` uses for MinHash.
+
+
+def lsh_banding_params(
+    n_rows: int,
+    bucket_cap: int = 4096,
+    min_planes: int = 4,
+    max_planes: int = 40,
+) -> int:
+    """Smallest hyperplane count whose *expected* bucket size (n_rows /
+    2^planes) keeps a 16× safety margin under ``bucket_cap`` — the margin
+    absorbs the bucket-size skew of biased (non-mean-centered) corpora,
+    where planes nearly parallel to the bias direction stop splitting
+    (empirically ~13× worst-bucket inflation at |bias| = E|noise|; see
+    tests/test_properties.py).  Pure so it is property-testable; clamped to
+    [min_planes, max_planes] (40 planes = ~1e12 buckets, enough for any
+    corpus that fits in 100 TB)."""
+    import math
+
+    target = max(1.0, bucket_cap / 16.0)
+    p = math.ceil(math.log2(max(2.0, n_rows / target)))
+    return max(min_planes, min(max_planes, p))
+
+
+def _band_planes(band: int, n_planes: int) -> list[list[float]]:
+    """Deterministic per-band hyperplanes (seeded by band index and plane
+    count) — plan literals, no driver-side data collection."""
+    rng = random.Random(20260813 + 1_000_003 * band + n_planes)
+    return [
+        [round(rng.gauss(0.0, 1.0), 6) for _ in range(_DIM)]
+        for _ in range(n_planes)
+    ]
+
+
+def _bucket_expr(planes: list[list[float]]) -> Column:
+    """Sign-bit bucket id over the given hyperplanes, as a LONG (plane
+    counts above 31 need the wider id space)."""
+    return sum(
+        [
+            F.when(
+                _dot("embedding", _plane_lit(p)) > 0, F.lit(1 << i).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+            for i, p in enumerate(planes)
+        ],
+        F.lit(0).cast("long"),
+    )
+
+
+def lsh_near_dup_pairs(
+    spark: SparkSession,
+    emb: DataFrame,
+    *,
+    planes_by_band: list[list[list[float]]] | None = None,
+    n_bands: int = 2,
+    planes_per_band: int | None = None,
+    bucket_cap: int = 4096,
+) -> DataFrame:
+    """Generic banded-LSH candidate engine over (vec_id, embedding).
+
+    Returns raw candidate pairs (band, bucket, vec_a, vec_b, raw_sim) —
+    callers dedupe across bands / round / threshold / order.  When
+    ``planes_by_band`` is not pinned, the plane count is derived from the
+    corpus size (one cheap count job) via ``lsh_banding_params`` so bucket
+    sizes stay bounded at any N.
+    """
+    if planes_by_band is None:
+        if planes_per_band is None:
+            planes_per_band = lsh_banding_params(emb.count(), bucket_cap)
+        planes_by_band = [
+            _band_planes(b, planes_per_band) for b in range(n_bands)
+        ]
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"), _bucket_expr(planes).alias("bucket")
+            )
+            for b, planes in enumerate(planes_by_band)
+        ]
+    )
+    with_bands = (
+        emb.select("vec_id", "embedding", F.explode(band_structs).alias("bb"))
+        .select(
+            F.col("bb.band").alias("band"),
+            F.col("bb.bucket").alias("bucket"),
+            "vec_id",
+            "embedding",
+        )
+    )
+    return with_bands.groupBy("band", "bucket").applyInPandas(
+        _allpairs_cosine_kernel(),
+        "vec_a bigint, vec_b bigint, raw_sim double, band int, bucket bigint",
+    )
 
 
 def lsh_bucketed_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    bucket = sum(
-        [
-            F.when(_dot("embedding", _plane_lit(p)) > 0, F.lit(1 << i)).otherwise(
-                F.lit(0)
-            )
-            for i, p in enumerate(_PLANES)
-        ],
-        F.lit(0),
-    )
-    with_bucket = emb.select(
-        bucket.cast("int").alias("bucket"), "vec_id", "embedding"
-    )
-    pairs = with_bucket.groupBy("bucket").applyInPandas(
-        _allpairs_cosine_kernel(),
-        "vec_a bigint, vec_b bigint, raw_sim double, bucket int",
-    )
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    pairs = lsh_near_dup_pairs(spark, emb, planes_by_band=[_PLANES])
     return (
         pairs.select(
-            "bucket", "vec_a", "vec_b", rnd(F.col("raw_sim"), 4).alias("cos_sim")
+            F.col("bucket").cast("int").alias("bucket"),
+            "vec_a",
+            "vec_b",
+            rnd(F.col("raw_sim"), 4).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= 0.5)
         .orderBy("bucket", "vec_a", "vec_b")
     )
+
+
+# Multi-band OR-construction with import-time-pinned parameters (2 bands ×
+# 6 planes) so the result is static-SQL-checkable; the auto-sized path is
+# the same engine with planes_by_band=None and is covered by the bounded-
+# bucket property tests.
+_MB_BANDS = 2
+_MB_PLANES = 6
+_MB_PLANES_BY_BAND = [_band_planes(b, _MB_PLANES) for b in range(_MB_BANDS)]
+
+
+def lsh_multiband_near_dup_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    pairs = lsh_near_dup_pairs(
+        spark, emb, planes_by_band=_MB_PLANES_BY_BAND
+    )
+    # OR across bands: a pair that collides in several bands appears once.
+    return (
+        pairs.groupBy("vec_a", "vec_b")
+        .agg(
+            F.count("*").cast("int").alias("n_bands_hit"),
+            rnd(F.max("raw_sim"), 4).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.5)
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+def _band_bucket_sql(planes: list[list[float]]) -> str:
+    terms = []
+    for i, p in enumerate(planes):
+        lit = "[" + ", ".join(repr(v) for v in p) + "]::DOUBLE[]"
+        terms.append(
+            f"(CASE WHEN list_sum(list_transform(list_zip(embedding::DOUBLE[], {lit}),"
+            f" x -> x[1] * x[2])) > 0 THEN {1 << i} ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+def _lsh_multiband_sql() -> str:
+    per_band = []
+    for b, planes in enumerate(_MB_PLANES_BY_BAND):
+        per_band.append(
+            f"""b{b} AS (
+  SELECT vec_id, CAST({_band_bucket_sql(planes)} AS BIGINT) AS bucket,
+         embedding::DOUBLE[] AS v
+  FROM embeddings
+)"""
+        )
+    pair_selects = "\nUNION ALL\n".join(
+        f"""SELECT a.vec_id AS vec_a, x.vec_id AS vec_b,
+       list_cosine_similarity(a.v, x.v) AS raw_sim
+FROM b{b} a JOIN b{b} x ON a.bucket = x.bucket AND a.vec_id < x.vec_id"""
+        for b in range(_MB_BANDS)
+    )
+    return f"""
+WITH {", ".join(per_band)}, cand AS (
+{pair_selects}
+)
+SELECT vec_a, vec_b, CAST(count(*) AS INTEGER) AS n_bands_hit,
+       floor((max(raw_sim)) * 10000.0 + 0.5) / 10000.0 AS cos_sim
+FROM cand
+GROUP BY vec_a, vec_b
+HAVING floor((max(raw_sim)) * 10000.0 + 0.5) / 10000.0 >= 0.5
+ORDER BY vec_a, vec_b
+"""
 
 
 def _lsh_near_dup_sql() -> str:
@@ -525,6 +681,7 @@ QUERIES = {
     "lsh_bucket_assignments": lsh_bucket_assignments,
     "embedding_near_dup_pairs": embedding_near_dup_pairs,
     "lsh_bucketed_near_dup_pairs": lsh_bucketed_near_dup_pairs,
+    "lsh_multiband_near_dup_pairs": lsh_multiband_near_dup_pairs,
     "ivf_topk": ivf_topk,
     "knn_join_topk": knn_join_topk,
 }
@@ -536,6 +693,7 @@ ORACLE = {
     "lsh_bucket_assignments": _lsh_sql(),
     "embedding_near_dup_pairs": _NEAR_DUP_SQL,
     "lsh_bucketed_near_dup_pairs": _lsh_near_dup_sql(),
+    "lsh_multiband_near_dup_pairs": _lsh_multiband_sql(),
     "ivf_topk": _ivf_sql(),
     "knn_join_topk": _KNN_JOIN_SQL,
 }

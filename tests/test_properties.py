@@ -172,3 +172,69 @@ def test_approx_user_stats_error_bounds(spark, sf_dir):
         assert abs(ap["approx_median_value"] - ex["median_value"]) <= max(
             0.05 * abs(ex["median_value"]), 0.5
         )
+
+
+def test_lsh_banding_params_bounds_expected_bucket_size():
+    """Scale-adaptive sizing: for any corpus size up to 1e13 rows, the
+    derived plane count keeps the EXPECTED bucket size (n / 2^planes) under
+    the cap, and the count is clamped and monotone in n."""
+    from cardano_analytics_duckdb_spark.operators.similarity import (
+        lsh_banding_params,
+    )
+
+    cap = 4096
+    prev = 0
+    n = 100
+    while n <= 10**13:
+        p = lsh_banding_params(n, bucket_cap=cap)
+        assert 4 <= p <= 40
+        assert n / 2**p <= cap, (n, p)
+        assert p >= prev  # monotone: more data never means fewer buckets
+        prev = p
+        n *= 10
+    # fixed 8 planes would blow through the cap at 1e9 rows; the sizing
+    # must not
+    assert 10**9 / 2 ** lsh_banding_params(10**9, bucket_cap=cap) <= cap
+
+
+def test_lsh_adaptive_buckets_bounded_on_skewed_corpus(spark):
+    """On a biased (skewed) corpus, auto-derived banding keeps the MAX
+    bucket within the 16x safety margin and the candidate engine runs
+    without tripping the kernel's fail-fast row cap."""
+    import numpy as np
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from cardano_analytics_duckdb_spark.operators.similarity import (
+        _band_planes,
+        _bucket_expr,
+        lsh_banding_params,
+        lsh_near_dup_pairs,
+    )
+
+    rng = np.random.default_rng(20260814)
+    n, dim, cap = 4096, 64, 256
+    bias = np.zeros(dim)
+    bias[:4] = 4.0  # common direction: half the hyperplanes barely split
+    vecs = (rng.standard_normal((n, dim)) + bias).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(vecs)],
+        T.StructType(
+            [
+                T.StructField("vec_id", T.LongType()),
+                T.StructField("embedding", T.ArrayType(T.FloatType())),
+            ]
+        ),
+    )
+    p = lsh_banding_params(n, bucket_cap=cap)
+    sizes = (
+        df.select(_bucket_expr(_band_planes(0, p)).alias("bucket"))
+        .groupBy("bucket")
+        .count()
+        .agg(F.max("count").alias("mx"))
+        .first()["mx"]
+    )
+    assert sizes <= cap, f"max bucket {sizes} exceeds cap {cap}"
+    # end-to-end: auto-sized engine must not hit the 10k kernel guard
+    pairs = lsh_near_dup_pairs(spark, df, n_bands=2, bucket_cap=cap)
+    assert pairs.count() >= 0
