@@ -88,13 +88,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
-def events_ts_is_nanos(path: str) -> bool:
-    """Probe the parquet footer: does ``ts`` use TIMESTAMP(NANOS)?
+def events_ts_encoding(path: str) -> str:
+    """Probe the parquet footer for the ``ts`` encoding: ``"nanos"``
+    (TIMESTAMP(NANOS) — Spark's vectorized reader rejects it),
+    ``"ntz"`` (micros/millis without UTC adjustment — surfaces as
+    TIMESTAMP_NTZ), or ``"utc"`` (isAdjustedToUTC=true — surfaces as plain
+    TIMESTAMP).
 
-    The driver's testdata has shipped events.ts as both TIMESTAMP(NANOS) and
-    plain TIMESTAMP(MICROS) across regenerations; a footer read (one file,
-    driver-side, metadata only) decides which loader path applies instead of
-    hardcoding either encoding.
+    The driver's testdata has drifted across regenerations (NANOS in rounds
+    1-2, plain MICROS since round 3); a footer read (one file, driver-side,
+    metadata only) decides the loader path — for BOTH the batch reader and
+    the streaming source schema — instead of hardcoding any encoding.
     """
     import pyarrow.parquet as pq
 
@@ -104,9 +108,17 @@ def events_ts_is_nanos(path: str) -> bool:
             f for f in os.listdir(path) if f.endswith(".parquet")
         )
         if not parts:
-            return False
+            return "ntz"
         probe = os.path.join(path, parts[0])
-    return str(pq.read_schema(probe).field("ts").type).startswith("timestamp[ns")
+    t = pq.read_schema(probe).field("ts").type
+    if str(t).startswith("timestamp[ns"):
+        return "nanos"
+    return "utc" if getattr(t, "tz", None) else "ntz"
+
+
+def events_ts_is_nanos(path: str) -> bool:
+    """Back-compat shim over :func:`events_ts_encoding`."""
+    return events_ts_encoding(path) == "nanos"
 
 
 def _load_events(spark: SparkSession, path: str) -> DataFrame:

@@ -23,13 +23,20 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions.rounding import rnd
-from ..lake.tables import _ntz_as_utc_instant, events_ts_is_nanos
+from ..lake.tables import _ntz_as_utc_instant, events_ts_encoding
 
 
-def _events_raw_schema(ts_nanos: bool) -> T.StructType:
+def _events_raw_schema(ts_encoding: str) -> T.StructType:
     # ts arrives as long when the file is TIMESTAMP(NANOS) (read via
-    # nanosAsLong), or as TIMESTAMP_NTZ for plain TIMESTAMP(MICROS) files.
-    ts_type = T.LongType() if ts_nanos else T.TimestampNTZType()
+    # nanosAsLong), TIMESTAMP_NTZ for unadjusted TIMESTAMP(MICROS/MILLIS)
+    # files, or plain TIMESTAMP for isAdjustedToUTC=true files — the same
+    # three-way footer probe as the batch loader (lake.tables._load_events),
+    # so batch and streaming can never disagree on a testdata drift.
+    ts_type = {
+        "nanos": T.LongType(),
+        "ntz": T.TimestampNTZType(),
+        "utc": T.TimestampType(),
+    }[ts_encoding]
     return T.StructType(
         [
             T.StructField("event_id", T.LongType()),
@@ -45,19 +52,23 @@ def _events_raw_schema(ts_nanos: bool) -> T.StructType:
 def streaming_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the events parquet (bounded replay source).
 
-    Normalizes ``ts`` to a session-TZ TIMESTAMP for both parquet encodings
+    Normalizes ``ts`` to a session-TZ TIMESTAMP for every parquet encoding
     the driver's testdata has used (see ``lake.tables._load_events``).
     """
-    ts_nanos = events_ts_is_nanos(os.path.join(sf_dir, "events.parquet"))
-    reader = spark.readStream.schema(_events_raw_schema(ts_nanos)).option(
+    enc = events_ts_encoding(os.path.join(sf_dir, "events.parquet"))
+    reader = spark.readStream.schema(_events_raw_schema(enc)).option(
         "pathGlobFilter", "events.parquet"
     )
-    if ts_nanos:
+    if enc == "nanos":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         return reader.parquet(sf_dir).withColumn(
             "ts", F.expr("timestamp_micros(ts div 1000)")
         )
-    return reader.parquet(sf_dir).withColumn("ts", _ntz_as_utc_instant("ts"))
+    if enc == "ntz":
+        return reader.parquet(sf_dir).withColumn(
+            "ts", _ntz_as_utc_instant("ts")
+        )
+    return reader.parquet(sf_dir)
 
 
 def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -411,10 +422,19 @@ ORDER BY click_id, purchase_id
 # row survives a duplicate group is batch/partition-order dependent, so the
 # query aggregates only key-level facts (counts per event_type), which are
 # deterministic and exactly oracle-checkable on bounded replay.
+#
+# Oracle-equivalence requires the dedup horizon (the watermark delay) to
+# cover the WHOLE replayed span: with a short delay, two duplicates of a key
+# separated by more than the delay across different microbatches are both
+# emitted, diverging from count(DISTINCT).  The testdata spans ~30 days at
+# every SF, so a 365-day delay makes the equality hold however the source
+# splits into microbatches (file layout has drifted across driver rounds);
+# on an unbounded feed the same query is "dedup within a year" with state
+# still bounded by the horizon.
 
 
 def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = streaming_events(spark, sf_dir).withWatermark("ts", "10 minutes")
+    ev = streaming_events(spark, sf_dir).withWatermark("ts", "365 days")
     dedup = ev.dropDuplicatesWithinWatermark(["user_id", "event_type"])
     name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
     q = (

@@ -18,7 +18,7 @@ import pyarrow.parquet as pq
 import pytest
 
 from cardano_analytics_duckdb_spark.lake.tables import (
-    events_ts_is_nanos,
+    events_ts_encoding,
     load_table,
 )
 
@@ -28,12 +28,19 @@ _TS = [
     dt.datetime(2024, 6, 30, 23, 59, 59, 999999),
 ]
 
+# parametrize key -> (pyarrow ts type, expected footer-probe encoding)
+_ENCODINGS = {
+    "us": (pa.timestamp("us"), "ntz"),
+    "ns": (pa.timestamp("ns"), "nanos"),
+    "utc": (pa.timestamp("us", tz="UTC"), "utc"),
+}
+
 
 def _write_events(dirname: str, unit: str) -> None:
     table = pa.table(
         {
             "event_id": pa.array([1, 2, 3], pa.int64()),
-            "ts": pa.array(_TS, pa.timestamp(unit)),
+            "ts": pa.array(_TS, _ENCODINGS[unit][0]),
             "user_id": pa.array([10, 10, 11], pa.int64()),
             "event_type": pa.array(["click", "view", "purchase"]),
             "value": pa.array([1.5, 2.5, 3.5], pa.float64()),
@@ -43,13 +50,14 @@ def _write_events(dirname: str, unit: str) -> None:
     pq.write_table(table, os.path.join(dirname, "events.parquet"))
 
 
-@pytest.mark.parametrize("unit", ["us", "ns"])
+@pytest.mark.parametrize("unit", ["us", "ns", "utc"])
 def test_load_table_handles_both_ts_encodings(spark, tmp_path, unit):
     sf_dir = str(tmp_path / unit)
     os.makedirs(sf_dir)
     _write_events(sf_dir, unit)
-    assert events_ts_is_nanos(os.path.join(sf_dir, "events.parquet")) == (
-        unit == "ns"
+    assert (
+        events_ts_encoding(os.path.join(sf_dir, "events.parquet"))
+        == _ENCODINGS[unit][1]
     )
     df = load_table(spark, sf_dir, "events")
     assert df.schema["ts"].dataType.typeName() == "timestamp"
@@ -57,7 +65,7 @@ def test_load_table_handles_both_ts_encodings(spark, tmp_path, unit):
     assert got == _TS
 
 
-@pytest.mark.parametrize("unit", ["us", "ns"])
+@pytest.mark.parametrize("unit", ["us", "ns", "utc"])
 def test_streaming_events_handles_both_ts_encodings(spark, tmp_path, unit):
     from cardano_analytics_duckdb_spark.streaming.windows import (
         streaming_events,
