@@ -19,6 +19,8 @@ single-pass with pushdown-friendly filters.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -229,14 +231,31 @@ ORDER BY r_name
 # bounded by the dimension's domain size, never the fact table.
 _DOMAIN_CACHE: dict[tuple, tuple] = {}
 
+# Snapshot-as-literals is only for tiny dimension domains (nation 25,
+# region 5, p_brand 25); a caller pointing this at a fact table must fail
+# fast rather than silently collect it to the driver.
+_DIM_SNAPSHOT_CAP = 128
+
 
 def _collected_dim(
     spark: SparkSession, sf_dir: str, table: str, cols: tuple[str, ...]
 ) -> tuple:
-    key = (sf_dir, table, cols)
+    # Cache key includes the source file's mtime: a lake rewritten
+    # in-process gets a fresh snapshot instead of a stale domain.
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    mtime = os.path.getmtime(path) if os.path.exists(path) else None
+    key = (sf_dir, table, cols, mtime)
     if key not in _DOMAIN_CACHE:
         df = load_table(spark, sf_dir, table).select(*cols).distinct()
-        _DOMAIN_CACHE[key] = tuple(tuple(r) for r in df.collect())
+        rows = df.limit(_DIM_SNAPSHOT_CAP + 1).collect()
+        if len(rows) > _DIM_SNAPSHOT_CAP:
+            raise ValueError(
+                f"_collected_dim({table}.{cols}): distinct domain exceeds "
+                f"{_DIM_SNAPSHOT_CAP} rows — this helper folds tiny "
+                "dimension domains into plan literals; use a broadcast "
+                "join for anything larger"
+            )
+        _DOMAIN_CACHE[key] = tuple(tuple(r) for r in rows)
     return _DOMAIN_CACHE[key]
 
 
@@ -272,9 +291,16 @@ def order_brand_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     domain = sorted(
         r[0] for r in _collected_dim(spark, sf_dir, "part", ("p_brand",))
     )
-    bit_of = (
-        F.array_position(F.array(*[F.lit(v) for v in domain]), F.col("p_brand"))
-        - 1
+    # array_position returns 0 (not NULL) for a value outside the
+    # snapshotted domain; 0 - 1 = -1 would silently set bit 63 via
+    # shiftleft(1L, -1).  Unreachable while the domain comes from this same
+    # table, but fail VISIBLY if a drifted/stale snapshot ever meets an
+    # unmapped brand.
+    pos = F.array_position(
+        F.array(*[F.lit(v) for v in domain]), F.col("p_brand")
+    )
+    bit_of = F.when(pos > 0, pos - 1).otherwise(
+        F.expr("raise_error('p_brand outside the snapshotted domain')")
     )
     part_dim = part.select("p_partkey", bit_of.cast("int").alias("bit"))
     decode = _BITSET_DECODE.format(

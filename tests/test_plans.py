@@ -359,3 +359,17 @@ def test_curation_pipeline_single_fullrow_shuffle(spark, sf_dir):
     plan = _plan(df)
     assert plan.count("Exchange hashpartitioning") <= 2  # window + groupBy
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_collected_dim_fails_fast_on_fact_tables(spark, sf_dir):
+    """The tiny-dimension snapshot helper must raise, not silently collect,
+    when pointed at a domain larger than its cap (the same fail-fast
+    posture as the all-pairs kernel guard)."""
+    import pytest
+
+    from cardano_analytics_duckdb_spark.operators.relational import (
+        _collected_dim,
+    )
+
+    with pytest.raises(ValueError, match="distinct domain exceeds"):
+        _collected_dim(spark, sf_dir, "orders", ("o_orderkey",))
