@@ -107,16 +107,27 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
             s_runs.append(time.perf_counter() - t0)
             if con is not None:
-                t0 = time.perf_counter()
-                con.execute(oracles[name]).fetchall()
-                d_runs.append(time.perf_counter() - t0)
+                # Baseline stays best-effort during the timed pass too: a
+                # DuckDB error here must not abort the bench and lose the
+                # Spark timings.
+                try:
+                    t0 = time.perf_counter()
+                    con.execute(oracles[name]).fetchall()
+                    d_runs.append(time.perf_counter() - t0)
+                except Exception:
+                    con = None
+                    d_runs = []
         timings[name] = round(sorted(s_runs)[2], 3)
         if d_runs:
             duck_timings[name] = round(sorted(d_runs)[2], 3)
 
     total = round(sum(timings.values()), 3)
+    # Only report a ratio computed over the FULL headline set — if the
+    # baseline died partway, a partial sum would bias vs_duckdb.
     duckdb_value = (
-        round(sum(duck_timings.values()), 3) if duck_timings else None
+        round(sum(duck_timings.values()), 3)
+        if len(duck_timings) == len(HEADLINE)
+        else None
     )
 
     out = {
