@@ -27,26 +27,93 @@ import sys
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
-# Named chain points ≙ the reference's start-point presets
-# (config.py:32-73 spans last_byron → block_2025_10_28).
-START_PRESETS = {
-    "origin": 0,
-    "last_byron": 4_492_799,
-    "block_2025_10_28": 170_099_400,
+# Named chain points ≙ the reference's start-point presets — all ten of
+# PRESET_STARTING_POINTS (config.py:32-73), (slot, block-header-hash) pairs
+# ("last block before each era" plus the SNEK case-study anchors), plus
+# 'origin' for a from-genesis replay (the reference's start_point=None).
+START_PRESETS: dict[str, tuple[int, str | None]] = {
+    "origin": (0, None),
+    "last_byron": (
+        4_492_799,
+        "f8084c61b6a238acec985b59310b6ecec49c0ab8352249afd7268da5cff2a457",
+    ),
+    "last_shelley": (
+        16_588_737,
+        "4e9bbbb67e3ae262133d94c3da5bffce7b1127fc436e7433b87668dba34c354a",
+    ),
+    "last_allegra": (
+        23_068_793,
+        "69c44ac1dda2ec74646e4223bc804d9126f719b1c245dadc2ad65e8de1b276d7",
+    ),
+    "last_mary": (
+        39_916_796,
+        "e72579ff89dc9ed325b723a33624b596c08141c7bd573ecfff56a1f7229e4d09",
+    ),
+    "last_alonzo": (
+        72_316_796,
+        "c58a24ba8203e7629422a24d9dc68ce2ed495420bf40d9dab124373655161a20",
+    ),
+    "snek_mint": (
+        90_914_081,
+        "2f7784ab8eee0e3d81223b9bd482195617cbee662ed6c412b123568251aac67a",
+    ),
+    "snek_mint_plus_100K_blocks": (
+        92_961_183,
+        "055d7e5660fcfb8bede7eee40d55456030ba51a41d57d85fcea9a820644991b2",
+    ),
+    "last_babbage": (
+        133_660_799,
+        "e757d57eb8dc9500a61c60a39fadb63d9be6973ba96ae337fd24453d4d15c343",
+    ),
+    "last_babbage_plus_200K_blocks": (
+        137_747_713,
+        "1a599f87191e73b43e71751ece3666ede768c07fd664b85056306d656b022bcc",
+    ),
+    "block_2025_10_28": (
+        170_099_400,
+        "a603a4b4ac4b077596bfa551648ba1f3fd3f8fd4f8f7818cea8dc917ea1cfd4c",
+    ),
 }
 
+# Well-known mainnet addresses ≙ the reference's KNOWN_ADDRESSES
+# (config.py:77-82) — exposed for ad-hoc filters/joins against utxo.address.
+KNOWN_ADDRESSES = {
+    "minswap_v1": "addr1zxn9efv2f6w82hagxqtn62ju4m293tqvw0uhmdl64ch8uw6j2c79gy9l76sdg0xwhd7r0c0kna0tycz4y5s6mlenh8pq6s3z70",
+    "sundaeswap_v1": "addr1w9qzpelu9hn45pefc0xr4ac4kdxeswq7pndul2vuj59u8tqaxdznu",
+    "wingriders_v1": "addr1w8nvjzjeydcn4atcd93aac8allvrpjn7lx9cyh3rgjgqmrqk5r9ep",
+    "snek_mint": "addr1q9jsu6z9sedfksdrhkpmcgvcjf9m6vhd2wn3huxy0s8cwq7k2tc80wsaltznwlfpe7vncdkhcgngll32v22m3g80luvqxjahsf",
+}
+
+
 # name → (policy_id, asset_name) ≙ the reference's token info table
-# (token_fee_analysis.py:94-103).  Raw "policyhex.assethex" also accepted.
+# (token_fee_analysis.py:94-103: SNEK and HOSKY with their mainnet policy
+# ids and hex asset names).  Raw "policyhex.assethex" also accepted.
 def _token_registry() -> dict[str, tuple[bytes, bytes]]:
     from .lake.fixtures import TOKEN_NAME, TOKEN_POLICY
 
-    return {"fixture-token": (TOKEN_POLICY, TOKEN_NAME)}
+    return {
+        "fixture-token": (TOKEN_POLICY, TOKEN_NAME),
+        "snek": (
+            bytes.fromhex(
+                "279c909f348e533da5808898f87f9a14bb2c3dfbbacccd631d927a3f"
+            ),
+            bytes.fromhex("534e454b"),  # 'SNEK'
+        ),
+        "hosky": (
+            bytes.fromhex(
+                "a0028f350aaabe0545fdcb56b039bfb08e4bb4d8c4d7c3c7d481c235"
+            ),
+            bytes.fromhex("484f534b59"),  # 'HOSKY'
+        ),
+    }
 
 
 def _resolve_token(token: str) -> tuple[bytes, bytes]:
     registry = _token_registry()
-    if token in registry:
-        return registry[token]
+    # case-insensitive like the reference's get_token_info
+    # (token_fee_analysis.py:107: token_name.lower())
+    if token.lower() in registry:
+        return registry[token.lower()]
     if "." in token:
         policy_hex, name_hex = token.split(".", 1)
         try:
@@ -86,9 +153,8 @@ def _cmd_extract(args: argparse.Namespace, spark: SparkSession) -> int:
 
         blocks = _gen(args.blocks)
 
-    start_slot = START_PRESETS.get(args.start_point)
-    if start_slot is None:
-        start_slot = int(args.start_point)
+    preset = START_PRESETS.get(args.start_point)
+    start_slot = preset[0] if preset is not None else int(args.start_point)
     if start_slot:
         blocks = (b for b in blocks if b["slot"] >= start_slot)
 

@@ -103,3 +103,52 @@ def test_curate_writes_stratified_parquet(spark, tmp_path, capsys):
         """
     ).fetchone()[0]
     assert stats["curated_docs"] == expected
+
+
+def test_start_presets_match_reference_chain_points():
+    """All ten named chain points carry the reference's exact
+    (slot, block-header-hash) values (reference config.py:32-73), plus
+    'origin' for from-genesis replay."""
+    from cardano_analytics_duckdb_spark.cli import START_PRESETS
+
+    expected = {
+        "origin": (0, None),
+        "last_byron": (4492799, "f8084c61b6a238acec985b59310b6ecec49c0ab8352249afd7268da5cff2a457"),
+        "last_shelley": (16588737, "4e9bbbb67e3ae262133d94c3da5bffce7b1127fc436e7433b87668dba34c354a"),
+        "last_allegra": (23068793, "69c44ac1dda2ec74646e4223bc804d9126f719b1c245dadc2ad65e8de1b276d7"),
+        "last_mary": (39916796, "e72579ff89dc9ed325b723a33624b596c08141c7bd573ecfff56a1f7229e4d09"),
+        "last_alonzo": (72316796, "c58a24ba8203e7629422a24d9dc68ce2ed495420bf40d9dab124373655161a20"),
+        "snek_mint": (90914081, "2f7784ab8eee0e3d81223b9bd482195617cbee662ed6c412b123568251aac67a"),
+        "snek_mint_plus_100K_blocks": (92961183, "055d7e5660fcfb8bede7eee40d55456030ba51a41d57d85fcea9a820644991b2"),
+        "last_babbage": (133660799, "e757d57eb8dc9500a61c60a39fadb63d9be6973ba96ae337fd24453d4d15c343"),
+        "last_babbage_plus_200K_blocks": (137747713, "1a599f87191e73b43e71751ece3666ede768c07fd664b85056306d656b022bcc"),
+        "block_2025_10_28": (170099400, "a603a4b4ac4b077596bfa551648ba1f3fd3f8fd4f8f7818cea8dc917ea1cfd4c"),
+    }
+    assert START_PRESETS == expected
+    # every block hash is a 32-byte hex digest
+    for slot, block_id in START_PRESETS.values():
+        assert slot >= 0
+        if block_id is not None:
+            assert len(bytes.fromhex(block_id)) == 32
+
+
+def test_known_tokens_match_reference_registry():
+    """snek/hosky resolve (case-insensitively) to the reference's policy id
+    + hex asset name (token_fee_analysis.py:94-103); known addresses mirror
+    config.py:77-82."""
+    from cardano_analytics_duckdb_spark.cli import (
+        KNOWN_ADDRESSES,
+        _resolve_token,
+    )
+
+    policy, name = _resolve_token("snek")
+    assert policy.hex() == "279c909f348e533da5808898f87f9a14bb2c3dfbbacccd631d927a3f"
+    assert name == b"SNEK"
+    policy, name = _resolve_token("HOSKY")  # case-insensitive like reference
+    assert policy.hex() == "a0028f350aaabe0545fdcb56b039bfb08e4bb4d8c4d7c3c7d481c235"
+    assert name == b"HOSKY"
+    assert set(KNOWN_ADDRESSES) == {
+        "minswap_v1", "sundaeswap_v1", "wingriders_v1", "snek_mint"
+    }
+    for addr in KNOWN_ADDRESSES.values():
+        assert addr.startswith("addr1")
