@@ -54,8 +54,6 @@ _WINDOW = (
     "top_orders_per_customer",
     "user_sessions",
     "events_tumbling_5min",
-    "events_sliding_10min",
-    "status_price_range_frame",
     "status_price_position",
     # temporal family (never checked)
     "events_asof_purchase",
@@ -81,9 +79,13 @@ _WINDOW = (
     "streaming_dedup_events",
     "user_conversion_funnel",
     "weekly_cohort_retention",
-    # the final two never-driver-checked queries (added after the r4 window froze)
+    # the final two never-driver-checked r4 queries (added after the r4
+    # window froze) and the two r5-new operators; events_sliding_10min and
+    # status_price_range_frame rotated out with green r4 rows on record
     "event_value_histogram",
     "vocab_top_tokens",
+    "address_credentials",
+    "lsh_multiband_near_dup_pairs",
 )
 
 
@@ -107,6 +109,7 @@ def all_oracles() -> dict[str, str]:
 def _modules():
     from ..streaming import windows as stream_windows
     from . import (
+        addresses,
         analytic,
         cardano,
         dedup,
@@ -123,6 +126,7 @@ def _modules():
     return [
         cardano,
         reports,
+        addresses,
         graph,
         dedup,
         similarity,

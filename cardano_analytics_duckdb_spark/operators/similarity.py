@@ -163,15 +163,15 @@ ORDER BY vec_id
 # generation shuffles by bucket key, the quadratic work stays within groups.
 
 
-def _allpairs_cosine_kernel():
+def _allpairs_cosine_kernel(min_sim: float = 0.4999):
     """Factory for the per-group kernel, defined locally so cloudpickle
     ships it by value (workers don't have this package importable).
 
     Kernel: (group cols..., vec_id, embedding) ->
     (group cols..., vec_a, vec_b, raw_sim).  Emits position pairs i<j after
-    sorting by vec_id, so vec_a < vec_b.  Pre-filters at raw_sim >= 0.4999
-    (conservatively below the exposed 0.5 threshold); the exact filter
-    happens JVM-side on the *rounded* value so results stay
+    sorting by vec_id, so vec_a < vec_b.  Pre-filters at raw_sim >=
+    ``min_sim`` (conservatively below the caller's exposed threshold); the
+    exact filter happens JVM-side on the *rounded* value so results stay
     oracle-comparable.
     """
 
@@ -207,7 +207,7 @@ def _allpairs_cosine_kernel():
         n = np.sqrt((V * V).sum(axis=1))
         sims = (V @ V.T) / np.outer(n, n)
         ia, ib = np.triu_indices(len(ids), k=1)
-        keep = sims[ia, ib] >= 0.4999
+        keep = sims[ia, ib] >= min_sim
         ia, ib = ia[keep], ib[keep]
         out = {"vec_a": ids[ia], "vec_b": ids[ib], "raw_sim": sims[ia, ib]}
         for c in pdf.columns:
@@ -390,14 +390,15 @@ def lsh_near_dup_pairs(
     n_bands: int = 2,
     planes_per_band: int | None = None,
     bucket_cap: int = 4096,
+    prefilter_sim: float = 0.4999,
 ) -> DataFrame:
     """Generic banded-LSH candidate engine over (vec_id, embedding).
 
-    Returns raw candidate pairs (band, bucket, vec_a, vec_b, raw_sim) —
-    callers dedupe across bands / round / threshold / order.  When
-    ``planes_by_band`` is not pinned, the plane count is derived from the
-    corpus size (one cheap count job) via ``lsh_banding_params`` so bucket
-    sizes stay bounded at any N.
+    Returns raw candidate pairs (band, bucket, vec_a, vec_b, raw_sim) with
+    raw_sim >= ``prefilter_sim`` — callers dedupe across bands / round /
+    threshold / order.  When ``planes_by_band`` is not pinned, the plane
+    count is derived from the corpus size (one cheap count job) via
+    ``lsh_banding_params`` so bucket sizes stay bounded at any N.
     """
     if planes_by_band is None:
         if planes_per_band is None:
@@ -423,7 +424,7 @@ def lsh_near_dup_pairs(
         )
     )
     return with_bands.groupBy("band", "bucket").applyInPandas(
-        _allpairs_cosine_kernel(),
+        _allpairs_cosine_kernel(prefilter_sim),
         "vec_a bigint, vec_b bigint, raw_sim double, band int, bucket bigint",
     )
 
@@ -452,12 +453,22 @@ _MB_PLANES = 6
 _MB_PLANES_BY_BAND = [_band_planes(b, _MB_PLANES) for b in range(_MB_BANDS)]
 
 
+# 0.35 threshold (vs the single-band query's 0.5): the driver's synthetic
+# embeddings are near-orthogonal random vectors whose max pairwise cosine
+# at sf0.01 is ~0.51, so 0.5 yields empty results at the correctness SF;
+# 0.35 keeps the driver row populated while exercising the same plan.
+_MB_THRESHOLD = 0.35
+
+
 def lsh_multiband_near_dup_pairs(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     pairs = lsh_near_dup_pairs(
-        spark, emb, planes_by_band=_MB_PLANES_BY_BAND
+        spark,
+        emb,
+        planes_by_band=_MB_PLANES_BY_BAND,
+        prefilter_sim=_MB_THRESHOLD - 0.0001,
     )
     # OR across bands: a pair that collides in several bands appears once.
     return (
@@ -466,7 +477,7 @@ def lsh_multiband_near_dup_pairs(
             F.count("*").cast("int").alias("n_bands_hit"),
             rnd(F.max("raw_sim"), 4).alias("cos_sim"),
         )
-        .filter(F.col("cos_sim") >= 0.5)
+        .filter(F.col("cos_sim") >= _MB_THRESHOLD)
         .orderBy("vec_a", "vec_b")
     )
 
@@ -506,7 +517,7 @@ SELECT vec_a, vec_b, CAST(count(*) AS INTEGER) AS n_bands_hit,
        floor((max(raw_sim)) * 10000.0 + 0.5) / 10000.0 AS cos_sim
 FROM cand
 GROUP BY vec_a, vec_b
-HAVING floor((max(raw_sim)) * 10000.0 + 0.5) / 10000.0 >= 0.5
+HAVING floor((max(raw_sim)) * 10000.0 + 0.5) / 10000.0 >= {_MB_THRESHOLD}
 ORDER BY vec_a, vec_b
 """
 
