@@ -72,13 +72,16 @@ _WINDOW = (
     "revenue_by_region",
     "lineitem_rollup",
     "shipping_priority",
-    # r4-new LLM-pipeline operators (went green r4; retained one more round)
-    "benchmark_contamination",
-    "knn_join_topk",
-    "curated_corpus_sample",
+    # streaming_dedup_events stays pinned: its dedup horizon changed this
+    # round (ADVICE r4) and needs a fresh green row; the other five r4-new
+    # operators rotate out with green r4 rows on record, freeing slots for
+    # the r5-new corpus-composition family (operators/mixing.py)
     "streaming_dedup_events",
-    "user_conversion_funnel",
     "weekly_cohort_retention",
+    "repetition_scores",
+    "tfidf_top_terms",
+    "stratified_split_counts",
+    "source_mix_weights",
     # the final two never-driver-checked r4 queries (added after the r4
     # window froze) and the two r5-new operators; events_sliding_10min and
     # status_price_range_frame rotated out with green r4 rows on record
@@ -114,6 +117,7 @@ def _modules():
         cardano,
         dedup,
         graph,
+        mixing,
         multimodal,
         relational,
         reports,
@@ -131,6 +135,7 @@ def _modules():
         dedup,
         similarity,
         textops,
+        mixing,
         multimodal,
         stream_windows,
         windows,
