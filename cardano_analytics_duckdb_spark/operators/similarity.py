@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import random
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.rounding import rnd
@@ -318,6 +318,119 @@ FROM cells c, q
 WHERE c.vec_id != 0 AND c.cell = q.qcell
 ORDER BY cos_sim DESC, c.vec_id
 LIMIT 10
+"""
+
+
+# -- IVF recall evaluation ----------------------------------------------------
+# The companion every ANN index needs: recall@k of the IVF probe against the
+# exact brute-force ranking, per query point.  Both rankings rank the SAME
+# rounded similarity with a vec_id tiebreak, so the result is deterministic
+# and engine-portable.
+#
+# Scale posture: the eval set is bounded (here 20 query points) — brute
+# force over Q×N pairs is the DEFINITION of the ground truth, not a scale
+# bug; the corpus side streams through a broadcast of the queries (one
+# narrow pass, no candidate shuffle) and the two window ranks shuffle only
+# by the Q bounded keys.  For large eval sets, swap the window rank for the
+# ``knn_join_topk`` mapInPandas reducer — the ground-truth cost is the same.
+
+_EVAL_Q = 20  # query points: vec_id < 20
+_EVAL_K = 10
+
+
+def ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    with_cell = emb.select(
+        "vec_id", "embedding", _cell_expr("embedding").alias("cell")
+    )
+    q = with_cell.filter(F.col("vec_id") < _EVAL_Q).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q"),
+        F.col("cell").alias("qcell"),
+    )
+    sim = rnd(_dot("embedding", "q") / (_norm("embedding") * _norm("q")), 4)
+    pairs = (
+        with_cell.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            sim.alias("cos_sim"),
+            (F.col("cell") == F.col("qcell")).alias("same_cell"),
+        )
+    )
+    w_exact = Window.partitionBy("q_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id")
+    )
+    w_cell = Window.partitionBy("q_id", "same_cell").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id")
+    )
+    k = F.lit(_EVAL_K)
+    ranked = pairs.withColumn(
+        "exact_rank", F.row_number().over(w_exact)
+    ).withColumn("cell_rank", F.row_number().over(w_cell))
+    retrieved = F.col("same_cell") & (F.col("cell_rank") <= k)
+    return (
+        ranked.groupBy("q_id")
+        .agg(
+            F.count(F.when(retrieved, F.lit(1))).alias("n_retrieved"),
+            F.count(
+                F.when((F.col("exact_rank") <= k) & retrieved, F.lit(1))
+            ).alias("n_hits"),
+        )
+        .select(
+            "q_id",
+            "n_retrieved",
+            "n_hits",
+            rnd(F.col("n_hits") / k.cast("double"), 4).alias("recall_at_10"),
+        )
+        .coalesce(1)
+        .sortWithinPartitions("q_id")
+    )
+
+
+def _ivf_recall_sql() -> str:
+    def dist(c: list[float]) -> str:
+        lit = "[" + ", ".join(repr(v) for v in c) + "]::DOUBLE[]"
+        return (
+            f"list_sum(list_transform(list_zip(embedding::DOUBLE[], {lit}),"
+            " x -> (x[1] - x[2]) * (x[1] - x[2])))"
+        )
+
+    cell = "0"
+    best = dist(_IVF_CENTROIDS[0])
+    for i in range(1, len(_IVF_CENTROIDS)):
+        d = dist(_IVF_CENTROIDS[i])
+        cell = f"(CASE WHEN {d} < {best} THEN {i} ELSE {cell} END)"
+        best = f"(CASE WHEN {d} < {best} THEN {d} ELSE {best} END)"
+    return f"""
+WITH cells AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v, CAST({cell} AS INTEGER) AS cell
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS q_id, v AS qv, cell AS qcell FROM cells WHERE vec_id < {_EVAL_Q}
+), p AS (
+  SELECT q.q_id, c.vec_id,
+         floor((list_cosine_similarity(c.v, q.qv)) * 10000.0 + 0.5) / 10000.0 AS cos_sim,
+         c.cell = q.qcell AS same_cell
+  FROM cells c, q WHERE c.vec_id != q.q_id
+), r AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY cos_sim DESC, vec_id) AS exact_rank,
+         row_number() OVER (PARTITION BY q_id, same_cell
+                            ORDER BY cos_sim DESC, vec_id) AS cell_rank
+  FROM p
+)
+SELECT q_id,
+       count(*) FILTER (WHERE same_cell AND cell_rank <= {_EVAL_K}) AS n_retrieved,
+       count(*) FILTER (WHERE exact_rank <= {_EVAL_K}
+                        AND same_cell AND cell_rank <= {_EVAL_K}) AS n_hits,
+       floor((count(*) FILTER (WHERE exact_rank <= {_EVAL_K}
+                               AND same_cell AND cell_rank <= {_EVAL_K})
+              / {float(_EVAL_K)}) * 10000.0 + 0.5) / 10000.0 AS recall_at_10
+FROM r
+GROUP BY q_id
+ORDER BY q_id
 """
 
 
@@ -694,10 +807,12 @@ QUERIES = {
     "lsh_bucketed_near_dup_pairs": lsh_bucketed_near_dup_pairs,
     "lsh_multiband_near_dup_pairs": lsh_multiband_near_dup_pairs,
     "ivf_topk": ivf_topk,
+    "ivf_recall_eval": ivf_recall_eval,
     "knn_join_topk": knn_join_topk,
 }
 
 ORACLE = {
+    "ivf_recall_eval": _ivf_recall_sql(),
     "cosine_topk": _COSINE_TOPK_SQL,
     "embedding_dim_stats": _DIM_STATS_SQL,
     "embedding_norm_stats": _NORM_STATS_SQL,

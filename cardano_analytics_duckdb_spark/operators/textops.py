@@ -127,6 +127,44 @@ ORDER BY doc_id
 """
 
 
+# -- language-ID confusion matrix ---------------------------------------------
+# Classifier-eval companion to ``lang_id_scores``: label × prediction counts
+# and the per-label share.  The upstream ORDER BY is eliminated by Catalyst
+# (EliminateSorts under an aggregate), so reusing the scoring query costs
+# nothing; the confusion matrix itself is a hash-agg over a ≤ |langs|²-key
+# domain, then a window over the already-aggregated rows.
+
+
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    scored = lang_id_scores(spark, sf_dir)
+    per_label = Window.partitionBy("labeled_lang")
+    return (
+        scored.groupBy("labeled_lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .withColumn(
+            "label_share",
+            rnd(F.col("n_docs") / F.sum("n_docs").over(per_label), 4),
+        )
+        .coalesce(1)
+        .sortWithinPartitions("labeled_lang", "predicted_lang")
+    )
+
+
+def _confusion_sql() -> str:
+    return f"""
+WITH scored AS ({_lang_id_sql()})
+SELECT labeled_lang, predicted_lang, count(*) AS n_docs,
+       floor((count(*) * 1.0 /
+              sum(count(*)) OVER (PARTITION BY labeled_lang)) * 10000.0 + 0.5)
+           / 10000.0 AS label_share
+FROM scored
+GROUP BY labeled_lang, predicted_lang
+ORDER BY labeled_lang, predicted_lang
+"""
+
+
 # -- regex token filtering ----------------------------------------------------
 
 
@@ -433,6 +471,7 @@ LIMIT 100
 QUERIES = {
     "doc_quality_scores": doc_quality_scores,
     "lang_id_scores": lang_id_scores,
+    "lang_id_confusion": lang_id_confusion,
     "alpha_token_stats": alpha_token_stats,
     "bpe_token_counts": bpe_token_counts,
     "rolling_fingerprints": rolling_fingerprints,
@@ -447,6 +486,7 @@ ORACLE = {
     "doc_regex_features": _REGEX_FEATURES_SQL,
     "doc_quality_scores": _QUALITY_SQL,
     "lang_id_scores": _lang_id_sql(),
+    "lang_id_confusion": _confusion_sql(),
     "alpha_token_stats": _ALPHA_SQL,
     "bpe_token_counts": _BPE_SQL,
     "rolling_fingerprints": _ROLLING_FP_SQL,

@@ -1,0 +1,83 @@
+"""Z-order clustered writer: correctness (layout never changes results) and
+the pruning property that justifies it (per-file min-max spans shrink on
+EVERY clustered dimension, where a linear sort shrinks only the first)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from cardano_analytics_duckdb_spark.lake.tables import load_table
+from cardano_analytics_duckdb_spark.lake.zorder import zorder_write
+
+COLS = ["l_orderkey", "l_partkey"]
+
+
+@pytest.fixture(scope="module")
+def zpath(spark, sf_dir, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("zorder") / "lineitem_z")
+    zorder_write(
+        load_table(spark, sf_dir, "lineitem").select(*COLS, "l_quantity"),
+        path,
+        COLS,
+        out_files=8,
+    )
+    return path
+
+
+def _box(df):
+    lo_o, hi_o = df.agg(F.min("l_orderkey"), F.max("l_orderkey")).first()
+    lo_p, hi_p = df.agg(F.min("l_partkey"), F.max("l_partkey")).first()
+    mid_o = lo_o + (hi_o - lo_o) // 4
+    mid_p = lo_p + (hi_p - lo_p) // 4
+    return (
+        (F.col("l_orderkey") >= lo_o)
+        & (F.col("l_orderkey") <= mid_o)
+        & (F.col("l_partkey") >= lo_p)
+        & (F.col("l_partkey") <= mid_p)
+    )
+
+
+def test_zorder_layout_preserves_results(spark, sf_dir, zpath):
+    src = load_table(spark, sf_dir, "lineitem").select(*COLS, "l_quantity")
+    z = spark.read.parquet(zpath)
+    pred = _box(src)
+    expect = sorted(map(tuple, src.filter(pred).collect()))
+    actual = sorted(map(tuple, z.filter(pred).collect()))
+    assert actual == expect
+    assert z.count() == src.count()
+
+
+def _mean_span_frac(spark, path, col):
+    """Average per-file (max-min) span of ``col``, as a fraction of the
+    global span — the quantity parquet row-group pruning depends on."""
+    df = spark.read.parquet(path).withColumn("f", F.input_file_name())
+    per_file = df.groupBy("f").agg(
+        (F.max(col) - F.min(col)).cast("double").alias("span")
+    )
+    lo, hi = df.agg(F.min(col), F.max(col)).first()
+    return (
+        per_file.agg(F.avg("span")).first()[0] / float(hi - lo)
+    )
+
+
+def test_zorder_shrinks_every_dimension(spark, sf_dir, zpath, tmp_path):
+    # Linear-sort baseline: tight on l_orderkey, useless on l_partkey.
+    lin = str(tmp_path / "lineitem_lin")
+    (
+        load_table(spark, sf_dir, "lineitem")
+        .select(*COLS, "l_quantity")
+        .repartitionByRange(8, "l_orderkey")
+        .sortWithinPartitions("l_orderkey")
+        .write.mode("overwrite")
+        .parquet(lin)
+    )
+    z_o = _mean_span_frac(spark, zpath, "l_orderkey")
+    z_p = _mean_span_frac(spark, zpath, "l_partkey")
+    lin_p = _mean_span_frac(spark, lin, "l_partkey")
+    # Both clustered dimensions shrink (8 files on a 2-d curve ≈ 1/2 to 1/4
+    # span per dim), and the second dimension beats the linear layout by a
+    # wide margin (linear leaves it at ~1.0 of the global span).
+    assert z_o < 0.75, z_o
+    assert z_p < 0.75, z_p
+    assert z_p < 0.8 * lin_p, (z_p, lin_p)
