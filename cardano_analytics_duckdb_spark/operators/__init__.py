@@ -58,7 +58,6 @@ _WINDOW = (
     # temporal family (never checked)
     "events_asof_purchase",
     "events_within_minute_pairs",
-    "user_hourly_gapfill",
     # analytic family picks (never checked)
     "large_volume_customers",
     "top_revenue_suppliers",
@@ -77,7 +76,10 @@ _WINDOW = (
     # operators rotate out with green r4 rows on record, freeing slots for
     # the r5-new corpus-composition family (operators/mixing.py)
     "streaming_dedup_events",
-    "weekly_cohort_retention",
+    # r5-new eval + corpus-composition operators (user_hourly_gapfill and
+    # weekly_cohort_retention rotate out with green r4 rows on record)
+    "ivf_recall_eval",
+    "lang_id_confusion",
     "repetition_scores",
     "tfidf_top_terms",
     "stratified_split_counts",
