@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from ..functions.ordering import small_sorted
 from ..functions.rounding import rnd
 from ..lake.tables import load_table
+from .similarity import _dot, _norm
 
 # -- exact dedup: hash-groupBy fingerprint ------------------------------------
 
@@ -181,8 +182,9 @@ _MINHASH_K = 6
 _BANDS = [(0, 3), (3, 6)]
 
 
-def minhash_band_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+def _minhash_bands(docs: DataFrame) -> DataFrame:
+    """(doc_id, band, band_key) rows — the LSH banding core shared by the
+    bucket report and the semantic-dedup candidate generator."""
     # No distinct() on shingles: min over a multiset equals min over the set,
     # so dedup-before-min would only add a shuffle.  (A no-explode variant —
     # per-doc digest arrays via higher-order transform + array_min — was
@@ -210,9 +212,13 @@ def minhash_band_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             for b, (lo, hi) in enumerate(_BANDS)
         ]
     )
-    all_bands = sig.select(
+    return sig.select(
         "doc_id", F.explode(band_structs).alias("bk")
     ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
+
+
+def minhash_band_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    all_bands = _minhash_bands(load_table(spark, sf_dir, "documents"))
     return (
         # one range shuffle serves the bucket agg and the final ORDER BY
         # (see order_brand_sets): band_key is near-unique, so map-side
@@ -266,6 +272,99 @@ FROM bands
 GROUP BY band, band_key
 HAVING count(*) > 1
 ORDER BY band, band_key
+"""
+    )
+
+
+# -- semantic dedup: LSH candidates × embedding verification ------------------
+# The production near-dup pipeline composed end-to-end: MinHash banding
+# proposes candidate pairs (subquadratic — pairs exist only within a shared
+# band bucket), then each candidate is VERIFIED by embedding cosine before
+# being declared a duplicate.  Lexical recall, semantic precision.
+#
+# Scale posture: candidate generation cost ∝ Σ bucket² (the LSH guarantee);
+# verification joins the SMALL candidate set against the embedding table by
+# id — two hash joins where the big side streams, no pairwise embedding
+# scan ever happens.  This is the shape that survives a 100 TB corpus.
+
+_SEMANTIC_DUP_THRESHOLD = 0.5
+
+
+def semantic_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    bands = _minhash_bands(docs)
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_bands"))
+    )
+    ea = emb.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("va"))
+    eb = emb.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("vb"))
+    cos = rnd(_dot("va", "vb") / (_norm("va") * _norm("vb")), 4)
+    return (
+        pairs.join(ea, F.col("doc_a") == F.col("ia"))
+        .join(eb, F.col("doc_b") == F.col("ib"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_bands",
+            cos.alias("cos_sim"),
+            (cos >= _SEMANTIC_DUP_THRESHOLD).alias("is_semantic_dup"),
+        )
+        .transform(small_sorted, "doc_a", "doc_b")
+    )
+
+
+def _semantic_dedup_sql() -> str:
+    hash_cols = ",\n         ".join(
+        f"min(substring(md5(sh), {1 + i * 5}, 5)) AS h{i}"
+        for i in range(_MINHASH_K)
+    )
+    band_selects = []
+    for b, (lo, hi) in enumerate(_BANDS):
+        key = " || '|' || ".join(f"h{i}" for i in range(lo, hi))
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band, {key} AS band_key FROM sig"
+        )
+    bands_union = "\nUNION ALL\n".join(band_selects)
+    cos = (
+        "floor(list_cosine_similarity(ea.embedding::DOUBLE[],"
+        " eb.embedding::DOUBLE[]) * 10000.0 + 0.5) / 10000.0"
+    )
+    return (
+        "WITH "
+        + _SHINGLES_CTE.format(src="documents")
+        + f"""
+, sig AS (
+  SELECT doc_id,
+         {hash_cols}
+  FROM shingles GROUP BY doc_id
+), bands AS (
+{bands_union}
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+              AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT p.doc_a, p.doc_b, p.n_bands,
+       {cos} AS cos_sim,
+       {cos} >= {_SEMANTIC_DUP_THRESHOLD} AS is_semantic_dup
+FROM pairs p
+JOIN embeddings ea ON ea.vec_id = p.doc_a
+JOIN embeddings eb ON eb.vec_id = p.doc_b
+ORDER BY doc_a, doc_b
 """
     )
 
@@ -526,6 +625,7 @@ QUERIES = {
     "exact_dedup_groups": exact_dedup_groups,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "minhash_band_buckets": minhash_band_buckets,
+    "semantic_dedup_pairs": semantic_dedup_pairs,
     "simhash_fingerprints": simhash_fingerprints,
     "near_dup_doc_clusters": near_dup_doc_clusters,
     "part_name_levenshtein_pairs": part_name_levenshtein_pairs,
@@ -536,6 +636,7 @@ ORACLE = {
     "exact_dedup_groups": _EXACT_DEDUP_SQL,
     "ngram_jaccard_pairs": _JACCARD_SQL,
     "minhash_band_buckets": _minhash_sql(),
+    "semantic_dedup_pairs": _semantic_dedup_sql(),
     "simhash_fingerprints": _simhash_sql(),
     "near_dup_doc_clusters": _NEAR_DUP_CLUSTERS_SQL,
     "part_name_levenshtein_pairs": _LEVENSHTEIN_SQL,
