@@ -57,7 +57,6 @@ _WINDOW = (
     "status_price_position",
     # temporal family (never checked)
     "events_asof_purchase",
-    "events_within_minute_pairs",
     # analytic family picks (never checked)
     "large_volume_customers",
     "top_revenue_suppliers",
@@ -80,6 +79,7 @@ _WINDOW = (
     # weekly_cohort_retention rotate out with green r4 rows on record)
     "ivf_recall_eval",
     "lang_id_confusion",
+    "semantic_dedup_pairs",
     "repetition_scores",
     "tfidf_top_terms",
     "stratified_split_counts",
