@@ -153,3 +153,42 @@ def test_rollback_lake_reconciles(spark, tmp_path):
     assert after.agg(F.max("slot")).first()[0] <= to_slot
     # boundary-straddling partition group 0 was rewritten, not dropped
     assert after.filter(F.col("slot_group") == 0).count() > 0
+
+
+def test_streaming_ingestion_resumes_from_checkpoint(spark, tmp_path):
+    """Fault-tolerance contract: re-running the stream against the SAME
+    checkpoint ingests only files the checkpoint has not seen — already-
+    processed input is never re-appended (no duplicates), new input is
+    picked up exactly once.  This is the property that lets a production
+    ingester crash/restart without reconciliation."""
+    import json
+
+    from cardano_analytics_duckdb_spark.streaming.ingest import (
+        ingest_blocks_streaming,
+    )
+
+    src = tmp_path / "blocks_json"
+    src.mkdir()
+    blocks = fixture_blocks()
+    half = len(blocks) // 2
+    with open(src / "blocks_0.jsonl", "w") as f:
+        for b in blocks[:half]:
+            f.write(json.dumps(b) + "\n")
+    dest = str(tmp_path / "resumable_lake")
+
+    ingest_blocks_streaming(spark, str(src), dest)
+    first = _canon_rows(spark.read.parquet(f"{dest}/tx"))
+
+    # "Restart" with no new input: the checkpoint must make this a no-op.
+    ingest_blocks_streaming(spark, str(src), dest)
+    assert _canon_rows(spark.read.parquet(f"{dest}/tx")) == first
+
+    # New file arrives; the restarted stream ingests ONLY the delta.
+    with open(src / "blocks_1.jsonl", "w") as f:
+        for b in blocks[half:]:
+            f.write(json.dumps(b) + "\n")
+    ingest_blocks_streaming(spark, str(src), dest)
+
+    root = ensure_fixture_lake(spark)
+    expected = _canon_rows(spark.read.parquet(f"{root}/tx"))
+    assert _canon_rows(spark.read.parquet(f"{dest}/tx")) == expected
