@@ -373,3 +373,55 @@ def test_collected_dim_fails_fast_on_fact_tables(spark, sf_dir):
 
     with pytest.raises(ValueError, match="distinct domain exceeds"):
         _collected_dim(spark, sf_dir, "orders", ("o_orderkey",))
+
+
+def test_repetition_scores_single_range_shuffle(spark, sf_dir):
+    """repetition_scores: the uni+bi-gram counting must ride ONE range
+    exchange that serves both aggregate levels and the final order — no
+    second hash shuffle, no sort-sampler re-execution."""
+    from cardano_analytics_duckdb_spark.operators.mixing import (
+        repetition_scores,
+    )
+
+    plan = _plan(repetition_scores(spark, sf_dir))
+    assert plan.count("Exchange rangepartitioning") == 1
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_semantic_dedup_is_bucketed_not_pairwise(spark, sf_dir):
+    """semantic_dedup_pairs: candidates come from an equi-join on the band
+    bucket key (never a cartesian pairwise scan), and embedding
+    verification joins by id."""
+    from cardano_analytics_duckdb_spark.operators.dedup import (
+        semantic_dedup_pairs,
+    )
+
+    plan = _plan(semantic_dedup_pairs(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_stratified_split_is_narrow_map_plus_agg(spark, sf_dir):
+    """stratified_split_counts: the split assignment is a pure projection —
+    exactly one aggregate exchange, no joins, no windows."""
+    from cardano_analytics_duckdb_spark.operators.mixing import (
+        stratified_split_counts,
+    )
+
+    plan = _plan(stratified_split_counts(spark, sf_dir))
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan and "Window" not in plan
+
+
+def test_source_mix_window_runs_post_aggregation(spark, sf_dir):
+    """source_mix_weights: the corpus-totals window must sit ABOVE the
+    per-source aggregate (operating on one row per source), never on the
+    raw documents."""
+    from cardano_analytics_duckdb_spark.operators.mixing import (
+        source_mix_weights,
+    )
+
+    plan = _plan(source_mix_weights(spark, sf_dir))
+    # window over already-aggregated rows: the Window's child subtree must
+    # contain the HashAggregate, i.e. Window appears before (above) it
+    assert plan.index("Window") < plan.index("HashAggregate")
