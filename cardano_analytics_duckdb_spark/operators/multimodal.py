@@ -76,7 +76,9 @@ def _decode_payload(payload: bytes) -> dict:
     }
 
 
-def image_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _decoded_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unordered (doc_id, width, height, fingerprint) decode output — the
+    shared upstream of the feature report and the pHash dedup."""
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.col("text").cast("binary").alias("payload")
     )
@@ -115,7 +117,11 @@ def image_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return docs.mapInPandas(
         decode, schema="doc_id long, width int, height int, fingerprint string"
-    ).orderBy("doc_id")
+    )
+
+
+def image_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _decoded_frame(spark, sf_dir).orderBy("doc_id")
 
 
 _IMAGE_DECODE_SQL = """
@@ -126,6 +132,101 @@ SELECT doc_id,
 FROM documents
 ORDER BY doc_id
 """
+
+# -- perceptual-hash near-dup (image dedup) -----------------------------------
+# Production image dedup: a compact perceptual hash per image, banded LSH
+# blocking, exact hamming verification within blocks.  The 16-bit "pHash"
+# here derives from the decode fingerprint (the deterministic fake; a real
+# pipeline computes a 64-bit DCT pHash in the same mapInPandas slot), split
+# into 4 nibble bands — by pigeonhole, any pair at hamming ≤ 3 shares at
+# least one intact band, so the banded equi-join is COMPLETE for the
+# reported threshold.  At 100 TB: 64-bit hash, 8 byte-bands, identical plan
+# (cost ∝ Σ band-bucket², never N²).
+
+_PHASH_BANDS = 4
+_PHASH_MAX_HAMMING = 3
+
+_HEX = "0123456789abcdef"
+_PHASH_EXPR = " + ".join(
+    f"(instr('{_HEX}', substring(fingerprint, {i + 1}, 1)) - 1) * {16 ** (3 - i)}"
+    for i in range(4)
+)
+
+
+def image_phash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    decoded = _decoded_frame(spark, sf_dir).select(
+        "doc_id",
+        F.expr(f"cast(({_PHASH_EXPR}) as int)").alias("phash"),
+        "fingerprint",
+    )
+    bands = decoded.select(
+        "doc_id",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.substring("fingerprint", i + 1, 1).alias("nib"),
+                    )
+                    for i in range(_PHASH_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "phash", F.col("bk.band").alias("band"), F.col("bk.nib").alias("nib"))
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.nib") == F.col("b.nib"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        # collapse multi-band collisions to one candidate row per pair
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.phash").alias("pa"),
+            F.col("b.phash").alias("pb"),
+        )
+        .agg(F.count(F.lit(1)).alias("_nb"))
+    )
+    hamming = F.expr("cast(bit_count(pa ^ pb) as int)")
+    return (
+        pairs.select("doc_a", "doc_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= _PHASH_MAX_HAMMING)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _phash_sql() -> str:
+    phash = " + ".join(
+        f"(instr('{_HEX}', substring(fp, {i + 1}, 1)) - 1) * {16 ** (3 - i)}"
+        for i in range(4)
+    )
+    band_rows = "\nUNION ALL\n".join(
+        f"SELECT doc_id, phash, {i} AS band, substring(fp, {i + 1}, 1) AS nib FROM h"
+        for i in range(_PHASH_BANDS)
+    )
+    return f"""
+WITH d AS (
+  SELECT doc_id, md5(text) AS fp FROM documents
+), h AS (
+  SELECT doc_id, fp, CAST({phash} AS INTEGER) AS phash FROM d
+), b AS (
+{band_rows}
+), p AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+         a.phash AS pa, b2.phash AS pb
+  FROM b a JOIN b b2 ON a.band = b2.band AND a.nib = b2.nib
+                    AND a.doc_id < b2.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(pa, pb)) AS INTEGER) AS hamming
+FROM p
+WHERE bit_count(xor(pa, pb)) <= {_PHASH_MAX_HAMMING}
+ORDER BY doc_a, doc_b
+"""
+
 
 # -- frame sampling stub (video-shaped): fixed-stride byte windows ------------
 
@@ -273,6 +374,7 @@ ORDER BY doc_id
 QUERIES = {
     "payload_metadata": payload_metadata,
     "image_decode_features": image_decode_features,
+    "image_phash_near_dup_pairs": image_phash_near_dup_pairs,
     "image_resize_features": image_resize_features,
     "frame_sample_features": frame_sample_features,
     "audio_waveform_features": audio_waveform_features,
@@ -281,6 +383,7 @@ QUERIES = {
 ORACLE = {
     "payload_metadata": _PAYLOAD_META_SQL,
     "image_decode_features": _IMAGE_DECODE_SQL,
+    "image_phash_near_dup_pairs": _phash_sql(),
     "image_resize_features": _RESIZE_SQL,
     "frame_sample_features": _FRAME_SAMPLE_SQL,
     "audio_waveform_features": _AUDIO_SQL,
