@@ -292,14 +292,88 @@ FROM t ORDER BY source
 """
 
 
+# -- sequence packing ---------------------------------------------------------
+# Pre-training batch construction: documents are packed, in deterministic
+# per-source order, into fixed token-budget training sequences (sequential
+# packing — the streaming-friendly strategy; bin id is a pure function of
+# the running token count, so the same corpus always packs identically).
+# One window shuffle keyed by source computes the running count; the bin
+# report is a hash-agg over (source, bin).  At 100 TB the window key is the
+# source shard — thousands of independent partitions, no global sort.
+
+_SEQ_BUDGET = 512  # tokens per packed sequence
+
+
+def sequence_packing_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.expr("filter(split(text, ' '), t -> t != '')"))
+    by_source = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_bin = (
+        docs.select("source", "doc_id", n_tok.alias("n_tok"))
+        .withColumn("cum", F.sum("n_tok").over(by_source))
+        # a doc belongs to the bin its FIRST token lands in
+        .withColumn(
+            "bin_id",
+            F.floor((F.col("cum") - F.col("n_tok")) / F.lit(_SEQ_BUDGET)),
+        )
+    )
+    return (
+        with_bin.groupBy("source", "bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+        )
+        .select(
+            "source",
+            "bin_id",
+            "n_docs",
+            "n_tokens",
+            rnd(F.col("n_tokens") / F.lit(float(_SEQ_BUDGET)), 4).alias(
+                "fill_rate"
+            ),
+        )
+        .repartitionByRange("source", "bin_id")
+        .sortWithinPartitions("source", "bin_id")
+    )
+
+
+_PACKING_SQL = f"""
+WITH t AS (
+  SELECT source, doc_id,
+         len(list_filter(string_split(text, ' '), t -> t != '')) AS n_tok
+  FROM documents
+), c AS (
+  SELECT source, doc_id, n_tok,
+         sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                          ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t
+), b AS (
+  SELECT source, CAST(floor((cum - n_tok) / {_SEQ_BUDGET}) AS BIGINT) AS bin_id,
+         n_tok
+  FROM c
+)
+SELECT source, bin_id, count(*) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       {rnd_sql(f'sum(n_tok) / {float(_SEQ_BUDGET)}', 4)} AS fill_rate
+FROM b GROUP BY source, bin_id
+ORDER BY source, bin_id
+"""
+
+
 QUERIES = {
     "repetition_scores": repetition_scores,
     "tfidf_top_terms": tfidf_top_terms,
     "stratified_split_counts": stratified_split_counts,
     "source_mix_weights": source_mix_weights,
+    "sequence_packing_bins": sequence_packing_bins,
 }
 
 ORACLE = {
+    "sequence_packing_bins": _PACKING_SQL,
     "repetition_scores": _REPETITION_SQL,
     "tfidf_top_terms": _TFIDF_SQL,
     "stratified_split_counts": _SPLIT_SQL,
