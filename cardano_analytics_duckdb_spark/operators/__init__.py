@@ -48,15 +48,13 @@ _WINDOW = (
     "streaming_session_windows",
     "streaming_stateful_sessions",
     "streaming_click_purchase_join",
-    "approx_user_stats",
     # windows family (user_running_value / user_event_gaps went green in r4 and
     # rotated out to free slots for the two never-driver-checked queries below)
     "top_orders_per_customer",
     "user_sessions",
     "events_tumbling_5min",
     "status_price_position",
-    # temporal family (never checked)
-    "events_asof_purchase",
+    # temporal family
     # analytic family picks (never checked)
     "large_volume_customers",
     "top_revenue_suppliers",
@@ -80,6 +78,8 @@ _WINDOW = (
     "ivf_recall_eval",
     "lang_id_confusion",
     "semantic_dedup_pairs",
+    "image_phash_near_dup_pairs",
+    "sequence_packing_bins",
     "repetition_scores",
     "tfidf_top_terms",
     "stratified_split_counts",
