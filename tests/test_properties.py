@@ -238,3 +238,82 @@ def test_lsh_adaptive_buckets_bounded_on_skewed_corpus(spark):
     # end-to-end: auto-sized engine must not hit the 10k kernel guard
     pairs = lsh_near_dup_pairs(spark, df, n_bands=2, bucket_cap=cap)
     assert pairs.count() >= 0
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=4095),
+            st.integers(min_value=0, max_value=4095),
+        ),
+        min_size=1,
+        max_size=30,
+        unique=True,
+    )
+)
+@settings(max_examples=30, deadline=None)
+def test_morton_interleave_is_injective_and_monotone_in_boxes(pairs):
+    """The z-order key is a bijection on the grid (no two cells collide)
+    and respects containment: a point inside a dyadic box has its key
+    inside the box's key range — the property parquet min-max pruning
+    exploits."""
+
+    def morton(x: int, y: int, bits: int = 12) -> int:
+        z = 0
+        for b in range(bits):
+            z |= ((x >> b) & 1) << (2 * b) | ((y >> b) & 1) << (2 * b + 1)
+        return z
+
+    keys = [morton(x, y) for x, y in pairs]
+    assert len(set(keys)) == len(pairs)  # injective
+    # dyadic-box property: halving both coordinate ranges halves the key
+    # range prefix — check via the top quadrant bits
+    for (x, y), z in zip(pairs, keys):
+        quad = ((x >> 11) & 1) | (((y >> 11) & 1) << 1)
+        assert (z >> 22) & 3 == quad
+
+
+def test_morton_spark_expression_matches_reference(spark):
+    """The Catalyst shift/or fold computes the same key as the Python
+    reference bit-by-bit."""
+    import pyspark.sql.functions as F
+
+    from cardano_analytics_duckdb_spark.lake.zorder import morton_interleave
+
+    rows = [(x, y) for x in (0, 1, 5, 63, 64, 4095) for y in (0, 2, 7, 4095)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = {
+        (r.x, r.y): r.z
+        for r in df.withColumn(
+            "z", morton_interleave([F.col("x"), F.col("y")], 12)
+        ).collect()
+    }
+
+    def morton(x: int, y: int) -> int:
+        z = 0
+        for b in range(12):
+            z |= ((x >> b) & 1) << (2 * b) | ((y >> b) & 1) << (2 * b + 1)
+        return z
+
+    for (x, y), z in got.items():
+        assert z == morton(x, y), (x, y)
+
+
+@given(
+    st.integers(min_value=0, max_value=0xFFFF),
+    st.sets(st.integers(min_value=0, max_value=15), min_size=0, max_size=3),
+)
+@settings(max_examples=200, deadline=None)
+def test_phash_banding_is_complete_for_hamming_3(base, flip_bits):
+    """Pigeonhole completeness of the 4-nibble blocking: ANY pair of 16-bit
+    hashes at hamming distance <= 3 shares at least one intact nibble, so
+    the banded equi-join can never miss a reported pair."""
+    other = base
+    for b in flip_bits:
+        other ^= 1 << b
+    hamming = bin(base ^ other).count("1")
+    assert hamming <= 3
+    nibbles_equal = any(
+        (base >> (4 * i)) & 0xF == (other >> (4 * i)) & 0xF for i in range(4)
+    )
+    assert nibbles_equal
