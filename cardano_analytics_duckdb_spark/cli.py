@@ -76,13 +76,10 @@ START_PRESETS: dict[str, tuple[int, str | None]] = {
 }
 
 # Well-known mainnet addresses ≙ the reference's KNOWN_ADDRESSES
-# (config.py:77-82) — exposed for ad-hoc filters/joins against utxo.address.
-KNOWN_ADDRESSES = {
-    "minswap_v1": "addr1zxn9efv2f6w82hagxqtn62ju4m293tqvw0uhmdl64ch8uw6j2c79gy9l76sdg0xwhd7r0c0kna0tycz4y5s6mlenh8pq6s3z70",
-    "sundaeswap_v1": "addr1w9qzpelu9hn45pefc0xr4ac4kdxeswq7pndul2vuj59u8tqaxdznu",
-    "wingriders_v1": "addr1w8nvjzjeydcn4atcd93aac8allvrpjn7lx9cyh3rgjgqmrqk5r9ep",
-    "snek_mint": "addr1q9jsu6z9sedfksdrhkpmcgvcjf9m6vhd2wn3huxy0s8cwq7k2tc80wsaltznwlfpe7vncdkhcgngll32v22m3g80luvqxjahsf",
-}
+# (config.py:77-82) — defined next to the decoder that consumes them
+# (operators/addresses.py); re-exported here for CLI users and parity
+# tests.  cli → operators is the package's import direction.
+from .operators.addresses import KNOWN_ADDRESSES  # noqa: E402, F401
 
 
 # name → (policy_id, asset_name) ≙ the reference's token info table

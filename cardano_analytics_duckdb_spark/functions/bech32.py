@@ -41,24 +41,33 @@ def datapart_expr(address_col: str) -> str:
     return f"regexp_replace({address_col}, '^.*1', '')"
 
 
+def _chars_expr(col: str, body: str) -> str:
+    """``transform`` over the 1..length(col) character positions, guarded
+    for the empty string: Spark's ``sequence(1, 0)`` DESCENDS to [1, 0]
+    (step defaults to -1), which would fabricate two phantom characters —
+    the guard returns a true empty array instead, matching the spec and
+    the DuckDB oracle's ``generate_series`` semantics."""
+    return (
+        f"if(length({col}) = 0, array(),"
+        f" transform(sequence(1, length({col})), i -> {body}))"
+    )
+
+
 def values_expr(datapart_col: str) -> str:
     """Data characters → 5-bit values; unknown characters map to -1 so
     validity is checkable with array_min >= 0."""
-    return (
-        f"transform(sequence(1, length({datapart_col})),"
-        f" i -> instr('{CHARSET}', substring({datapart_col}, i, 1)) - 1)"
+    return _chars_expr(
+        datapart_col,
+        f"instr('{CHARSET}', substring({datapart_col}, i, 1)) - 1",
     )
 
 
 def hrp_expand_expr(hrp_col: str) -> str:
-    return (
-        f"concat("
-        f"transform(sequence(1, length({hrp_col})),"
-        f" i -> shiftright(ascii(substring({hrp_col}, i, 1)), 5)),"
-        f" array(0),"
-        f"transform(sequence(1, length({hrp_col})),"
-        f" i -> ascii(substring({hrp_col}, i, 1)) & 31))"
+    high = _chars_expr(
+        hrp_col, f"shiftright(ascii(substring({hrp_col}, i, 1)), 5)"
     )
+    low = _chars_expr(hrp_col, f"ascii(substring({hrp_col}, i, 1)) & 31")
+    return f"concat({high}, array(0), {low})"
 
 
 def polymod_expr(hrp_ex_col: str, values_col: str) -> str:

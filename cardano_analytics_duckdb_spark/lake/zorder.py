@@ -28,6 +28,14 @@ def morton_interleave(cols: list[Column], bits: int) -> Column:
     """Bit-interleave ``cols`` (each already an integer in ``[0, 2**bits)``)
     into one long: bit ``b`` of column ``i`` lands at position ``b*n + i``."""
     n = len(cols)
+    # every bit position must stay inside a signed 64-bit long: JVM
+    # shiftleft masks the shift count mod 64, so an over-wide config would
+    # SILENTLY fold high columns onto low bits and break injectivity
+    if n * bits > 63:
+        raise ValueError(
+            f"morton_interleave: {n} cols × {bits} bits = {n * bits} bit"
+            " positions > 63 — reduce bits (or cluster fewer columns)"
+        )
     z: Column | None = None
     for b in range(bits):
         for i, c in enumerate(cols):
@@ -46,12 +54,18 @@ def zorder_key(
     """Morton key over ``cols``, linearly scaled onto a ``2**bits`` grid.
 
     The scaling bounds come from one tiny min/max aggregate (2 values per
-    column to the driver — bounded regardless of table size).
+    column to the driver — bounded regardless of table size).  ``bits`` is
+    auto-reduced so the key always fits a signed long; an empty (or
+    all-NULL-column) frame degenerates to a constant key, which writes the
+    same empty/unordered output a sort would.
     """
+    bits = min(bits, 63 // max(len(cols), 1))
     aggs = [F.min(c).alias(f"lo_{c}") for c in cols] + [
         F.max(c).alias(f"hi_{c}") for c in cols
     ]
     stats = df.agg(*aggs).first()
+    if any(stats[f"lo_{c}"] is None or stats[f"hi_{c}"] is None for c in cols):
+        return F.lit(0).cast("long")
     grid = (1 << bits) - 1
     scaled = []
     for c in cols:

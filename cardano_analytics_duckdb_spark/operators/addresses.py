@@ -35,9 +35,18 @@ from ..functions.bech32 import (
 )
 
 
-def _known_addresses() -> list[tuple[str, str]]:
-    from ..cli import KNOWN_ADDRESSES
+# Well-known mainnet addresses ≙ the reference's KNOWN_ADDRESSES
+# (config.py:77-82) — for ad-hoc filters/joins against utxo.address;
+# re-exported by cli.py.
+KNOWN_ADDRESSES = {
+    "minswap_v1": "addr1zxn9efv2f6w82hagxqtn62ju4m293tqvw0uhmdl64ch8uw6j2c79gy9l76sdg0xwhd7r0c0kna0tycz4y5s6mlenh8pq6s3z70",
+    "sundaeswap_v1": "addr1w9qzpelu9hn45pefc0xr4ac4kdxeswq7pndul2vuj59u8tqaxdznu",
+    "wingriders_v1": "addr1w8nvjzjeydcn4atcd93aac8allvrpjn7lx9cyh3rgjgqmrqk5r9ep",
+    "snek_mint": "addr1q9jsu6z9sedfksdrhkpmcgvcjf9m6vhd2wn3huxy0s8cwq7k2tc80wsaltznwlfpe7vncdkhcgngll32v22m3g80luvqxjahsf",
+}
 
+
+def _known_addresses() -> list[tuple[str, str]]:
     return sorted(KNOWN_ADDRESSES.items())
 
 

@@ -74,18 +74,24 @@ def cospend_edges(spark: SparkSession) -> DataFrame:
 
 
 def min_label_components(
-    nodes: DataFrame, edges: DataFrame, max_iter: int = 10
+    nodes: DataFrame, edges: DataFrame, max_iter: int = 20
 ) -> DataFrame:
-    """Generic connected components via distributed min-label propagation.
+    """Generic connected components via distributed min-label propagation
+    with pointer-jumping compression.
 
     ``nodes``: one column ``node`` (any orderable type); ``edges``: columns
     ``src``/``dst`` (undirected — symmetrized internally).  Returns
     (node, component) where component is the smallest node id in the
     component — a deterministic canonical id.  Singletons map to themselves.
 
-    Each iteration is one join (labels ⋈ edges) + one min-aggregate — two
-    shuffles keyed by node; labels are the only carried state
-    (localCheckpoint keeps the plan flat across rounds).
+    Each iteration is a propagate step (labels ⋈ edges + min-aggregate)
+    followed by a compression step (component ← component's own label, the
+    pointer-jumping halving), so convergence needs O(log diameter)
+    iterations, not O(diameter) — star-shaped co-spend edges double chain
+    diameters, and a plain propagation loop would need a round per hop.
+    The default cap covers diameters past 2^20; if the loop still has not
+    reached the fixpoint it RAISES instead of silently returning partially
+    merged components (labels are intermediate state, not a valid answer).
     """
     e = edges.select("src", "dst").cache()
     bidir = e.union(
@@ -96,6 +102,7 @@ def min_label_components(
         F.col("node"), F.col("node").alias("component")
     ).localCheckpoint()
 
+    converged = False
     for _ in range(max_iter):
         neighbor_min = (
             bidir.join(
@@ -107,15 +114,27 @@ def min_label_components(
             .groupBy(F.col("src").alias("node"))
             .agg(F.min("nbr_component").alias("nbr_min"))
         )
+        propagated = labels.join(neighbor_min, "node", "left").select(
+            "node",
+            F.least(
+                F.col("component"), F.coalesce("nbr_min", "component")
+            ).alias("component"),
+        )
+        # pointer jumping: every component value IS a node id, so one more
+        # join rewrites each label to its label's label — path halving
+        mapping = propagated.select(
+            F.col("node").alias("m_node"), F.col("component").alias("m_comp")
+        )
         updated = (
-            labels.join(neighbor_min, "node", "left")
+            propagated.join(
+                mapping, propagated.component == mapping.m_node, "left"
+            )
             .select(
                 "node",
-                F.least(
-                    F.col("component"), F.coalesce("nbr_min", "component")
-                ).alias("component"),
+                F.coalesce("m_comp", "component").alias("component"),
             )
-        ).localCheckpoint()
+            .localCheckpoint()
+        )
         changed = (
             updated.alias("u")
             .join(labels.alias("l"), "node")
@@ -125,14 +144,20 @@ def min_label_components(
         )
         labels = updated
         if changed == 0:
+            converged = True
             break
     e.unpersist()
     bidir.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"min_label_components did not converge in {max_iter} iterations"
+            " — raise max_iter (diameter ~ 2^max_iter is covered)"
+        )
     return labels
 
 
 def address_components(
-    spark: SparkSession, sf_dir: str | None = None, max_iter: int = 10
+    spark: SparkSession, sf_dir: str | None = None, max_iter: int = 20
 ) -> DataFrame:
     """Connected components of the co-spend graph via min-label propagation.
 

@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.ordering import small_sorted
 from ..functions.rounding import rnd, rnd_sql
 from ..lake.tables import load_table
 
@@ -149,8 +150,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rnk", F.row_number().over(by_source))
         .filter(F.col("rnk") <= 3)
         .select("source", "term", "tf", "df", "tfidf", "rnk")
-        .coalesce(1)
-        .sortWithinPartitions("source", "rnk")
+        .transform(small_sorted, "source", "rnk")
     )
 
 
@@ -206,8 +206,7 @@ def stratified_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_docs"),
             rnd(F.avg("n_chars"), 2).alias("avg_chars"),
         )
-        .coalesce(1)
-        .sortWithinPartitions("source", "split")
+        .transform(small_sorted, "source", "split")
     )
 
 
@@ -269,8 +268,7 @@ def source_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("sample_weight"),
         )
-        .coalesce(1)
-        .sortWithinPartitions("source")
+        .transform(small_sorted, "source")
     )
 
 

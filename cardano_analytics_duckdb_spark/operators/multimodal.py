@@ -183,13 +183,13 @@ def image_phash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         # collapse multi-band collisions to one candidate row per pair
-        .groupBy(
+        .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
             F.col("a.phash").alias("pa"),
             F.col("b.phash").alias("pb"),
         )
-        .agg(F.count(F.lit(1)).alias("_nb"))
+        .distinct()
     )
     hamming = F.expr("cast(bit_count(pa ^ pb) as int)")
     return (

@@ -241,12 +241,18 @@ def _collected_dim(
     spark: SparkSession, sf_dir: str, table: str, cols: tuple[str, ...]
 ) -> tuple:
     # Cache key includes the source file's mtime: a lake rewritten
-    # in-process gets a fresh snapshot instead of a stale domain.
+    # in-process gets a fresh snapshot instead of a stale domain.  The
+    # snapshot itself reads the FILE directly (not load_table) so a warmed/
+    # cached copy of the old data can't be served under the fresh key, and
+    # superseded mtimes are evicted so a long-lived session doesn't
+    # accumulate dead snapshots.
     path = os.path.join(sf_dir, f"{table}.parquet")
     mtime = os.path.getmtime(path) if os.path.exists(path) else None
     key = (sf_dir, table, cols, mtime)
     if key not in _DOMAIN_CACHE:
-        df = load_table(spark, sf_dir, table).select(*cols).distinct()
+        for old in [k for k in _DOMAIN_CACHE if k[:3] == (sf_dir, table, cols)]:
+            del _DOMAIN_CACHE[old]
+        df = spark.read.parquet(path).select(*cols).distinct()
         rows = df.limit(_DIM_SNAPSHOT_CAP + 1).collect()
         if len(rows) > _DIM_SNAPSHOT_CAP:
             raise ValueError(

@@ -26,6 +26,7 @@ import random
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.ordering import small_sorted
 from ..functions.rounding import rnd
 from ..lake.tables import load_table
 
@@ -383,8 +384,7 @@ def ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_hits",
             rnd(F.col("n_hits") / k.cast("double"), 4).alias("recall_at_10"),
         )
-        .coalesce(1)
-        .sortWithinPartitions("q_id")
+        .transform(small_sorted, "q_id")
     )
 
 

@@ -147,8 +147,7 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "label_share",
             rnd(F.col("n_docs") / F.sum("n_docs").over(per_label), 4),
         )
-        .coalesce(1)
-        .sortWithinPartitions("labeled_lang", "predicted_lang")
+        .transform(small_sorted, "labeled_lang", "predicted_lang")
     )
 
 

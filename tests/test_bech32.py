@@ -102,3 +102,31 @@ def test_bech32_exprs_reject_corruption(spark, sf_dir):
     # no Python UDF anywhere in the decode plan
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bech32_exprs_empty_parts_yield_empty_arrays(spark):
+    """Spark's sequence(1, 0) descends to [1, 0]; the character-walk
+    expressions must guard it so degenerate addresses ('1...' empty HRP,
+    '...1' empty data part) produce spec-true arrays, not phantom
+    elements."""
+    from cardano_analytics_duckdb_spark.functions.bech32 import (
+        datapart_expr,
+        hrp_expand_expr,
+        hrp_expr,
+        values_expr,
+    )
+
+    rows = spark.createDataFrame(
+        [("1qqq",), ("addr1",)], "address string"
+    ).selectExpr(
+        "address",
+        f"{hrp_expr('address')} AS hrp",
+        f"{datapart_expr('address')} AS datap",
+    ).selectExpr(
+        "address",
+        f"size({values_expr('datap')}) AS n_vals",
+        f"size({hrp_expand_expr('hrp')}) AS n_hrp_ex",
+    ).collect()
+    got = {r["address"]: (r["n_vals"], r["n_hrp_ex"]) for r in rows}
+    assert got["1qqq"] == (3, 1)   # empty HRP expands to just [0]
+    assert got["addr1"] == (0, 9)  # empty data part has NO values

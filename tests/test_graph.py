@@ -65,3 +65,38 @@ def test_cluster_summary_shape(spark, sf_dir):
         {m for r in rows for m in r["members"].split("|")}
     )
     assert len(by_component) == len(rows)
+
+
+def test_long_chain_converges_logarithmically(spark):
+    """Pointer-jumping compression: a 200-node path (diameter 199) must
+    resolve to ONE component within the default iteration cap — plain
+    propagation would need ~200 rounds."""
+    from cardano_analytics_duckdb_spark.operators.graph import (
+        min_label_components,
+    )
+
+    n = 200
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "node long")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src long, dst long"
+    )
+    comp = min_label_components(nodes, edges, max_iter=12)
+    assert {r.component for r in comp.collect()} == {0}
+
+
+def test_nonconvergence_raises_instead_of_returning_partial_labels(spark):
+    """Exhausting max_iter without the fixpoint is an ERROR, never a
+    silently wrong component assignment."""
+    import pytest as _pytest
+
+    from cardano_analytics_duckdb_spark.operators.graph import (
+        min_label_components,
+    )
+
+    n = 64
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "node long")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src long, dst long"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        min_label_components(nodes, edges, max_iter=2)

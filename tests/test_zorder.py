@@ -81,3 +81,42 @@ def test_zorder_shrinks_every_dimension(spark, sf_dir, zpath, tmp_path):
     assert z_o < 0.75, z_o
     assert z_p < 0.75, z_p
     assert z_p < 0.8 * lin_p, (z_p, lin_p)
+
+
+def test_overwide_morton_config_raises(spark):
+    import pyspark.sql.functions as F
+    import pytest as _pytest
+
+    from cardano_analytics_duckdb_spark.lake.zorder import morton_interleave
+
+    with _pytest.raises(ValueError, match="> 63"):
+        morton_interleave([F.lit(0)] * 6, 12)
+
+
+def test_zorder_key_handles_empty_frame(spark, tmp_path):
+    from cardano_analytics_duckdb_spark.lake.tables import load_table
+    from cardano_analytics_duckdb_spark.lake.zorder import zorder_write
+
+    import pyspark.sql.functions as F
+
+    empty = (
+        load_table(spark, "/root/testdata/sf0.001", "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .filter(F.lit(False))
+    )
+    out = str(tmp_path / "z_empty")
+    zorder_write(empty, out, ["l_orderkey", "l_partkey"])
+    assert spark.read.parquet(out).count() == 0
+
+
+def test_zorder_key_autoreduces_bits_for_many_columns(spark, sf_dir):
+    from cardano_analytics_duckdb_spark.lake.tables import load_table
+    from cardano_analytics_duckdb_spark.lake.zorder import zorder_key
+
+    li = load_table(spark, sf_dir, "lineitem")
+    cols = ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"]
+    # 4 cols × default 12 bits would overflow; zorder_key must clamp to
+    # 63//4 = 15 -> min(12,15)=12 fits; force the clamp with bits=20
+    key = zorder_key(li, cols, bits=20)
+    got = li.select(key.alias("z")).agg(F.min("z"), F.max("z")).first()
+    assert got[0] >= 0  # keys stay non-negative signed longs
