@@ -509,6 +509,63 @@ WHERE l.l_partkey < 200
 ORDER BY l_partkey, l_suppkey
 """
 
+# -- one-pass column profiling ------------------------------------------------
+# The data-quality primitive every lake needs: per-column null counts,
+# exact distinct cardinality, and value bounds, computed in ONE scan.  The
+# multi-distinct aggregate plans through Catalyst's Expand (one pass over
+# the data, internally multiplied per distinct-column), then the 1-row
+# result is unpivoted to a row per column — a zero-shuffle narrow reshape.
+# At 100 TB you'd swap exact countDistinct for approx_count_distinct per
+# profiling run (the plan shape is unchanged); exact is kept here because
+# the oracle hash-checks exact values.
+
+_PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def lineitem_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in _PROFILE_COLS:
+        aggs += [
+            (F.count(F.lit(1)) - F.count(c)).alias(f"nulls_{c}"),
+            F.countDistinct(c).alias(f"nd_{c}"),
+            F.min(c).alias(f"min_{c}"),
+            F.max(c).alias(f"max_{c}"),
+        ]
+    one = li.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', nulls_{c}, nd_{c}, min_{c}, max_{c}" for c in _PROFILE_COLS
+    )
+    return (
+        one.selectExpr(
+            "n_rows",
+            f"stack({len(_PROFILE_COLS)}, {stack})"
+            " AS (col_name, n_nulls, n_distinct, min_val, max_val)",
+        )
+        .select("col_name", "n_rows", "n_nulls", "n_distinct", "min_val", "max_val")
+        .transform(small_sorted, "col_name")
+    )
+
+
+def _profile_sql() -> str:
+    aggs = ", ".join(
+        f"count(*) - count({c}) AS nulls_{c},"
+        f" count(DISTINCT {c}) AS nd_{c},"
+        f" min({c}) AS min_{c}, max({c}) AS max_{c}"
+        for c in _PROFILE_COLS
+    )
+    branches = "\nUNION ALL\n".join(
+        f"SELECT '{c}' AS col_name, n_rows, nulls_{c} AS n_nulls,"
+        f" nd_{c} AS n_distinct, min_{c} AS min_val, max_{c} AS max_val FROM a"
+        for c in _PROFILE_COLS
+    )
+    return f"""
+WITH a AS (SELECT count(*) AS n_rows, {aggs} FROM lineitem)
+{branches}
+ORDER BY col_name
+"""
+
+
 # -- unpivot / melt -----------------------------------------------------------
 # wide-to-long reshaping: per-status priority-bucket revenue columns melted
 # into rows.  Spark's `unpivot` is a zero-shuffle narrow transform over the
@@ -677,9 +734,11 @@ QUERIES = {
     "approx_user_stats": approx_user_stats,
     "returned_without_accepted_orders": returned_without_accepted_orders,
     "cheapest_supplier_per_part": cheapest_supplier_per_part,
+    "lineitem_column_profile": lineitem_column_profile,
 }
 
 ORACLE = {
+    "lineitem_column_profile": _profile_sql(),
     "order_status_unpivot": _UNPIVOT_SQL,
     "stratified_order_sample": _SAMPLE_SQL,
     "returned_without_accepted_orders": _DUAL_EXISTS_SQL,
