@@ -58,7 +58,7 @@ _WINDOW = (
     # analytic family picks (never checked)
     "large_volume_customers",
     "top_revenue_suppliers",
-    "price_decile_stats",
+    "lineitem_column_profile",
     "revenue_grouping_sets",
     "order_status_unpivot",
     # relational family picks (never checked; the first three are also
