@@ -395,12 +395,39 @@ def ingest_blocks_streaming(
     this runs with ``Trigger.ProcessingTime`` against a live file/Kafka
     feed; ``availableNow`` drains bounded replays for tests.
     """
+    from pyspark.sql import types as T
+
     from ..sources.blocks import BLOCK_SCHEMA
 
-    stream = spark.readStream.schema(BLOCK_SCHEMA).json(block_json_dir)
+    # PERMISSIVE parse with an explicit corrupt-record capture: a malformed
+    # line must never kill the stream (one poison message would otherwise
+    # wedge ingestion until a human edits the feed) — it lands in
+    # ``dest/_quarantine`` with its epoch for replay after repair.
+    schema = T.StructType(
+        BLOCK_SCHEMA.fields + [T.StructField("_corrupt_record", T.StringType())]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(block_json_dir)
+    )
 
     def write_epoch(batch_df: DataFrame, epoch_id: int) -> None:
-        for name, df in extract_tables(batch_df).items():
+        bad = batch_df.filter(F.col("_corrupt_record").isNotNull())
+        if not bad.isEmpty():
+            (
+                bad.select(
+                    F.col("_corrupt_record").alias("raw"),
+                    F.lit(epoch_id).alias("epoch"),
+                )
+                .write.mode("append")
+                .parquet(os.path.join(dest, "_quarantine"))
+            )
+        good = batch_df.filter(F.col("_corrupt_record").isNull()).drop(
+            "_corrupt_record"
+        )
+        for name, df in extract_tables(good).items():
             with_group = df.withColumn(
                 "slot_group",
                 (F.floor(F.col("slot") / slot_group_size)

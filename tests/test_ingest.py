@@ -192,3 +192,32 @@ def test_streaming_ingestion_resumes_from_checkpoint(spark, tmp_path):
     root = ensure_fixture_lake(spark)
     expected = _canon_rows(spark.read.parquet(f"{root}/tx"))
     assert _canon_rows(spark.read.parquet(f"{dest}/tx")) == expected
+
+
+def test_streaming_ingestion_quarantines_corrupt_lines(spark, tmp_path):
+    """A malformed feed line must never kill the stream: good blocks ingest
+    normally, the poison line lands in dest/_quarantine verbatim."""
+    import json
+
+    from cardano_analytics_duckdb_spark.streaming.ingest import (
+        ingest_blocks_streaming,
+    )
+
+    src = tmp_path / "blocks_json"
+    src.mkdir()
+    blocks = fixture_blocks()
+    poison = '{"slot": 12, "transactions": [BROKEN'
+    with open(src / "blocks_0.jsonl", "w") as f:
+        for b in blocks:
+            f.write(json.dumps(b) + "\n")
+        f.write(poison + "\n")
+    dest = str(tmp_path / "quarantine_lake")
+    ingest_blocks_streaming(spark, str(src), dest)
+
+    root = ensure_fixture_lake(spark)
+    for t in ("tx", "utxo"):
+        expected = _canon_rows(spark.read.parquet(f"{root}/{t}"))
+        actual = _canon_rows(spark.read.parquet(f"{dest}/{t}"))
+        assert actual == expected, f"table {t} diverges with poison line"
+    q = spark.read.parquet(f"{dest}/_quarantine").collect()
+    assert len(q) == 1 and q[0]["raw"] == poison
