@@ -48,10 +48,18 @@ def main() -> None:
     # queries whose shuffle partitions are already sized to the core count.
     # The production session (plans/session.py) keeps AQE on: at cluster /
     # 100 TB scale its coalescing + skew splitting dominate that latency.
+    # constraintPropagation and the console progress bar are, like AQE,
+    # driver-side latency on sub-second queries (constraint inference is
+    # quadratic in predicate count and benefits none of these plans); the
+    # production session keeps both defaults.
     spark = get_session(
         app_name="bench",
         shuffle_partitions=8,
-        extra_conf={"spark.sql.adaptive.enabled": "false"},
+        extra_conf={
+            "spark.sql.adaptive.enabled": "false",
+            "spark.sql.constraintPropagation.enabled": "false",
+            "spark.ui.showConsoleProgress": "false",
+        },
     )
     queries = all_queries()
 

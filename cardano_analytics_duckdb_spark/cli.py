@@ -223,17 +223,27 @@ def _cmd_curate(args: argparse.Namespace, spark: SparkSession) -> int:
     kept = curated_documents(docs, sample_pct=args.sample_pct)
     # one partitioned parquet sink per source: downstream training jobs pick
     # strata by directory, and the write parallelism follows the pipeline's
-    kept.write.mode("overwrite").partitionBy("source").parquet(args.dest)
+    part_cols = ["source"]
+    if args.split:
+        from .operators.mixing import _split_col
+
+        kept = kept.withColumn("split", _split_col(F.col("doc_id")))
+        part_cols = ["split", "source"]
+    kept.write.mode("overwrite").partitionBy(*part_cols).parquet(args.dest)
     out = spark.read.parquet(args.dest)
-    print(
-        json.dumps(
-            {
-                "curated_docs": out.count(),
-                "sources": out.select("source").distinct().count(),
-                "dest": args.dest,
-            }
-        )
-    )
+    stats = {
+        "curated_docs": out.count(),
+        "sources": out.select("source").distinct().count(),
+        "dest": args.dest,
+    }
+    if args.split:
+        stats["splits"] = {
+            r["split"]: r["n"]
+            for r in out.groupBy("split")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+    print(json.dumps(stats))
     return 0
 
 
@@ -292,6 +302,12 @@ def build_parser() -> argparse.ArgumentParser:
         type=int,
         default=30,
         help="deterministic sample percentage (multiplicative-hash split)",
+    )
+    cu.add_argument(
+        "--split",
+        action="store_true",
+        help="also partition the output into deterministic train/val/test"
+        " splits (md5-nibble assignment, reproducible on any engine)",
     )
     cu.set_defaults(func=_cmd_curate)
     return p

@@ -152,3 +152,30 @@ def test_known_tokens_match_reference_registry():
     }
     for addr in KNOWN_ADDRESSES.values():
         assert addr.startswith("addr1")
+
+
+def test_curate_split_writes_partitioned_splits(spark, tmp_path, capsys):
+    import glob
+    import json
+
+    from cardano_analytics_duckdb_spark.cli import main
+
+    dest = str(tmp_path / "curated_split")
+    rc = main(
+        ["curate", "--data", "/root/testdata/sf0.001", "--dest", dest, "--split"],
+        spark=spark,
+    )
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert sum(stats["splits"].values()) == stats["curated_docs"]
+    # split is a physical partition directory, and assignment is the
+    # documented md5-nibble function of doc_id
+    split_dirs = {os.path.basename(p) for p in glob.glob(f"{dest}/split=*")}
+    assert split_dirs <= {"split=train", "split=val", "split=test"}
+    assert "split=train" in split_dirs
+    import hashlib
+
+    for r in spark.read.parquet(dest).select("doc_id", "split").collect():
+        nib = hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[0]
+        want = "train" if nib < "c" else ("val" if nib < "e" else "test")
+        assert r["split"] == want
