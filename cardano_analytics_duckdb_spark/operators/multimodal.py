@@ -228,6 +228,60 @@ ORDER BY doc_a, doc_b
 """
 
 
+# -- image dup CLUSTERS: transitive closure over the pHash pair graph ---------
+# Same upgrade near_dup_doc_clusters makes for text: keeping one
+# representative per duplicate *group* needs the transitive closure of the
+# pairwise relation.  Reuses the generic distributed min-label kernel
+# (operators/graph.py, pointer-jumping convergence); the oracle proves the
+# fixpoint against a DuckDB recursive CTE over the identical edge set.
+
+
+def image_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .graph import min_label_components
+
+    nodes = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("node")
+    )
+    edges = image_phash_near_dup_pairs(spark, sf_dir).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    comp = min_label_components(nodes, edges)
+    return (
+        comp.groupBy("component")
+        .agg(
+            F.count(F.lit(1)).alias("n_images"),
+            F.concat_ws(
+                "|",
+                F.transform(
+                    F.array_sort(F.collect_list("node")),
+                    lambda x: x.cast("string"),
+                ),
+            ).alias("members"),
+        )
+        .orderBy("component")
+    )
+
+
+def _image_clusters_sql() -> str:
+    return f"""
+WITH RECURSIVE p0 AS ({_phash_sql().replace("ORDER BY doc_a, doc_b", "")}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM p0
+  UNION SELECT doc_b, doc_a FROM p0
+),
+reach(node, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+)
+SELECT x.label AS component, count(*) AS n_images,
+       array_to_string(list(node ORDER BY node), '|') AS members
+FROM (SELECT node, min(label) AS label FROM reach GROUP BY node) x
+GROUP BY x.label
+ORDER BY component
+"""
+
+
 # -- frame sampling stub (video-shaped): fixed-stride byte windows ------------
 
 
@@ -375,6 +429,7 @@ QUERIES = {
     "payload_metadata": payload_metadata,
     "image_decode_features": image_decode_features,
     "image_phash_near_dup_pairs": image_phash_near_dup_pairs,
+    "image_dup_clusters": image_dup_clusters,
     "image_resize_features": image_resize_features,
     "frame_sample_features": frame_sample_features,
     "audio_waveform_features": audio_waveform_features,
@@ -384,6 +439,7 @@ ORACLE = {
     "payload_metadata": _PAYLOAD_META_SQL,
     "image_decode_features": _IMAGE_DECODE_SQL,
     "image_phash_near_dup_pairs": _phash_sql(),
+    "image_dup_clusters": _image_clusters_sql(),
     "image_resize_features": _RESIZE_SQL,
     "frame_sample_features": _FRAME_SAMPLE_SQL,
     "audio_waveform_features": _AUDIO_SQL,
