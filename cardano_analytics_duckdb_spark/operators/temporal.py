@@ -354,6 +354,52 @@ ORDER BY bin_no
 """
 
 
+# -- per-type outlier detection -----------------------------------------------
+# The anomaly-scan primitive of an event pipeline: per-type z-scores with
+# outlier counts.  The per-type moments are ONE aggregate broadcast back
+# over the fact scan (the decorrelated correlated-subquery shape) — the
+# fact table streams through twice but never shuffles by anything except
+# the tiny type key.  Boundary counts use |z| > 3 on doubles whose engines
+# agree to ~1e-12 relative; the reported max is rounded for hash parity.
+
+
+def event_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    stats = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.avg("value").alias("mean_v"),
+        F.stddev_samp("value").alias("sd_v"),
+    )
+    az = F.abs((F.col("value") - F.col("mean_v")) / F.col("sd_v"))
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .select("event_type", "n_events", az.alias("az"))
+        .groupBy("event_type", "n_events")
+        .agg(
+            F.count(F.when(F.col("az") > 3.0, F.lit(1))).alias("n_outliers"),
+            rnd(F.max("az"), 4).alias("max_abs_z"),
+        )
+        .transform(small_sorted, "event_type")
+    )
+
+
+_OUTLIERS_SQL = """
+WITH s AS (
+  SELECT event_type, count(*) AS n_events,
+         avg(value) AS mean_v, stddev_samp(value) AS sd_v
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type, s.n_events,
+       count(*) FILTER (WHERE abs((e.value - s.mean_v) / s.sd_v) > 3.0)
+           AS n_outliers,
+       floor(max(abs((e.value - s.mean_v) / s.sd_v)) * 10000.0 + 0.5)
+           / 10000.0 AS max_abs_z
+FROM events e JOIN s USING (event_type)
+GROUP BY e.event_type, s.n_events
+ORDER BY event_type
+"""
+
+
 QUERIES = {
     "events_asof_purchase": events_asof_purchase,
     "events_within_minute_pairs": events_within_minute_pairs,
@@ -361,9 +407,11 @@ QUERIES = {
     "user_conversion_funnel": user_conversion_funnel,
     "weekly_cohort_retention": weekly_cohort_retention,
     "event_value_histogram": event_value_histogram,
+    "event_value_outliers": event_value_outliers,
 }
 
 ORACLE = {
+    "event_value_outliers": _OUTLIERS_SQL,
     "events_asof_purchase": _ASOF_SQL,
     "events_within_minute_pairs": _WITHIN_SQL,
     "user_hourly_gapfill": _GAPFILL_SQL,
