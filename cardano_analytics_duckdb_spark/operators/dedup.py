@@ -276,6 +276,113 @@ ORDER BY band, band_key
     )
 
 
+# -- MinHash banding recall/precision vs exact Jaccard ------------------------
+# The eval the text-dedup path needs (ivf_recall_eval's counterpart): on
+# the bounded doc set where the exact pair list is computable, measure how
+# many true Jaccard pairs the band-candidate generator recovers (recall)
+# and how much it over-generates (precision).  Both sides reuse the
+# production operators unchanged, so the numbers describe the REAL plans.
+# Scale posture: ground truth is definitionally quadratic, hence the
+# bounded eval set; the candidate side stays the subquadratic band join.
+
+
+def minhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    bands = _minhash_bands(docs)
+    a, b = bands.alias("a"), bands.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+        .withColumn("is_cand", F.lit(1))
+    )
+    truth = ngram_jaccard_pairs(spark, sf_dir).select(
+        "doc_a", "doc_b", F.lit(1).alias("is_true")
+    )
+    return truth.join(cands, ["doc_a", "doc_b"], "full_outer").agg(
+        F.count("is_true").alias("n_true_pairs"),
+        F.count("is_cand").alias("n_candidates"),
+        F.count(F.when(F.col("is_true").isNotNull() & F.col("is_cand").isNotNull(), F.lit(1))).alias("n_hits"),
+        rnd(
+            F.count(F.when(F.col("is_true").isNotNull() & F.col("is_cand").isNotNull(), F.lit(1)))
+            / F.count("is_true"),
+            4,
+        ).alias("recall"),
+        rnd(
+            F.count(F.when(F.col("is_true").isNotNull() & F.col("is_cand").isNotNull(), F.lit(1)))
+            / F.count("is_cand"),
+            4,
+        ).alias("precision"),
+    )
+
+
+def _minhash_recall_sql() -> str:
+    hash_cols = ",\n         ".join(
+        f"min(substring(md5(sh), {1 + i * 5}, 5)) AS h{i}"
+        for i in range(_MINHASH_K)
+    )
+    band_selects = []
+    for b, (lo, hi) in enumerate(_BANDS):
+        key = " || '|' || ".join(f"h{i}" for i in range(lo, hi))
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band, {key} AS band_key FROM sig"
+        )
+    bands_union = "\nUNION ALL\n".join(band_selects)
+    return (
+        "WITH "
+        + _SHINGLES_CTE.format(src="(SELECT * FROM documents WHERE doc_id < 300)")
+        + f"""
+, sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY doc_a, doc_b
+),
+truth AS (
+  SELECT doc_a, doc_b
+  FROM common
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE floor((n_common / (sa.n_sh + sb.n_sh - n_common)) * 10000.0 + 0.5)
+          / 10000.0 >= 0.2
+),
+sig AS (
+  -- min over the distinct shingle set == min over the raw multiset, so
+  -- the truth CTE's distinct shingles serve the signatures too
+  SELECT doc_id,
+         {hash_cols}
+  FROM shingles GROUP BY doc_id
+), bands AS (
+{bands_union}
+), cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+                           AND a.doc_id < b.doc_id
+)
+SELECT (SELECT count(*) FROM truth) AS n_true_pairs,
+       (SELECT count(*) FROM cands) AS n_candidates,
+       (SELECT count(*) FROM truth t JOIN cands c
+         ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b) AS n_hits,
+       floor(((SELECT count(*) FROM truth t JOIN cands c
+               ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b) * 1.0
+              / (SELECT count(*) FROM truth)) * 10000.0 + 0.5) / 10000.0
+           AS recall,
+       floor(((SELECT count(*) FROM truth t JOIN cands c
+               ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b) * 1.0
+              / (SELECT count(*) FROM cands)) * 10000.0 + 0.5) / 10000.0
+           AS precision
+"""
+    )
+
+
 # -- semantic dedup: LSH candidates × embedding verification ------------------
 # The production near-dup pipeline composed end-to-end: MinHash banding
 # proposes candidate pairs (subquadratic — pairs exist only within a shared
@@ -626,6 +733,7 @@ QUERIES = {
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "minhash_band_buckets": minhash_band_buckets,
     "semantic_dedup_pairs": semantic_dedup_pairs,
+    "minhash_recall_eval": minhash_recall_eval,
     "simhash_fingerprints": simhash_fingerprints,
     "near_dup_doc_clusters": near_dup_doc_clusters,
     "part_name_levenshtein_pairs": part_name_levenshtein_pairs,
@@ -637,6 +745,7 @@ ORACLE = {
     "ngram_jaccard_pairs": _JACCARD_SQL,
     "minhash_band_buckets": _minhash_sql(),
     "semantic_dedup_pairs": _semantic_dedup_sql(),
+    "minhash_recall_eval": _minhash_recall_sql(),
     "simhash_fingerprints": _simhash_sql(),
     "near_dup_doc_clusters": _NEAR_DUP_CLUSTERS_SQL,
     "part_name_levenshtein_pairs": _LEVENSHTEIN_SQL,
