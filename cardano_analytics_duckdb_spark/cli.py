@@ -102,6 +102,22 @@ def _token_registry() -> dict[str, tuple[bytes, bytes]]:
             ),
             bytes.fromhex("484f534b59"),  # 'HOSKY'
         ),
+        # the reference's remaining KNOWN_ASSETS entries (config.py:87-92):
+        # ada is the empty policy/name; min and sundae list a bare policy id
+        # (no asset-name suffix in the reference's concatenated hex string)
+        "ada": (b"", b""),
+        "min": (
+            bytes.fromhex(
+                "29d222ce763455e3d7a09a665ce554f00ac89d2e99a1a83d267170c6"
+            ),
+            b"",
+        ),
+        "sundae": (
+            bytes.fromhex(
+                "9a9693a9a37912a5097918f97918d15240c92ab729a0b7c4aa144d77"
+            ),
+            b"",
+        ),
     }
 
 

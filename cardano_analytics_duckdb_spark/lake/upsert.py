@@ -34,8 +34,30 @@ def upsert_partitioned(
 ) -> dict[str, int]:
     """Merge ``updates`` (full-row schema including ``partition_col``) into
     ``root/table`` by ``key_cols``.  Returns counters
-    ``{"replaced": n, "inserted": n, "partitions": n}``."""
+    ``{"replaced": n, "inserted": n, "partitions": n}``.
+
+    Correctness contract (violations would silently corrupt the table, so
+    the cheap one is asserted and the structural one documented):
+
+    - ``updates`` must be unique per key — duplicate keys in one batch
+      would all be written, leaving duplicate keys in the table.  Raises
+      ``ValueError`` (one count on the already-materialized batch).
+    - ``key_cols`` must deterministically fix ``partition_col``: the
+      anti-join only scans the partitions the update batch touches, so if
+      a key's partition value changed between versions, the stale row in
+      the untouched partition would survive.  This is the same constraint
+      Hive-style dynamic partition overwrite itself imposes, and cannot be
+      checked without scanning the whole lake — by design this primitive
+      never does.
+    """
     path = os.path.join(root, table)
+    n_updates_total = updates.count()
+    n_distinct_keys = updates.select(*key_cols).distinct().count()
+    if n_distinct_keys != n_updates_total:
+        raise ValueError(
+            f"updates batch has {n_updates_total - n_distinct_keys} duplicate"
+            f" key(s) over {key_cols}; upsert requires one row per key"
+        )
     parts = [
         r[0] for r in updates.select(partition_col).distinct().collect()
     ]
@@ -46,7 +68,7 @@ def upsert_partitioned(
     survivors = existing.join(keys, key_cols, "left_anti")
     n_existing = existing.count()
     n_survivors = survivors.count()
-    n_updates = updates.count()
+    n_updates = n_updates_total
 
     # localCheckpoint truncates the lineage so the write no longer reads
     # the path it is about to overwrite (Spark rejects self-overwrite

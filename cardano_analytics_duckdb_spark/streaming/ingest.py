@@ -416,12 +416,18 @@ def ingest_blocks_streaming(
     def write_epoch(batch_df: DataFrame, epoch_id: int) -> None:
         bad = batch_df.filter(F.col("_corrupt_record").isNotNull())
         if not bad.isEmpty():
+            # Partitioned by epoch + dynamic overwrite: foreachBatch is
+            # at-least-once, so a replayed epoch (crash after this write,
+            # before the checkpoint commit) REPLACES its own epoch=N
+            # partition instead of appending the same corrupt lines twice.
             (
                 bad.select(
                     F.col("_corrupt_record").alias("raw"),
                     F.lit(epoch_id).alias("epoch"),
                 )
-                .write.mode("append")
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("epoch")
                 .parquet(os.path.join(dest, "_quarantine"))
             )
         good = batch_df.filter(F.col("_corrupt_record").isNull()).drop(

@@ -5,22 +5,40 @@ current by a stream, where each micro-batch only touches the key-bucket
 partitions its delta hits — never a full recompute, never a full rewrite.
 ``foreachBatch`` composes the batch engine's merge machinery (the same
 dynamic partition-overwrite as ``lake.upsert``) with Structured Streaming's
-exactly-once epochs: the checkpoint guarantees each input file is folded in
-exactly once, so the materialized counts equal the batch aggregate of
-everything ingested, at any point between epochs.
+epoch replay protocol.
+
+Exactly-once despite at-least-once foreachBatch: every committed bucket
+row carries ``_applied_epoch`` — the epoch whose fold last rewrote that
+bucket.  foreachBatch may re-deliver an epoch after a crash (write
+committed, checkpoint not), so before folding, each touched bucket's
+stored high-water epoch is compared with the incoming ``epoch_id`` and
+already-folded buckets are skipped.  Replay is deterministic (same source
+offsets → same delta), so per-bucket skip is sufficient; the guard assumes
+the job-level parquet commit is atomic (Spark's default committer) and the
+checkpoint and table live and die together (both under ``dest`` — deleting
+one without the other resets epoch numbering and breaks the marker).
+
+Aggregate contract: every expression in ``agg_exprs`` must be mergeable by
+SUM over partial results (count/sum are; avg decomposes into a sum+count
+pair; min/max would need a different combine and are intentionally not
+supported by this primitive).
 
 Scale posture: the per-epoch work is (delta hash-agg) + (read ONLY the
 touched buckets) + (bucket-scoped rewrite) — cost ∝ delta size and bucket
 fan-out, not table size.  Buckets are hash partitions of the key space, so
-skewed deltas spread; raise ``n_buckets`` with key cardinality.
+skewed deltas spread; raise ``n_buckets`` with key cardinality.  The only
+driver-side actions are the touched-bucket list and the per-bucket epoch
+high-water collect, both bounded by the delta's bucket fan-out (≤
+``n_buckets``).
 """
 
 from __future__ import annotations
 
 import glob
 import os
+from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -36,24 +54,41 @@ EVENTS_SCHEMA = T.StructType(
 )
 
 
-def materialize_user_counts(
-    spark: SparkSession, src_dir: str, dest: str, n_buckets: int = 16
+def materialize_aggregate(
+    spark: SparkSession,
+    src_glob: str,
+    dest: str,
+    *,
+    table_name: str,
+    schema: T.StructType,
+    key_cols: list[str],
+    agg_exprs: Callable[[], dict[str, Column]],
+    bucket_expr: Callable[[], Column] | None = None,
+    n_buckets: int = 16,
 ) -> str:
-    """Fold every unseen events file under ``src_dir`` into the
-    ``dest/user_counts`` aggregate table; returns the table path."""
-    table = os.path.join(dest, "user_counts")
-    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(src_dir)
+    """Fold every unseen file under ``src_glob`` into the per-key aggregate
+    table ``dest/table_name``; returns the table path.
+
+    ``agg_exprs`` builds ``{out_col: aggregate Column}`` (sum-mergeable —
+    see module docstring); ``bucket_expr`` builds the int bucket column
+    from the key columns (default: ``pmod(xxhash64(*key_cols), n_buckets)``).
+    Both are thunks so one definition can serve many streams.
+    """
+    table = os.path.join(dest, table_name)
+    stream = spark.readStream.schema(schema).parquet(src_glob)
+    aggs = agg_exprs()
+    agg_cols = list(aggs)
+    bucket = (
+        bucket_expr()
+        if bucket_expr is not None
+        else F.pmod(F.xxhash64(*key_cols), F.lit(n_buckets))
+    ).cast("int")
 
     def upsert_epoch(batch_df: DataFrame, epoch_id: int) -> None:
         delta = (
-            batch_df.groupBy("user_id")
-            .agg(
-                F.count(F.lit(1)).alias("n_events"),
-                F.sum("value").alias("total_value"),
-            )
-            .withColumn(
-                "bucket", (F.col("user_id") % n_buckets).cast("int")
-            )
+            batch_df.groupBy(*key_cols)
+            .agg(*[c.alias(name) for name, c in aggs.items()])
+            .withColumn("bucket", bucket)
         )
         if glob.glob(os.path.join(table, "bucket=*")):
             touched = [
@@ -62,20 +97,34 @@ def materialize_user_counts(
             prev = spark.read.parquet(table).filter(
                 F.col("bucket").isin(touched)
             )
-            # prev covers EVERY key of the touched buckets, so the additive
+            # Replay guard: a bucket whose committed high-water epoch is
+            # >= this epoch already folded this exact delta in (foreachBatch
+            # retries a failed epoch under the SAME epoch_id with the same
+            # source offsets) — skip it, or the retry double-counts.
+            applied = {
+                r["bucket"]: r["hw"]
+                for r in prev.groupBy("bucket")
+                .agg(F.max("_applied_epoch").alias("hw"))
+                .collect()
+            }
+            fresh = [b for b in touched if applied.get(b, -1) < epoch_id]
+            if not fresh:
+                return
+            delta = delta.filter(F.col("bucket").isin(fresh))
+            prev = prev.filter(F.col("bucket").isin(fresh))
+            # prev covers EVERY key of the fresh buckets, so the additive
             # combine is a complete replacement for exactly those buckets
             combined = (
-                prev.unionByName(delta)
-                .groupBy("user_id", "bucket")
-                .agg(
-                    F.sum("n_events").alias("n_events"),
-                    F.sum("total_value").alias("total_value"),
-                )
+                prev.drop("_applied_epoch")
+                .unionByName(delta)
+                .groupBy(*key_cols, "bucket")
+                .agg(*[F.sum(c).alias(c) for c in agg_cols])
             )
         else:
             combined = delta
         (
-            combined.localCheckpoint()
+            combined.withColumn("_applied_epoch", F.lit(epoch_id))
+            .localCheckpoint()
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("bucket")
@@ -85,7 +134,10 @@ def materialize_user_counts(
     q = (
         stream.writeStream.foreachBatch(upsert_epoch)
         .trigger(availableNow=True)
-        .option("checkpointLocation", os.path.join(dest, "_checkpoint"))
+        .option(
+            "checkpointLocation",
+            os.path.join(dest, f"_checkpoint_{table_name}"),
+        )
         .start()
     )
     try:
@@ -93,3 +145,54 @@ def materialize_user_counts(
     finally:
         q.stop()
     return table
+
+
+def materialize_user_counts(
+    spark: SparkSession, src_dir: str, dest: str, n_buckets: int = 16
+) -> str:
+    """Maintained (user_id, n_events, total_value) over an events stream."""
+    return materialize_aggregate(
+        spark,
+        src_dir,
+        dest,
+        table_name="user_counts",
+        schema=EVENTS_SCHEMA,
+        key_cols=["user_id"],
+        agg_exprs=lambda: {
+            "n_events": F.count(F.lit(1)),
+            "total_value": F.sum("value"),
+        },
+        bucket_expr=lambda: F.col("user_id") % n_buckets,
+        n_buckets=n_buckets,
+    )
+
+
+def materialize_fees_by_slot_group(
+    spark: SparkSession, lake_dir: str, dest: str, n_buckets: int = 16
+) -> str:
+    """Maintained (slot_group, n_txs, total_fees) over a cardano lake's
+    ``tx`` table as ingestion appends to it — the reference's
+    fee-by-slot-group report (token_fee_analysis.py aggregate shape) kept
+    current incrementally instead of recomputed per run.
+
+    The stream schema is the lake's own tx schema (one footer probe of the
+    already-ingested table — ``ingest_blocks`` must have run at least
+    once), so ingest-side schema evolution flows through without a second
+    schema definition here.
+    """
+    tx_path = os.path.join(lake_dir, "tx")
+    schema = spark.read.parquet(tx_path).schema
+    return materialize_aggregate(
+        spark,
+        tx_path,
+        dest,
+        table_name="fees_by_slot_group",
+        schema=schema,
+        key_cols=["slot_group"],
+        agg_exprs=lambda: {
+            "n_txs": F.count(F.lit(1)),
+            "total_fees": F.sum("tx_fee"),
+        },
+        bucket_expr=lambda: F.pmod(F.col("slot_group"), F.lit(n_buckets)),
+        n_buckets=n_buckets,
+    )

@@ -147,6 +147,23 @@ def test_known_tokens_match_reference_registry():
     policy, name = _resolve_token("HOSKY")  # case-insensitive like reference
     assert policy.hex() == "a0028f350aaabe0545fdcb56b039bfb08e4bb4d8c4d7c3c7d481c235"
     assert name == b"HOSKY"
+    # the three remaining reference KNOWN_ASSETS (config.py:87-92): each
+    # resolves to the exact concatenated policy+name hex the reference lists
+    assert _resolve_token("ada") == (b"", b"")
+    for token, ref_hex in [
+        ("min", "29d222ce763455e3d7a09a665ce554f00ac89d2e99a1a83d267170c6"),
+        ("sundae", "9a9693a9a37912a5097918f97918d15240c92ab729a0b7c4aa144d77"),
+        (
+            "snek",
+            "279c909f348e533da5808898f87f9a14bb2c3dfbbacccd631d927a3f534e454b",
+        ),
+        (
+            "hosky",
+            "a0028f350aaabe0545fdcb56b039bfb08e4bb4d8c4d7c3c7d481c235484f534b59",
+        ),
+    ]:
+        policy, name = _resolve_token(token)
+        assert (policy + name).hex() == ref_hex
     assert set(KNOWN_ADDRESSES) == {
         "minswap_v1", "sundaeswap_v1", "wingriders_v1", "snek_mint"
     }

@@ -70,3 +70,54 @@ def test_rerun_without_new_input_is_a_noop(spark, split_events, tmp_path):
         sorted(glob.glob(os.path.join(table, "bucket=*", "*.parquet")))
         == files_before
     )
+
+
+def test_epoch_replay_is_idempotent(spark, split_events, tmp_path):
+    """foreachBatch is at-least-once: simulate a crash between the bucket
+    overwrite commit and the checkpoint commit by deleting the checkpoint
+    after a single-epoch run — the re-run re-delivers the SAME files under
+    the SAME epoch id, and the per-bucket ``_applied_epoch`` high-water
+    guard must skip the fold instead of double-counting."""
+    import shutil
+
+    _, src, _ = split_events
+    dest = str(tmp_path / "mv3")
+    table = materialize_user_counts(spark, f"{src}/*", dest, n_buckets=8)
+    before = _as_map(spark, table)
+    shutil.rmtree(os.path.join(dest, "_checkpoint_user_counts"))
+    materialize_user_counts(spark, f"{src}/*", dest, n_buckets=8)
+    assert _as_map(spark, table) == before
+
+
+def test_fees_by_slot_group_tracks_streaming_ingest(spark, tmp_path):
+    """The generalized primitive maintaining a cardano aggregate: as
+    ``ingest_blocks`` appends to the lake's tx table, incremental folds
+    keep (slot_group, n_txs, total_fees) equal to the batch aggregate."""
+    import pyspark.sql.functions as F
+
+    from cardano_analytics_duckdb_spark.lake.fixtures import fixture_blocks
+    from cardano_analytics_duckdb_spark.streaming.ingest import ingest_blocks
+    from cardano_analytics_duckdb_spark.streaming.materialize import (
+        materialize_fees_by_slot_group,
+    )
+
+    lake = str(tmp_path / "lake")
+    dest = str(tmp_path / "mv_fees")
+    blocks = fixture_blocks()
+    ingest_blocks(spark, iter(blocks[: len(blocks) // 2]), lake, batch_size=25)
+    table = materialize_fees_by_slot_group(spark, lake, dest, n_buckets=4)
+    ingest_blocks(spark, iter(blocks[len(blocks) // 2 :]), lake, batch_size=25)
+    materialize_fees_by_slot_group(spark, lake, dest, n_buckets=4)
+
+    got = {
+        r["slot_group"]: (r["n_txs"], r["total_fees"])
+        for r in spark.read.parquet(table).collect()
+    }
+    expect = {
+        r["slot_group"]: (r["n"], r["tf"])
+        for r in spark.read.parquet(os.path.join(lake, "tx"))
+        .groupBy("slot_group")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("tx_fee").alias("tf"))
+        .collect()
+    }
+    assert got == expect
