@@ -135,95 +135,173 @@ ORDER BY doc_id
 
 # -- perceptual-hash near-dup (image dedup) -----------------------------------
 # Production image dedup: a compact perceptual hash per image, banded LSH
-# blocking, exact hamming verification within blocks.  The 16-bit "pHash"
-# here derives from the decode fingerprint (the deterministic fake; a real
-# pipeline computes a 64-bit DCT pHash in the same mapInPandas slot), split
-# into 4 nibble bands — by pigeonhole, any pair at hamming ≤ 3 shares at
-# least one intact band, so the banded equi-join is COMPLETE for the
-# reported threshold.  At 100 TB: 64-bit hash, 8 byte-bands, identical plan
-# (cost ∝ Σ band-bucket², never N²).
+# blocking, exact hamming verification within blocks.  The "pHash" here
+# derives from the decode fingerprint (the deterministic fake; a real
+# pipeline computes a DCT pHash in the same mapInPandas slot), split into
+# 4 bands of ``band_nibbles`` hex chars each — by pigeonhole, ≤ 3
+# differing bits touch ≤ 3 bands, so any pair at hamming ≤ 3 shares at
+# least one INTACT band and the banded equi-join is COMPLETE for the
+# reported threshold, at ANY band width.  Band width is the scale lever
+# (the same lever ``lsh_banding_params`` pulls for hyperplanes): buckets
+# per band = 16^band_nibbles, so expected bucket size n/16^band_nibbles is
+# held under a 16x safety margin of the cap by ``phash_banding_params`` —
+# at 1e12 images it picks 8 nibbles (32-bit bands, ~4e9 buckets) where a
+# fixed nibble band (16 buckets) would go quadratic.  Cost ∝ Σ band-
+# bucket², never N².
+#
+# The registered query pins band_nibbles=1 (16-bit hash) so its DuckDB
+# oracle is a static SQL string; the auto-sized path is the same engine
+# with band_nibbles=None and is covered by the bounded-bucket property
+# test (tests/test_properties.py).
 
 _PHASH_BANDS = 4
 _PHASH_MAX_HAMMING = 3
 
 _HEX = "0123456789abcdef"
-_PHASH_EXPR = " + ".join(
-    f"(instr('{_HEX}', substring(fingerprint, {i + 1}, 1)) - 1) * {16 ** (3 - i)}"
-    for i in range(4)
-)
 
 
-def image_phash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    decoded = _decoded_frame(spark, sf_dir).select(
-        "doc_id",
-        F.expr(f"cast(({_PHASH_EXPR}) as int)").alias("phash"),
-        "fingerprint",
+def phash_banding_params(
+    n_images: int,
+    bucket_cap: int = 4096,
+    min_nibbles: int = 1,
+    max_nibbles: int = 8,
+) -> int:
+    """Smallest per-band width (hex chars) whose *expected* band-bucket
+    size (n_images / 16^nibbles) keeps a 16x safety margin under
+    ``bucket_cap`` — same contract as ``similarity.lsh_banding_params``
+    (the margin absorbs real-corpus bucket skew).  Pure so it is
+    property-testable; clamped to [min_nibbles, max_nibbles]
+    (8 nibbles x 4 bands = the full 128-bit md5 of the fake decoder; a
+    real 64-bit DCT pHash caps at 4)."""
+    import math
+
+    target = max(1.0, bucket_cap / 16.0)
+    nibbles = math.ceil(math.log(max(2.0, n_images / target), 16))
+    return max(min_nibbles, min(max_nibbles, nibbles))
+
+
+def _band_val_expr(start: int, n_chars: int) -> str:
+    """SQL for the integer value of fingerprint[start, start+n_chars) —
+    portable across Spark and DuckDB (no conv/from_hex, which differ)."""
+    return " + ".join(
+        f"(instr('{_HEX}', substring(fingerprint, {start + j + 1}, 1)) - 1)"
+        f" * {16 ** (n_chars - 1 - j)}"
+        for j in range(n_chars)
     )
-    bands = decoded.select(
+
+
+def phash_near_dup_pairs(
+    decoded: DataFrame,
+    band_nibbles: int | None = None,
+    max_hamming: int = _PHASH_MAX_HAMMING,
+) -> DataFrame:
+    """Banded hamming near-dup pairs over (doc_id, fingerprint).  With
+    ``band_nibbles=None`` the band width is derived from the corpus size
+    (one cheap count job) so band buckets stay bounded at any N."""
+    if band_nibbles is None:
+        band_nibbles = phash_banding_params(decoded.count())
+    nb = _PHASH_BANDS
+    vals = [
+        F.expr(
+            f"cast(({_band_val_expr(i * band_nibbles, band_nibbles)}) as bigint)"
+        ).alias(f"v{i}")
+        for i in range(nb)
+    ]
+    bands = decoded.select("doc_id", *vals, "fingerprint").select(
         "doc_id",
-        "phash",
+        *[f"v{i}" for i in range(nb)],
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(i).alias("band"),
-                        F.substring("fingerprint", i + 1, 1).alias("nib"),
+                        F.substring(
+                            "fingerprint", i * band_nibbles + 1, band_nibbles
+                        ).alias("bkey"),
                     )
-                    for i in range(_PHASH_BANDS)
+                    for i in range(nb)
                 ]
             )
         ).alias("bk"),
-    ).select("doc_id", "phash", F.col("bk.band").alias("band"), F.col("bk.nib").alias("nib"))
+    ).select(
+        "doc_id",
+        *[f"v{i}" for i in range(nb)],
+        F.col("bk.band").alias("band"),
+        F.col("bk.bkey").alias("bkey"),
+    )
     a, b = bands.alias("a"), bands.alias("b")
     pairs = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.nib") == F.col("b.nib"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         # collapse multi-band collisions to one candidate row per pair
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.phash").alias("pa"),
-            F.col("b.phash").alias("pb"),
+            *[F.col(f"a.v{i}").alias(f"av{i}") for i in range(nb)],
+            *[F.col(f"b.v{i}").alias(f"bv{i}") for i in range(nb)],
         )
         .distinct()
     )
-    hamming = F.expr("cast(bit_count(pa ^ pb) as int)")
+    # hamming over the full hash = sum of per-band hammings (XOR is bitwise)
+    hamming = F.expr(
+        "cast(("
+        + " + ".join(f"bit_count(av{i} ^ bv{i})" for i in range(nb))
+        + ") as int)"
+    )
     return (
         pairs.select("doc_a", "doc_b", hamming.alias("hamming"))
-        .filter(F.col("hamming") <= _PHASH_MAX_HAMMING)
-        .orderBy("doc_a", "doc_b")
+        .filter(F.col("hamming") <= max_hamming)
     )
 
 
-def _phash_sql() -> str:
-    phash = " + ".join(
-        f"(instr('{_HEX}', substring(fp, {i + 1}, 1)) - 1) * {16 ** (3 - i)}"
-        for i in range(4)
+def image_phash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    decoded = _decoded_frame(spark, sf_dir).select("doc_id", "fingerprint")
+    return phash_near_dup_pairs(decoded, band_nibbles=1).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+def _phash_sql(band_nibbles: int = 1) -> str:
+    nb = _PHASH_BANDS
+    band_vals = ",\n         ".join(
+        "CAST("
+        + _band_val_expr(i * band_nibbles, band_nibbles).replace(
+            "fingerprint", "fp"
+        )
+        + f" AS BIGINT) AS v{i}"
+        for i in range(nb)
     )
     band_rows = "\nUNION ALL\n".join(
-        f"SELECT doc_id, phash, {i} AS band, substring(fp, {i + 1}, 1) AS nib FROM h"
-        for i in range(_PHASH_BANDS)
+        f"SELECT doc_id, {', '.join(f'v{j}' for j in range(nb))}, {i} AS band,"
+        f" substring(fp, {i * band_nibbles + 1}, {band_nibbles}) AS bkey FROM h"
+        for i in range(nb)
     )
+    val_cols = ", ".join(
+        f"a.v{i} AS av{i}, b2.v{i} AS bv{i}" for i in range(nb)
+    )
+    hamming = " + ".join(f"bit_count(xor(av{i}, bv{i}))" for i in range(nb))
     return f"""
 WITH d AS (
   SELECT doc_id, md5(text) AS fp FROM documents
 ), h AS (
-  SELECT doc_id, fp, CAST({phash} AS INTEGER) AS phash FROM d
+  SELECT doc_id, fp,
+         {band_vals}
+  FROM d
 ), b AS (
 {band_rows}
 ), p AS (
   SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
-         a.phash AS pa, b2.phash AS pb
-  FROM b a JOIN b b2 ON a.band = b2.band AND a.nib = b2.nib
+         {val_cols}
+  FROM b a JOIN b b2 ON a.band = b2.band AND a.bkey = b2.bkey
                     AND a.doc_id < b2.doc_id
 )
-SELECT doc_a, doc_b, CAST(bit_count(xor(pa, pb)) AS INTEGER) AS hamming
+SELECT doc_a, doc_b, CAST({hamming} AS INTEGER) AS hamming
 FROM p
-WHERE bit_count(xor(pa, pb)) <= {_PHASH_MAX_HAMMING}
+WHERE {hamming} <= {_PHASH_MAX_HAMMING}
 ORDER BY doc_a, doc_b
 """
 

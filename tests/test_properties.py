@@ -317,3 +317,95 @@ def test_phash_banding_is_complete_for_hamming_3(base, flip_bits):
         (base >> (4 * i)) & 0xF == (other >> (4 * i)) & 0xF for i in range(4)
     )
     assert nibbles_equal
+
+
+@given(
+    st.integers(min_value=0, max_value=2**64 - 1),
+    st.sets(st.integers(min_value=0, max_value=63), min_size=0, max_size=3),
+)
+@settings(max_examples=200, deadline=None)
+def test_phash_wide_banding_is_complete_for_hamming_3(base, flip_bits):
+    """Pigeonhole completeness holds at ANY band width: 4 bands of 16 bits
+    over a 64-bit hash — <= 3 flipped bits touch <= 3 bands, so one of the
+    4 bands is always intact.  This is the production (wide-band) shape of
+    the pHash blocking."""
+    other = base
+    for b in flip_bits:
+        other ^= 1 << b
+    assert any(
+        (base >> (16 * i)) & 0xFFFF == (other >> (16 * i)) & 0xFFFF
+        for i in range(4)
+    )
+
+
+def test_phash_banding_params_bounds_expected_bucket_size():
+    """Band width grows with corpus size so the EXPECTED band-bucket size
+    keeps the 16x margin under the cap (until the full digest width is
+    exhausted) — the anti-quadratic guarantee of the image dedup."""
+    from cardano_analytics_duckdb_spark.operators.multimodal import (
+        phash_banding_params,
+    )
+
+    sizes = [10, 10**3, 10**6, 10**9, 10**12]
+    nibs = [phash_banding_params(n) for n in sizes]
+    assert nibs == sorted(nibs)  # monotone in corpus size
+    assert all(1 <= nib <= 8 for nib in nibs)
+    for n, nib in zip(sizes, nibs):
+        if nib < 8:  # not clamped by digest width
+            assert n / 16**nib <= 4096 / 16.0
+    # at trillion-image scale: 32-bit bands (~4e9 buckets), ~233 expected
+    # rows per bucket — where a fixed nibble band would hold ~6e10
+    assert phash_banding_params(10**12) == 8
+
+
+def test_phash_band_buckets_stay_bounded():
+    """End-to-end check of the sizing on a uniform corpus: auto-derived
+    band width keeps every band bucket far below the kernel cap."""
+    import hashlib
+    from collections import Counter
+
+    from cardano_analytics_duckdb_spark.operators.multimodal import (
+        phash_banding_params,
+    )
+
+    n = 20_000
+    fps = [hashlib.md5(str(i).encode()).hexdigest() for i in range(n)]
+    nib = phash_banding_params(n)
+    assert nib >= 2  # sizing reacted to the corpus (fixed width would be 1)
+    for band in range(4):
+        buckets = Counter(fp[band * nib : (band + 1) * nib] for fp in fps)
+        assert max(buckets.values()) <= 4096
+
+
+def test_phash_pairs_match_bruteforce_at_wide_bands(spark):
+    """The banded join at band_nibbles=2 (32-bit hash) returns EXACTLY the
+    brute-force hamming <= 3 pairs on a corpus engineered to contain some."""
+    import hashlib
+
+    from cardano_analytics_duckdb_spark.operators.multimodal import (
+        phash_near_dup_pairs,
+    )
+
+    base = hashlib.md5(b"seed").hexdigest()
+    rows = []
+    for i in range(40):
+        fp = hashlib.md5(str(i).encode()).hexdigest()
+        rows.append((i, fp))
+        # a planted near-dup: flip one hex char of the 32-bit prefix by one
+        # bit so hamming(32-bit hashes) == 1
+        flipped = hex(int(fp[0], 16) ^ 1)[2:] + fp[1:]
+        rows.append((1000 + i, flipped))
+    rows.append((5000, base))
+    decoded = spark.createDataFrame(rows, "doc_id long, fingerprint string")
+    got = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in phash_near_dup_pairs(decoded, band_nibbles=2).collect()
+    }
+    vals = {i: int(fp[:8], 16) for i, fp in rows}
+    expect = {
+        (a, b, bin(vals[a] ^ vals[b]).count("1"))
+        for a in vals
+        for b in vals
+        if a < b and bin(vals[a] ^ vals[b]).count("1") <= 3
+    }
+    assert got == expect and len(expect) >= 40
