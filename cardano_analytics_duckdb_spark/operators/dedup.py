@@ -182,9 +182,94 @@ _MINHASH_K = 6
 _BANDS = [(0, 3), (3, 6)]
 
 
-def _minhash_bands(docs: DataFrame) -> DataFrame:
-    """(doc_id, band, band_key) rows — the LSH banding core shared by the
-    bucket report and the semantic-dedup candidate generator."""
+def _canonical_bands(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(band rows over canonical signatures only, doc→canon membership map).
+
+    The hot-bucket guard for every MinHash-band consumer: byte-identical
+    documents have identical signatures, so a degenerate corpus (G copies
+    of one document) would put all G in one band bucket and make the
+    candidate self-join quadratic in G.  The collapse happens at the
+    SIGNATURE level — canon_id = min doc_id per full signature — which is
+    strictly stronger (it also merges distinct texts that collide in every
+    minhash, whose pairwise band collisions are equal by construction) and
+    nearly free: one extra window exchange over the per-doc signature
+    table (already tiny), never a re-shuffle of document text.  Band
+    buckets are then signature-unique; duplicate-doc pairs are reattached
+    by a linear membership expansion (cost ∝ output size, which any
+    correct pair listing already pays)."""
+    from pyspark.sql import Window
+
+    sig = _signatures(docs)
+    hcols = [f"h{i}" for i in range(_MINHASH_K)]
+    annotated = sig.withColumn(
+        "canon_id", F.min("doc_id").over(Window.partitionBy(*hcols))
+    )
+    canon = annotated.select("doc_id", "canon_id")
+    canon_sig = annotated.filter(
+        F.col("doc_id") == F.col("canon_id")
+    ).select("doc_id", *hcols)
+    return _bands_of(canon_sig), canon
+
+
+def minhash_candidate_pairs(docs: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, n_bands) candidate pairs from the banded signature
+    join — doc_a < doc_b, n_bands = bands in which the pair collides.
+
+    Plan: self-join over CANONICAL band rows (signature-unique buckets,
+    cost ∝ Σ bucket² over distinct signatures), then expand canonical
+    pairs through the membership map: cross-group pairs inherit the
+    canonical pair's band-collision count; within-group (identical-
+    signature) pairs collide in every band by construction.  Shingle-less
+    docs (<3 tokens) have no signature, hence no membership row and no
+    pairs — same contract as banding every doc directly."""
+    bands, canon = _canonical_bands(docs)
+    a, b = bands.alias("a"), bands.alias("b")
+    cpairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("ca"),
+            F.col("b.doc_id").alias("cb"),
+        )
+        .agg(F.count(F.lit(1)).cast("int").alias("n_bands"))
+    )
+    ma = canon.select(
+        F.col("canon_id").alias("ca"), F.col("doc_id").alias("da")
+    )
+    mb = canon.select(
+        F.col("canon_id").alias("cb"), F.col("doc_id").alias("db")
+    )
+    cross = (
+        cpairs.join(ma, "ca")
+        .join(mb, "cb")
+        .select(
+            F.least("da", "db").alias("doc_a"),
+            F.greatest("da", "db").alias("doc_b"),
+            "n_bands",
+        )
+    )
+    within = (
+        ma.alias("x")
+        .join(
+            ma.alias("y"),
+            (F.col("x.ca") == F.col("y.ca"))
+            & (F.col("x.da") < F.col("y.da")),
+        )
+        .select(
+            F.col("x.da").alias("doc_a"),
+            F.col("y.da").alias("doc_b"),
+            F.lit(len(_BANDS)).cast("int").alias("n_bands"),
+        )
+    )
+    return cross.unionByName(within)
+
+
+def _signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, h0..h5) per-doc MinHash signature — the heavy stage."""
     # No distinct() on shingles: min over a multiset equals min over the set,
     # so dedup-before-min would only add a shuffle.  (A no-explode variant —
     # per-doc digest arrays via higher-order transform + array_min — was
@@ -193,12 +278,16 @@ def _minhash_bands(docs: DataFrame) -> DataFrame:
     # inside whole-stage codegen with map-side partial aggregation.)
     sh = _shingles(docs, distinct=False)
     digest = F.md5(F.col("sh").cast("binary"))
-    sig = sh.groupBy("doc_id").agg(
+    return sh.groupBy("doc_id").agg(
         *[
             F.min(F.substring(digest, 1 + i * 5, 5)).alias(f"h{i}")
             for i in range(_MINHASH_K)
         ]
     )
+
+
+def _bands_of(sig: DataFrame) -> DataFrame:
+    """Signature rows → (doc_id, band, band_key) band rows."""
     # Emit both bands via one explode so the signature lineage is computed
     # once (a union of two projections would recompute it per branch).
     band_structs = F.array(
@@ -217,7 +306,18 @@ def _minhash_bands(docs: DataFrame) -> DataFrame:
     ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
 
 
+def _minhash_bands(docs: DataFrame) -> DataFrame:
+    """(doc_id, band, band_key) rows — the LSH banding core shared by the
+    bucket report and the semantic-dedup candidate generator."""
+    return _bands_of(_signatures(docs))
+
+
 def minhash_band_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # No hot-bucket guard needed HERE: this query only lists buckets — no
+    # pair self-join exists in its plan, so a degenerate identical-doc
+    # corpus costs O(bucket size) (the members cell), never O(bucket²).
+    # The pair-generating consumers go through minhash_candidate_pairs,
+    # which self-joins canonical signatures only.
     all_bands = _minhash_bands(load_table(spark, sf_dir, "documents"))
     return (
         # one range shuffle serves the bucket agg and the final ORDER BY
@@ -288,21 +388,8 @@ ORDER BY band, band_key
 
 def minhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
-    bands = _minhash_bands(docs)
-    a, b = bands.alias("a"), bands.alias("b")
-    cands = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-        )
-        .distinct()
-        .withColumn("is_cand", F.lit(1))
+    cands = minhash_candidate_pairs(docs).select(
+        "doc_a", "doc_b", F.lit(1).alias("is_cand")
     )
     truth = ngram_jaccard_pairs(spark, sf_dir).select(
         "doc_a", "doc_b", F.lit(1).alias("is_true")
@@ -400,20 +487,11 @@ _SEMANTIC_DUP_THRESHOLD = 0.5
 def semantic_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
-    bands = _minhash_bands(docs)
-    a, b = bands.alias("a"), bands.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-        )
-        .agg(F.count(F.lit(1)).alias("n_bands"))
+    # candidate generation self-joins canonical docs only (hot-bucket
+    # guard — see minhash_candidate_pairs); n_bands must stay a LONG here
+    # to keep the published schema of this query stable
+    pairs = minhash_candidate_pairs(docs).withColumn(
+        "n_bands", F.col("n_bands").cast("long")
     )
     ea = emb.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("va"))
     eb = emb.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("vb"))

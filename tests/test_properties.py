@@ -409,3 +409,46 @@ def test_phash_pairs_match_bruteforce_at_wide_bands(spark):
         if a < b and bin(vals[a] ^ vals[b]).count("1") <= 3
     }
     assert got == expect and len(expect) >= 40
+
+
+def test_minhash_precollapse_bounds_band_buckets(spark):
+    """Hot-bucket guard: a degenerate corpus (150 byte-identical docs)
+    must NOT put 150 rows in one band bucket — banding runs over canonical
+    docs only, so every bucket stays duplicate-free, while the pair
+    expansion still reports every identical-doc pair (which any correct
+    pair listing owes) plus nothing for shingle-less docs."""
+    import pyspark.sql.functions as F
+
+    from cardano_analytics_duckdb_spark.operators.dedup import (
+        _BANDS,
+        _canonical_bands,
+        minhash_candidate_pairs,
+    )
+
+    rows = [(i, "the quick brown fox jumps over the lazy dog")
+            for i in range(150)]
+    rows += [
+        (1000 + i, f"unique document number {i} with extra tokens {i * 7}")
+        for i in range(30)
+    ]
+    rows += [(5000, "too short"), (5001, "too short")]  # <3 tokens: no sig
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    bands, canon = _canonical_bands(docs)
+    max_bucket = (
+        bands.groupBy("band", "band_key")
+        .count()
+        .agg(F.max("count"))
+        .first()[0]
+    )
+    assert max_bucket <= 3  # 150 identical docs collapsed to ONE band row
+
+    pairs = minhash_candidate_pairs(docs)
+    within = pairs.filter(
+        (F.col("doc_a") < 150) & (F.col("doc_b") < 150)
+    )
+    assert within.count() == 150 * 149 // 2
+    assert (
+        within.filter(F.col("n_bands") != len(_BANDS)).count() == 0
+    )  # identical docs collide in every band
+    assert pairs.filter(F.col("doc_a") >= 5000).count() == 0
