@@ -195,8 +195,55 @@ def cardano_address_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def component_summary(
+    comp: DataFrame, node_col: str = "node", k: int = 10
+) -> DataFrame:
+    """Scale-safe cluster report: (component, n_members, member_sample).
+
+    The full-members report keeps every member in one '|'-joined cell —
+    right for the oracle-checked fixture queries (the driver canonicalizer
+    can't hash arrays), but at 100x scale one giant component becomes a
+    multi-megabyte cell.  Here every cell is BOUNDED: a row_number window
+    under (component ORDER BY node) marks the first k members, and the
+    aggregate collects only those — no task ever materializes a full
+    member list.  The groupBy key equals the window partition key, so the
+    window's exchange is the only shuffle in the plan."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("component").orderBy(node_col)
+    ranked = comp.withColumn("rn", F.row_number().over(w))
+    return ranked.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.concat_ws(
+            "|",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("rn") <= k, F.col(node_col))
+                    )
+                ),
+                lambda x: x.cast("string"),
+            ),
+        ).alias("member_sample"),
+    )
+
+
+def cardano_address_cluster_summary(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The 100 TB shape of ``cardano_address_clusters``: bounded sample
+    instead of the full member list."""
+    comp = address_components(spark).withColumnRenamed("address", "node")
+    return (
+        component_summary(comp, k=5)
+        .withColumnRenamed("n_members", "n_addresses")
+        .orderBy("component")
+    )
+
+
 QUERIES = {
     "cardano_address_clusters": cardano_address_clusters,
+    "cardano_address_cluster_summary": cardano_address_cluster_summary,
 }
 
 
@@ -242,6 +289,14 @@ GROUP BY x.label
 ORDER BY component
 """
 
+_ADDRESS_CLUSTER_SUMMARY_SQL = _ADDRESS_CLUSTERS_SQL.replace(
+    """SELECT x.label AS component, count(*) AS n_addresses,
+       array_to_string(list(node ORDER BY node), '|') AS members""",
+    """SELECT x.label AS component, count(*) AS n_addresses,
+       array_to_string((list(node ORDER BY node))[1:5], '|') AS member_sample""",
+)
+
 ORACLE: dict[str, str] = {
     "cardano_address_clusters": _ADDRESS_CLUSTERS_SQL,
+    "cardano_address_cluster_summary": _ADDRESS_CLUSTER_SUMMARY_SQL,
 }

@@ -100,3 +100,25 @@ def test_nonconvergence_raises_instead_of_returning_partial_labels(spark):
     )
     with _pytest.raises(RuntimeError, match="did not converge"):
         min_label_components(nodes, edges, max_iter=2)
+
+
+def test_component_summary_bounds_cell_width_on_giant_component(spark):
+    """The 100 TB report shape: a 5000-node single component yields a
+    bounded member_sample cell (first k members), never a 5000-entry
+    string — and the count still reports the true size."""
+    from cardano_analytics_duckdb_spark.operators.graph import (
+        component_summary,
+        min_label_components,
+    )
+
+    n = 5000
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "node long")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src long, dst long"
+    )
+    comp = min_label_components(nodes, edges, max_iter=16)
+    rows = component_summary(comp, k=10).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.component == 0 and r.n_members == n
+    assert r.member_sample == "|".join(str(i) for i in range(10))
