@@ -221,3 +221,30 @@ def test_streaming_ingestion_quarantines_corrupt_lines(spark, tmp_path):
         assert actual == expected, f"table {t} diverges with poison line"
     q = spark.read.parquet(f"{dest}/_quarantine").collect()
     assert len(q) == 1 and q[0]["raw"] == poison
+
+
+def test_quarantine_epoch_replay_does_not_duplicate(spark, tmp_path):
+    """foreachBatch is at-least-once: simulate an epoch replay (checkpoint
+    lost after the quarantine write committed) — the re-delivered epoch
+    must REPLACE its epoch partition, not append the poison line again."""
+    import json
+    import shutil
+
+    from cardano_analytics_duckdb_spark.streaming.ingest import (
+        ingest_blocks_streaming,
+    )
+
+    src = tmp_path / "blocks_json"
+    src.mkdir()
+    poison = '{"slot": 12, "transactions": [BROKEN'
+    with open(src / "blocks_0.jsonl", "w") as f:
+        for b in fixture_blocks()[:3]:
+            f.write(json.dumps(b) + "\n")
+        f.write(poison + "\n")
+    dest = str(tmp_path / "replay_lake")
+    ingest_blocks_streaming(spark, str(src), dest)
+    shutil.rmtree(os.path.join(dest, "_checkpoint"))
+    ingest_blocks_streaming(spark, str(src), dest)
+
+    q = spark.read.parquet(f"{dest}/_quarantine").collect()
+    assert len(q) == 1 and q[0]["raw"] == poison
