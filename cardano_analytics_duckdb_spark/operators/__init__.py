@@ -41,8 +41,10 @@ _WINDOW = (
     "cardano_transfer_summary_stats",
     "cardano_transfer_type_stats",
     "cardano_address_clusters",
-    # r6-new (bounded cluster report)
+    # r6-new (bounded cluster reports + packing eval)
     "cardano_address_cluster_summary",
+    "image_dup_cluster_summary",
+    "packing_efficiency_eval",
     # r6-changed: minhash candidate generation grew the signature-level
     # hot-bucket collapse; pHash banding was re-parameterized
     "minhash_band_buckets",
@@ -64,7 +66,6 @@ _WINDOW = (
     "order_summary_stats",
     "customers_with_high_value_orders",
     "customers_without_orders",
-    "part_name_tokens",
     "priority_order_union",
     "repeat_buyer_custkeys",
     "first_half_only_custkeys",
@@ -81,9 +82,11 @@ _WINDOW = (
     "doc_quality_scores",
     "lang_id_scores",
     "alpha_token_stats",
-    "bpe_token_counts",
     "rolling_fingerprints",
 )
+# out this round for the two r6-new queries: part_name_tokens (r1) and
+# bpe_token_counts (r3) — both single-expression narrow maps over columns
+# whose loaders have no r6 diff; both stay pytest-oracle-green.
 
 
 def _ordered(pick) -> dict:

@@ -362,15 +362,91 @@ ORDER BY source, bin_id
 """
 
 
+# -- packing efficiency eval --------------------------------------------------
+# The eval layer for the packing heuristic (same pattern as
+# minhash_recall_eval / ivf_recall_eval for the approximate paths): how
+# close sequential packing gets to the information-theoretic bin floor
+# ceil(total_tokens / budget) per source.  Pure aggregation over the same
+# bin assignment — one window shuffle + one hash-agg, scale-clean.
+
+
+def packing_efficiency_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.expr("filter(split(text, ' '), t -> t != '')"))
+    by_source = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_bin = (
+        docs.select("source", "doc_id", n_tok.alias("n_tok"))
+        .withColumn("cum", F.sum("n_tok").over(by_source))
+        .withColumn(
+            "bin_id",
+            F.floor((F.col("cum") - F.col("n_tok")) / F.lit(_SEQ_BUDGET)),
+        )
+    )
+    ideal = F.ceil(F.col("total_tokens") / F.lit(_SEQ_BUDGET))
+    return (
+        with_bin.groupBy("source")
+        .agg(
+            F.countDistinct("bin_id").alias("n_bins"),
+            F.sum("n_tok").alias("total_tokens"),
+        )
+        .select(
+            "source",
+            "n_bins",
+            "total_tokens",
+            ideal.alias("ideal_bins"),
+            rnd(F.col("n_bins") / ideal, 4).alias("bin_overhead"),
+            rnd(
+                F.col("total_tokens")
+                / (F.col("n_bins") * F.lit(float(_SEQ_BUDGET))),
+                4,
+            ).alias("mean_fill"),
+        )
+        .orderBy("source")
+    )
+
+
+_PACKING_EVAL_SQL = f"""
+WITH t AS (
+  SELECT source, doc_id,
+         len(list_filter(string_split(text, ' '), t -> t != '')) AS n_tok
+  FROM documents
+), c AS (
+  SELECT source, doc_id, n_tok,
+         sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                          ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t
+), b AS (
+  SELECT source, CAST(floor((cum - n_tok) / {_SEQ_BUDGET}) AS BIGINT) AS bin_id,
+         n_tok
+  FROM c
+), s AS (
+  SELECT source, count(DISTINCT bin_id) AS n_bins,
+         CAST(sum(n_tok) AS BIGINT) AS total_tokens
+  FROM b GROUP BY source
+)
+SELECT source, n_bins, total_tokens,
+       CAST(ceil(total_tokens * 1.0 / {_SEQ_BUDGET}) AS BIGINT) AS ideal_bins,
+       {rnd_sql(f'n_bins * 1.0 / ceil(total_tokens * 1.0 / {_SEQ_BUDGET})', 4)} AS bin_overhead,
+       {rnd_sql(f'total_tokens * 1.0 / (n_bins * {float(_SEQ_BUDGET)})', 4)} AS mean_fill
+FROM s ORDER BY source
+"""
+
+
 QUERIES = {
     "repetition_scores": repetition_scores,
     "tfidf_top_terms": tfidf_top_terms,
     "stratified_split_counts": stratified_split_counts,
     "source_mix_weights": source_mix_weights,
     "sequence_packing_bins": sequence_packing_bins,
+    "packing_efficiency_eval": packing_efficiency_eval,
 }
 
 ORACLE = {
+    "packing_efficiency_eval": _PACKING_EVAL_SQL,
     "sequence_packing_bins": _PACKING_SQL,
     "repetition_scores": _REPETITION_SQL,
     "tfidf_top_terms": _TFIDF_SQL,

@@ -360,6 +360,33 @@ ORDER BY component
 """
 
 
+def image_dup_cluster_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded 100 TB report shape of ``image_dup_clusters``: first-k
+    member sample instead of the full '|'-joined member list (see
+    graph.component_summary — no task materializes a whole component)."""
+    from .graph import component_summary, min_label_components
+
+    nodes = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("node")
+    )
+    edges = image_phash_near_dup_pairs(spark, sf_dir).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    comp = min_label_components(nodes, edges)
+    return (
+        component_summary(comp, k=5)
+        .withColumnRenamed("n_members", "n_images")
+        .orderBy("component")
+    )
+
+
+def _image_cluster_summary_sql() -> str:
+    return _image_clusters_sql().replace(
+        "array_to_string(list(node ORDER BY node), '|') AS members",
+        "array_to_string((list(node ORDER BY node))[1:5], '|') AS member_sample",
+    )
+
+
 # -- frame sampling stub (video-shaped): fixed-stride byte windows ------------
 
 
@@ -508,6 +535,7 @@ QUERIES = {
     "image_decode_features": image_decode_features,
     "image_phash_near_dup_pairs": image_phash_near_dup_pairs,
     "image_dup_clusters": image_dup_clusters,
+    "image_dup_cluster_summary": image_dup_cluster_summary,
     "image_resize_features": image_resize_features,
     "frame_sample_features": frame_sample_features,
     "audio_waveform_features": audio_waveform_features,
@@ -518,6 +546,7 @@ ORACLE = {
     "image_decode_features": _IMAGE_DECODE_SQL,
     "image_phash_near_dup_pairs": _phash_sql(),
     "image_dup_clusters": _image_clusters_sql(),
+    "image_dup_cluster_summary": _image_cluster_summary_sql(),
     "image_resize_features": _RESIZE_SQL,
     "frame_sample_features": _FRAME_SAMPLE_SQL,
     "audio_waveform_features": _AUDIO_SQL,
