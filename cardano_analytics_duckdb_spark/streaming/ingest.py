@@ -30,6 +30,8 @@ per-partition maintenance job.
 
 from __future__ import annotations
 
+import glob
+import json
 import os
 import shutil
 from collections.abc import Iterable, Iterator
@@ -394,6 +396,12 @@ def ingest_blocks_streaming(
     point: one extraction definition, two execution modes.  On a cluster
     this runs with ``Trigger.ProcessingTime`` against a live file/Kafka
     feed; ``availableNow`` drains bounded replays for tests.
+
+    Appends are EXACTLY-ONCE under epoch replay via the per-epoch
+    snapshot/done-marker protocol in ``write_epoch`` (foreachBatch is
+    at-least-once on its own; a replayed epoch first rolls back the
+    previous attempt's partial files, and a committed epoch is skipped) —
+    crash-replay tested in ``tests/test_ingest.py``.
     """
     from pyspark.sql import types as T
 
@@ -413,13 +421,40 @@ def ingest_blocks_streaming(
         .json(block_json_dir)
     )
 
+    # Exactly-once over plain-parquet APPENDS, despite foreachBatch's
+    # at-least-once replay: a per-epoch transaction protocol.
+    #   1. done-marker exists          -> whole epoch already committed, skip
+    #   2. snapshot exists (no done)   -> a previous attempt crashed mid-
+    #      append; delete every file in the touched partition dirs that is
+    #      NOT in the pre-append snapshot (those are the partial writes),
+    #      then append cleanly
+    #   3. fresh epoch                 -> record the touched partition dirs'
+    #      current file listing, append, write the done-marker last
+    # Touched dirs are derived from the batch content, which replays with
+    # identical source offsets, so the snapshot always covers the retry's
+    # writes.  Single-writer assumption (one ingestion stream per lake —
+    # the same assumption every non-transactional parquet writer makes);
+    # listings use local-fs glob, ≙ a FileSystem.listStatus on a cluster.
+    epochs_dir = os.path.join(dest, "_epochs")
+
+    def _rollback_partial(snapshot: dict[str, list[str]]) -> None:
+        for part_dir, known in snapshot.items():
+            for f in glob.glob(os.path.join(part_dir, "*")):
+                if f not in known:
+                    os.remove(f)
+
     def write_epoch(batch_df: DataFrame, epoch_id: int) -> None:
+        done_marker = os.path.join(epochs_dir, f"{epoch_id}.done")
+        snap_path = os.path.join(epochs_dir, f"{epoch_id}.snapshot.json")
+        if os.path.exists(done_marker):
+            return
+        os.makedirs(epochs_dir, exist_ok=True)
+
         bad = batch_df.filter(F.col("_corrupt_record").isNotNull())
         if not bad.isEmpty():
-            # Partitioned by epoch + dynamic overwrite: foreachBatch is
-            # at-least-once, so a replayed epoch (crash after this write,
-            # before the checkpoint commit) REPLACES its own epoch=N
-            # partition instead of appending the same corrupt lines twice.
+            # Partitioned by epoch + dynamic overwrite: replay REPLACES the
+            # epoch=N partition instead of appending corrupt lines twice
+            # (idempotent on its own, independent of the snapshot protocol).
             (
                 bad.select(
                     F.col("_corrupt_record").alias("raw"),
@@ -433,6 +468,28 @@ def ingest_blocks_streaming(
         good = batch_df.filter(F.col("_corrupt_record").isNull()).drop(
             "_corrupt_record"
         )
+        groups = [
+            r[0]
+            for r in good.select(
+                (F.floor(F.col("slot") / slot_group_size)
+                 * slot_group_size).cast("long").alias("g")
+            )
+            .distinct()
+            .collect()
+        ]
+        touched = [
+            os.path.join(dest, name, f"slot_group={g}")
+            for name in LAKE_TABLES
+            for g in groups
+        ]
+        if os.path.exists(snap_path):
+            with open(snap_path) as fh:
+                _rollback_partial(json.load(fh))
+        else:
+            snapshot = {d: glob.glob(os.path.join(d, "*")) for d in touched}
+            with open(snap_path, "w") as fh:
+                json.dump(snapshot, fh)
+
         for name, df in extract_tables(good).items():
             with_group = df.withColumn(
                 "slot_group",
@@ -449,6 +506,8 @@ def ingest_blocks_streaming(
                 .partitionBy("slot_group")
                 .parquet(os.path.join(dest, name))
             )
+        with open(done_marker, "w") as fh:
+            fh.write("")
 
     q = (
         stream.writeStream.foreachBatch(write_epoch)
@@ -472,8 +531,11 @@ def rollback_lake(spark: SparkSession, root: str, to_slot: int) -> dict[str, int
     rewritten; earlier partitions are untouched.  A Delta/Iceberg sink would
     make this a transactional ``DELETE WHERE slot > to_slot``.
 
-    Returns rows dropped per table.
+    Returns rows dropped per table.  Like ``compact_lake``, refuses to
+    rewrite files while a streaming epoch is uncommitted (its pending
+    replay would roll back against stale file listings).
     """
+    _require_no_uncommitted_epochs(root)
     dropped: dict[str, int] = {}
     boundary_group = (to_slot // SLOT_GROUP_SIZE) * SLOT_GROUP_SIZE
     for t in LAKE_TABLES:
@@ -507,6 +569,26 @@ def rollback_lake(spark: SparkSession, root: str, to_slot: int) -> dict[str, int
     return dropped
 
 
+def _require_no_uncommitted_epochs(root: str) -> list[str]:
+    """Maintenance-job guard: raise if any streaming epoch left a snapshot
+    without its done-marker (crash mid-epoch, replay pending — rewriting
+    table files now would make that replay's rollback delete them).
+    Returns the committed epochs' snapshot paths (safe to prune once the
+    caller rewrites files, as their listings go stale)."""
+    committed = []
+    epochs_dir = os.path.join(root, "_epochs")
+    for snap in glob.glob(os.path.join(epochs_dir, "*.snapshot.json")):
+        epoch = os.path.basename(snap).split(".")[0]
+        if not os.path.exists(os.path.join(epochs_dir, f"{epoch}.done")):
+            raise RuntimeError(
+                f"lake {root} has uncommitted streaming epoch {epoch}: "
+                "restart the ingestion stream to finish the epoch before "
+                "rewriting lake files"
+            )
+        committed.append(snap)
+    return committed
+
+
 def compact_lake(
     spark: SparkSession, root: str, tables: Iterable[str] = LAKE_TABLES
 ) -> None:
@@ -515,10 +597,22 @@ def compact_lake(
     ≙ the reference's end-of-run compaction (ogmios_parquet.py:523-571):
     many small append chunks → a single compressed file per partition.
     One shuffle keyed on the partition column per table.
+
+    Refuses to run over a lake with an UNCOMMITTED streaming epoch (a
+    snapshot without its done-marker): the pending replay would roll back
+    against pre-compaction file listings and delete compacted files.
+    Run compaction only between committed epochs; committed epochs'
+    bookkeeping is pruned here since their snapshots go stale.
     """
+    for snap in _require_no_uncommitted_epochs(root):
+        os.remove(snap)
     for t in tables:
         src = os.path.join(root, t)
         if not os.path.isdir(src):
+            continue
+        # an all-empty append leaves a dir with only _SUCCESS (zero part
+        # files) — nothing to compact, and the read can't infer a schema
+        if not glob.glob(os.path.join(src, "slot_group=*", "*.parquet")):
             continue
         tmp = src + "__compacting"
         (

@@ -248,3 +248,69 @@ def test_quarantine_epoch_replay_does_not_duplicate(spark, tmp_path):
 
     q = spark.read.parquet(f"{dest}/_quarantine").collect()
     assert len(q) == 1 and q[0]["raw"] == poison
+
+
+def test_streaming_epoch_replay_does_not_duplicate_table_rows(spark, tmp_path):
+    """Crash between the table appends and the checkpoint commit: the
+    replayed epoch must roll back the previous attempt's files (snapshot
+    protocol) and re-append exactly once — table contents identical to the
+    clean single run."""
+    import json
+    import shutil
+
+    from cardano_analytics_duckdb_spark.streaming.ingest import (
+        ingest_blocks_streaming,
+    )
+
+    src = tmp_path / "blocks_json"
+    src.mkdir()
+    with open(src / "blocks_0.jsonl", "w") as f:
+        for b in fixture_blocks()[:5]:
+            f.write(json.dumps(b) + "\n")
+    dest = str(tmp_path / "exactly_once_lake")
+    ingest_blocks_streaming(spark, str(src), dest)
+    clean = {
+        t: _canon_rows(spark.read.parquet(f"{dest}/{t}"))
+        for t in ("tx", "utxo", "mint")
+    }
+    # simulate: appends committed, done-marker + checkpoint lost
+    shutil.rmtree(os.path.join(dest, "_checkpoint"))
+    for marker in glob.glob(os.path.join(dest, "_epochs", "*.done")):
+        os.remove(marker)
+    ingest_blocks_streaming(spark, str(src), dest)
+    for t, rows in clean.items():
+        assert _canon_rows(spark.read.parquet(f"{dest}/{t}")) == rows, t
+
+
+def test_maintenance_refuses_uncommitted_epoch(spark, tmp_path):
+    """compact_lake / rollback_lake must refuse to rewrite files while a
+    streaming epoch is uncommitted (pending replay would roll back against
+    stale listings), and compaction prunes committed epochs' stale
+    snapshots."""
+    import json
+
+    from cardano_analytics_duckdb_spark.streaming.ingest import (
+        compact_lake,
+        ingest_blocks_streaming,
+        rollback_lake,
+    )
+
+    src = tmp_path / "blocks_json"
+    src.mkdir()
+    with open(src / "blocks_0.jsonl", "w") as f:
+        for b in fixture_blocks()[:3]:
+            f.write(json.dumps(b) + "\n")
+    dest = str(tmp_path / "guard_lake")
+    ingest_blocks_streaming(spark, str(src), dest)
+
+    # simulate a crash mid-epoch: snapshot present, done-marker missing
+    done = glob.glob(os.path.join(dest, "_epochs", "*.done"))[0]
+    os.remove(done)
+    with pytest.raises(RuntimeError, match="uncommitted streaming epoch"):
+        compact_lake(spark, dest)
+    with pytest.raises(RuntimeError, match="uncommitted streaming epoch"):
+        rollback_lake(spark, dest, to_slot=10**9)
+
+    open(done, "w").write("")  # epoch commits; maintenance may proceed
+    compact_lake(spark, dest)
+    assert glob.glob(os.path.join(dest, "_epochs", "*.snapshot.json")) == []
