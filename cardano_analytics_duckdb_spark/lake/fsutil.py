@@ -1,0 +1,69 @@
+"""Scheme-agnostic file operations via the JVM's Hadoop FileSystem.
+
+The streaming epoch protocol (``streaming/ingest.py``) needs to list,
+read, write, and delete small control files next to the lake it writes.
+``os``/``glob`` only work when the lake is on the driver's local disk; on
+a cluster the lake lives on HDFS/S3/GCS.  The JVM running the session
+already has the right ``FileSystem`` implementation for any path scheme,
+so these helpers call it through the Py4J gateway — ``file://`` paths in
+tests exercise exactly the code a cluster runs against ``s3a://``.
+
+Only driver-side CONTROL-file traffic goes through here (marker files,
+file listings of a handful of partition dirs per epoch); bulk data always
+moves through Spark jobs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+
+class LakeFs:
+    """Thin wrapper over ``org.apache.hadoop.fs.FileSystem`` for the
+    scheme of ``root``."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        jvm = spark.sparkContext._jvm
+        self._jvm = jvm
+        self._Path = jvm.org.apache.hadoop.fs.Path
+        self._fs = self._Path(root).getFileSystem(
+            spark.sparkContext._jsc.hadoopConfiguration()
+        )
+
+    def exists(self, path: str) -> bool:
+        return self._fs.exists(self._Path(path))
+
+    def mkdirs(self, path: str) -> None:
+        self._fs.mkdirs(self._Path(path))
+
+    def list_files(self, d: str) -> list[str]:
+        """Full URIs of the FILES directly under ``d`` ([] if absent);
+        subdirectories (e.g. an in-flight ``_temporary``) are skipped —
+        the epoch snapshot tracks committed part-files only."""
+        p = self._Path(d)
+        if not self._fs.exists(p):
+            return []
+        return sorted(
+            str(st.getPath())
+            for st in self._fs.listStatus(p)
+            if st.isFile()
+        )
+
+    def delete(self, path: str) -> None:
+        self._fs.delete(self._Path(path), False)
+
+    def write_text(self, path: str, text: str) -> None:
+        out = self._fs.create(self._Path(path), True)
+        try:
+            out.write(bytearray(text.encode("utf-8")))
+        finally:
+            out.close()
+
+    def read_text(self, path: str) -> str:
+        stream = self._fs.open(self._Path(path))
+        try:
+            return self._jvm.org.apache.commons.io.IOUtils.toString(
+                stream, "UTF-8"
+            )
+        finally:
+            stream.close()

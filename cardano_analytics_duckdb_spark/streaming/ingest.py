@@ -433,22 +433,27 @@ def ingest_blocks_streaming(
     # Touched dirs are derived from the batch content, which replays with
     # identical source offsets, so the snapshot always covers the retry's
     # writes.  Single-writer assumption (one ingestion stream per lake —
-    # the same assumption every non-transactional parquet writer makes);
-    # listings use local-fs glob, ≙ a FileSystem.listStatus on a cluster.
+    # the same assumption every non-transactional parquet writer makes).
+    # All control-file IO goes through the JVM's Hadoop FileSystem
+    # (lake/fsutil.py), so the protocol is path-scheme-agnostic: the same
+    # code runs against file:// here and hdfs:///s3a:// on a cluster.
+    from ..lake.fsutil import LakeFs
+
+    lfs = LakeFs(spark, dest)
     epochs_dir = os.path.join(dest, "_epochs")
 
     def _rollback_partial(snapshot: dict[str, list[str]]) -> None:
         for part_dir, known in snapshot.items():
-            for f in glob.glob(os.path.join(part_dir, "*")):
+            for f in lfs.list_files(part_dir):
                 if f not in known:
-                    os.remove(f)
+                    lfs.delete(f)
 
     def write_epoch(batch_df: DataFrame, epoch_id: int) -> None:
         done_marker = os.path.join(epochs_dir, f"{epoch_id}.done")
         snap_path = os.path.join(epochs_dir, f"{epoch_id}.snapshot.json")
-        if os.path.exists(done_marker):
+        if lfs.exists(done_marker):
             return
-        os.makedirs(epochs_dir, exist_ok=True)
+        lfs.mkdirs(epochs_dir)
 
         bad = batch_df.filter(F.col("_corrupt_record").isNotNull())
         if not bad.isEmpty():
@@ -482,13 +487,11 @@ def ingest_blocks_streaming(
             for name in LAKE_TABLES
             for g in groups
         ]
-        if os.path.exists(snap_path):
-            with open(snap_path) as fh:
-                _rollback_partial(json.load(fh))
+        if lfs.exists(snap_path):
+            _rollback_partial(json.loads(lfs.read_text(snap_path)))
         else:
-            snapshot = {d: glob.glob(os.path.join(d, "*")) for d in touched}
-            with open(snap_path, "w") as fh:
-                json.dump(snapshot, fh)
+            snapshot = {d: lfs.list_files(d) for d in touched}
+            lfs.write_text(snap_path, json.dumps(snapshot))
 
         for name, df in extract_tables(good).items():
             with_group = df.withColumn(
@@ -506,8 +509,7 @@ def ingest_blocks_streaming(
                 .partitionBy("slot_group")
                 .parquet(os.path.join(dest, name))
             )
-        with open(done_marker, "w") as fh:
-            fh.write("")
+        lfs.write_text(done_marker, "")
 
     q = (
         stream.writeStream.foreachBatch(write_epoch)
