@@ -425,3 +425,36 @@ def test_source_mix_window_runs_post_aggregation(spark, sf_dir):
     # window over already-aggregated rows: the Window's child subtree must
     # contain the HashAggregate, i.e. Window appears before (above) it
     assert plan.index("Window") < plan.index("HashAggregate")
+
+
+def test_phash_near_dup_is_banded_equi_join(spark, sf_dir):
+    """image_phash_near_dup_pairs: candidates come from an equi-join on
+    (band, band key) — never a cartesian scan over images."""
+    from cardano_analytics_duckdb_spark.operators.multimodal import (
+        image_phash_near_dup_pairs,
+    )
+
+    plan = _plan(image_phash_near_dup_pairs(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_minhash_candidates_reuse_signature_exchange(spark, sf_dir):
+    """The canonical-signature collapse references the signature lineage
+    from several branches (band self-join sides, membership map); the
+    physical plan must compute the heavy shingle/signature exchange ONCE
+    and reuse it, or the guard would multiply the dominant stage."""
+    from cardano_analytics_duckdb_spark.operators.dedup import (
+        semantic_dedup_pairs,
+    )
+
+    # Under AQE the reuse decision is made at runtime (the pre-execution
+    # adaptive plan shows plain exchanges); inspect the static physical
+    # plan, where ReuseExchange rewrites identical subtrees at planning.
+    saved = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = _plan(semantic_dedup_pairs(spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", saved)
+    assert "ReusedExchange" in plan

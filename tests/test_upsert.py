@@ -69,3 +69,20 @@ def test_upsert_is_idempotent(spark, tmp_path):
     stats = upsert_partitioned(spark, root, "t", updates, ["k"])
     assert stats["replaced"] == 1 and stats["inserted"] == 0
     assert _rows(spark, os.path.join(root, "t")) == first
+
+
+def test_upsert_rejects_duplicate_keys_in_batch(spark, tmp_path):
+    """Duplicate keys within one updates batch would all be written and
+    silently corrupt the table — the merge must refuse instead."""
+    import pytest
+
+    root = str(tmp_path)
+    base = spark.createDataFrame(
+        [(1, "a", 0)], "k long, v string, slot_group long"
+    )
+    base.write.partitionBy("slot_group").parquet(os.path.join(root, "t"))
+    dup_updates = spark.createDataFrame(
+        [(1, "A", 0), (1, "B", 0)], "k long, v string, slot_group long"
+    )
+    with pytest.raises(ValueError, match="duplicate key"):
+        upsert_partitioned(spark, root, "t", dup_updates, ["k"])
