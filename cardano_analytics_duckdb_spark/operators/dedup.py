@@ -691,6 +691,95 @@ ORDER BY component
 """
 )
 
+# -- near-dup survivors: the curation deliverable -----------------------------
+# What the pipeline actually SHIPS to training: for every multi-document
+# near-dup component, the single copy to keep, chosen by source priority
+# (lower numeric source rank wins — e.g. curated > scraped — doc_id as
+# the deterministic tiebreak).  One component-keyed exchange serves both
+# the priority window and the member count (same partition key).
+
+
+def near_dup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from .graph import min_label_components
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 300
+    )
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    edges = ngram_jaccard_pairs(spark, sf_dir).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    comp = min_label_components(nodes, edges, max_iter=15)
+    src_rank = F.regexp_extract("source", "([0-9]+)$", 1).cast("int")
+    joined = comp.join(
+        docs.select("doc_id", "source"),
+        comp["node"] == F.col("doc_id"),
+    ).select("component", "doc_id", "source", src_rank.alias("src_rank"))
+    w = Window.partitionBy("component")
+    ranked = joined.withColumn(
+        "rn", F.row_number().over(w.orderBy("src_rank", "doc_id"))
+    ).withColumn("n_docs", F.count(F.lit(1)).over(w))
+    return (
+        ranked.filter((F.col("rn") == 1) & (F.col("n_docs") > 1))
+        .select(
+            "component",
+            F.col("doc_id").alias("kept_doc_id"),
+            F.col("source").alias("kept_source"),
+            "n_docs",
+        )
+        .orderBy("component")
+    )
+
+
+_NEAR_DUP_SURVIVORS_SQL = (
+    "WITH RECURSIVE "
+    + _SHINGLES_CTE.format(src="(SELECT * FROM documents WHERE doc_id < 300)")
+    + """
+, sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY doc_a, doc_b
+),
+pairs AS (
+  SELECT doc_a, doc_b
+  FROM common
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE floor((n_common / (sa.n_sh + sb.n_sh - n_common)) * 10000.0 + 0.5)
+          / 10000.0 >= 0.2
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+reach(node, label) AS (
+  SELECT doc_id, doc_id FROM documents WHERE doc_id < 300
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+),
+lab AS (SELECT node, min(label) AS label FROM reach GROUP BY node),
+ranked AS (
+  SELECT l.label, d.doc_id, d.source,
+         row_number() OVER (
+           PARTITION BY l.label
+           ORDER BY CAST(regexp_extract(d.source, '([0-9]+)$', 1) AS INTEGER),
+                    d.doc_id
+         ) AS rn,
+         count(*) OVER (PARTITION BY l.label) AS n_docs
+  FROM lab l JOIN documents d ON d.doc_id = l.node
+)
+SELECT label AS component, doc_id AS kept_doc_id, source AS kept_source,
+       n_docs
+FROM ranked
+WHERE rn = 1 AND n_docs > 1
+ORDER BY component
+"""
+)
+
+
 # -- fuzzy matching: edit-distance near-identical part names ------------------
 # Blocked all-pairs on a LOSSLESS composite canopy: (p_brand, length band).
 # edit_dist <= 2 forces |len(a)-len(b)| <= 2, so banding names by
@@ -814,6 +903,7 @@ QUERIES = {
     "minhash_recall_eval": minhash_recall_eval,
     "simhash_fingerprints": simhash_fingerprints,
     "near_dup_doc_clusters": near_dup_doc_clusters,
+    "near_dup_survivors": near_dup_survivors,
     "part_name_levenshtein_pairs": part_name_levenshtein_pairs,
     "benchmark_contamination": benchmark_contamination,
 }
@@ -826,6 +916,7 @@ ORACLE = {
     "minhash_recall_eval": _minhash_recall_sql(),
     "simhash_fingerprints": _simhash_sql(),
     "near_dup_doc_clusters": _NEAR_DUP_CLUSTERS_SQL,
+    "near_dup_survivors": _NEAR_DUP_SURVIVORS_SQL,
     "part_name_levenshtein_pairs": _LEVENSHTEIN_SQL,
     "benchmark_contamination": _CONTAMINATION_SQL,
 }
