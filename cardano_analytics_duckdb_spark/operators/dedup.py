@@ -559,8 +559,9 @@ ORDER BY doc_a, doc_b
 # fingerprint is set iff sum over tokens of (±1 by bit b of h16) is positive.
 
 
-def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+def _simhash_frame(docs: DataFrame) -> DataFrame:
+    """Unordered (doc_id, simhash16) — shared by the fingerprint report
+    and the recall eval."""
     toks = docs.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
     )
@@ -587,10 +588,93 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         F.lit(0),
     )
+    return bit_sums.select("doc_id", fp.cast("int").alias("simhash16"))
+
+
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
-        bit_sums.select("doc_id", fp.cast("int").alias("simhash16"))
+        _simhash_frame(load_table(spark, sf_dir, "documents"))
         # one row per doc: coalesced one-pass sort (functions/ordering.py)
         .transform(small_sorted, "doc_id")
+    )
+
+
+# -- SimHash recall eval ------------------------------------------------------
+# The measured companion of the SimHash path (same pattern as
+# minhash_recall_eval / ivf_recall_eval): candidates = pairs at fingerprint
+# hamming <= 3 found through 4 nibble bands (complete by the same
+# pigeonhole as the pHash blocking), truth = exact Jaccard >= 0.2 on the
+# bounded eval set.  The numbers it records are themselves the point: at
+# sf0.01 the 16-bit fingerprint gives recall 1.0 but precision ~0.001 —
+# 16 bits can't separate 300 docs, which is WHY production SimHash is
+# 64-bit; the eval makes that sizing decision a measured fact instead of
+# folklore.
+
+_SIMHASH_EVAL_MAX_HAMMING = 3
+
+
+def simhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 300
+    )
+    sh = _simhash_frame(docs)
+    bands = sh.select(
+        "doc_id",
+        "simhash16",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright(F.col("simhash16"), 4 * i)
+                        .bitwiseAND(15)
+                        .alias("nib"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select(
+        "doc_id",
+        "simhash16",
+        F.col("bk.band").alias("band"),
+        F.col("bk.nib").alias("nib"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.nib") == F.col("b.nib"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash16").alias("pa"),
+            F.col("b.simhash16").alias("pb"),
+        )
+        .distinct()
+        .filter(
+            F.expr("bit_count(pa ^ pb)") <= _SIMHASH_EVAL_MAX_HAMMING
+        )
+        .select("doc_a", "doc_b", F.lit(1).alias("is_cand"))
+    )
+    truth = ngram_jaccard_pairs(spark, sf_dir).select(
+        "doc_a", "doc_b", F.lit(1).alias("is_true")
+    )
+    hit = F.count(
+        F.when(
+            F.col("is_true").isNotNull() & F.col("is_cand").isNotNull(),
+            F.lit(1),
+        )
+    )
+    return truth.join(cands, ["doc_a", "doc_b"], "full_outer").agg(
+        F.count("is_true").alias("n_true_pairs"),
+        F.count("is_cand").alias("n_candidates"),
+        hit.alias("n_hits"),
+        rnd(hit / F.count("is_true"), 4).alias("recall"),
+        rnd(hit / F.count("is_cand"), 4).alias("precision"),
     )
 
 
@@ -616,6 +700,76 @@ SELECT doc_id, CAST({fp} AS INTEGER) AS simhash16
 FROM bit_sums
 ORDER BY doc_id
 """
+
+
+def _simhash_recall_sql() -> str:
+    bit_sums = ",\n         ".join(
+        f"sum(CASE WHEN (h16 >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(16)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(16)
+    )
+    band_rows = "\nUNION ALL\n".join(
+        f"SELECT doc_id, simhash16, {i} AS band,"
+        f" (simhash16 >> {4 * i}) & 15 AS nib FROM fps"
+        for i in range(4)
+    )
+    return (
+        "WITH "
+        + _SHINGLES_CTE.format(
+            src="(SELECT * FROM documents WHERE doc_id < 300)"
+        )
+        + f"""
+, sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY doc_a, doc_b
+),
+truth AS (
+  SELECT doc_a, doc_b
+  FROM common
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE floor((n_common / (sa.n_sh + sb.n_sh - n_common)) * 10000.0 + 0.5)
+          / 10000.0 >= 0.2
+),
+toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+  FROM documents WHERE doc_id < 300
+), hashed AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 4))::INTEGER AS h16 FROM toks
+), bit_sums AS (
+  SELECT doc_id,
+         {bit_sums}
+  FROM hashed GROUP BY doc_id
+), fps AS (
+  SELECT doc_id, CAST({fp} AS INTEGER) AS simhash16 FROM bit_sums
+), bands AS (
+{band_rows}
+), cands AS (
+  SELECT doc_a, doc_b FROM (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           a.simhash16 AS pa, b.simhash16 AS pb
+    FROM bands a JOIN bands b ON a.band = b.band AND a.nib = b.nib
+                             AND a.doc_id < b.doc_id
+  ) WHERE bit_count(xor(pa, pb)) <= {_SIMHASH_EVAL_MAX_HAMMING}
+)
+SELECT (SELECT count(*) FROM truth) AS n_true_pairs,
+       (SELECT count(*) FROM cands) AS n_candidates,
+       (SELECT count(*) FROM truth t JOIN cands c
+         ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b) AS n_hits,
+       floor(((SELECT count(*) FROM truth t JOIN cands c
+               ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b) * 1.0
+              / (SELECT count(*) FROM truth)) * 10000.0 + 0.5) / 10000.0
+           AS recall,
+       floor(((SELECT count(*) FROM truth t JOIN cands c
+               ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b) * 1.0
+              / (SELECT count(*) FROM cands)) * 10000.0 + 0.5) / 10000.0
+           AS precision
+"""
+    )
 
 
 # -- near-dup CLUSTERS: connected components over the Jaccard pair graph ------
@@ -902,6 +1056,7 @@ QUERIES = {
     "semantic_dedup_pairs": semantic_dedup_pairs,
     "minhash_recall_eval": minhash_recall_eval,
     "simhash_fingerprints": simhash_fingerprints,
+    "simhash_recall_eval": simhash_recall_eval,
     "near_dup_doc_clusters": near_dup_doc_clusters,
     "near_dup_survivors": near_dup_survivors,
     "part_name_levenshtein_pairs": part_name_levenshtein_pairs,
@@ -915,6 +1070,7 @@ ORACLE = {
     "semantic_dedup_pairs": _semantic_dedup_sql(),
     "minhash_recall_eval": _minhash_recall_sql(),
     "simhash_fingerprints": _simhash_sql(),
+    "simhash_recall_eval": _simhash_recall_sql(),
     "near_dup_doc_clusters": _NEAR_DUP_CLUSTERS_SQL,
     "near_dup_survivors": _NEAR_DUP_SURVIVORS_SQL,
     "part_name_levenshtein_pairs": _LEVENSHTEIN_SQL,
