@@ -53,11 +53,22 @@ class LakeFs:
         self._fs.delete(self._Path(path), False)
 
     def write_text(self, path: str, text: str) -> None:
-        out = self._fs.create(self._Path(path), True)
+        """Atomic publish: write to a ``.tmp`` sibling, then rename into
+        place.  A reader can never observe a truncated file — a crash
+        mid-write leaves only the tmp, which the next writer discards.
+        (rename is atomic on HDFS/local; on S3 the single-object PUT is
+        already all-or-nothing.)"""
+        tmp = self._Path(path + ".tmp")
+        out = self._fs.create(tmp, True)
         try:
             out.write(bytearray(text.encode("utf-8")))
         finally:
             out.close()
+        dst = self._Path(path)
+        if self._fs.exists(dst):
+            self._fs.delete(dst, False)
+        if not self._fs.rename(tmp, dst):
+            raise IOError(f"rename {tmp} -> {dst} failed")
 
     def read_text(self, path: str) -> str:
         stream = self._fs.open(self._Path(path))

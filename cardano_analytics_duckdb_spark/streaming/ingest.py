@@ -487,6 +487,10 @@ def ingest_blocks_streaming(
             for name in LAKE_TABLES
             for g in groups
         ]
+        # write_text publishes atomically (tmp + rename), so an existing
+        # snapshot is always complete: a crash DURING the snapshot write
+        # leaves only a tmp sibling and the replay takes a fresh listing
+        # (correct — the snapshot strictly precedes every append).
         if lfs.exists(snap_path):
             _rollback_partial(json.loads(lfs.read_text(snap_path)))
         else:

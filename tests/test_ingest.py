@@ -314,3 +314,38 @@ def test_maintenance_refuses_uncommitted_epoch(spark, tmp_path):
     open(done, "w").write("")  # epoch commits; maintenance may proceed
     compact_lake(spark, dest)
     assert glob.glob(os.path.join(dest, "_epochs", "*.snapshot.json")) == []
+
+
+def test_crash_during_snapshot_write_does_not_wedge_replay(spark, tmp_path):
+    """Snapshots publish atomically (tmp + rename), so a crash DURING the
+    snapshot write leaves only a truncated ``.tmp`` sibling; the replay
+    must ignore it, take a fresh listing, and ingest exactly once."""
+    import json
+    import shutil
+
+    from cardano_analytics_duckdb_spark.streaming.ingest import (
+        ingest_blocks_streaming,
+    )
+
+    src = tmp_path / "blocks_json"
+    src.mkdir()
+    with open(src / "blocks_0.jsonl", "w") as f:
+        for b in fixture_blocks()[:3]:
+            f.write(json.dumps(b) + "\n")
+    dest = str(tmp_path / "trunc_lake")
+    ingest_blocks_streaming(spark, str(src), dest)
+    clean = _canon_rows(spark.read.parquet(f"{dest}/tx"))
+
+    # rewind to 'crashed mid-snapshot-write on the very first epoch': no
+    # table data, no published snapshot, a truncated tmp, no checkpoint
+    shutil.rmtree(os.path.join(dest, "_checkpoint"))
+    for t in os.listdir(dest):
+        if not t.startswith("_"):
+            shutil.rmtree(os.path.join(dest, t))
+    for f in glob.glob(os.path.join(dest, "_epochs", "*")):
+        os.remove(f)
+    with open(os.path.join(dest, "_epochs", "0.snapshot.json.tmp"), "w") as f:
+        f.write('{"truncated')
+
+    ingest_blocks_streaming(spark, str(src), dest)
+    assert _canon_rows(spark.read.parquet(f"{dest}/tx")) == clean
