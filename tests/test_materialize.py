@@ -121,3 +121,52 @@ def test_fees_by_slot_group_tracks_streaming_ingest(spark, tmp_path):
         .collect()
     }
     assert got == expect
+
+
+def test_generalized_aggregate_with_composite_key(spark, split_events, tmp_path):
+    """materialize_aggregate with plural key_cols and a custom bucket:
+    the maintained table equals the batch aggregate keyed by
+    (user_id, event_type) after incremental folds."""
+    import pyspark.sql.functions as F
+
+    from cardano_analytics_duckdb_spark.streaming.materialize import (
+        EVENTS_SCHEMA,
+        materialize_aggregate,
+    )
+
+    events, src, second = split_events
+    dest = str(tmp_path / "mv_composite")
+
+    def run():
+        return materialize_aggregate(
+            spark,
+            f"{src}/*",
+            dest,
+            table_name="type_counts",
+            schema=EVENTS_SCHEMA,
+            key_cols=["user_id", "event_type"],
+            agg_exprs=lambda: {
+                "n": F.count(F.lit(1)),
+                "v": F.sum("value"),
+            },
+            n_buckets=4,
+        )
+
+    table = run()
+    second.coalesce(1).write.parquet(str(src / "f1"))
+    run()
+
+    got = {
+        (r["user_id"], r["event_type"]): (r["n"], r["v"])
+        for r in spark.read.parquet(table).collect()
+    }
+    expect = {
+        (r["user_id"], r["event_type"]): (r["n"], r["v"])
+        for r in events.groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("v"))
+        .collect()
+    }
+    assert set(got) == set(expect)
+    for k, (n, v) in expect.items():
+        assert got[k][0] == n
+        assert got[k][1] == pytest.approx(v, rel=1e-9)
