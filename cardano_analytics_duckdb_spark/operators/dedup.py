@@ -866,7 +866,13 @@ def near_dup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
     comp = min_label_components(nodes, edges, max_iter=15)
-    src_rank = F.regexp_extract("source", "([0-9]+)$", 1).cast("int")
+    # unranked sources (no numeric suffix) sort LAST on both engines:
+    # Spark casts '' to null (sorts first ASC!) and DuckDB errors on the
+    # cast — coalesce/TRY_CAST to a sentinel keeps the order portable
+    src_rank = F.coalesce(
+        F.regexp_extract("source", "([0-9]+)$", 1).cast("int"),
+        F.lit(2147483647),
+    )
     joined = comp.join(
         docs.select("doc_id", "source"),
         comp["node"] == F.col("doc_id"),
@@ -919,7 +925,7 @@ ranked AS (
   SELECT l.label, d.doc_id, d.source,
          row_number() OVER (
            PARTITION BY l.label
-           ORDER BY CAST(regexp_extract(d.source, '([0-9]+)$', 1) AS INTEGER),
+           ORDER BY COALESCE(TRY_CAST(regexp_extract(d.source, '([0-9]+)$', 1) AS INTEGER), 2147483647),
                     d.doc_id
          ) AS rn,
          count(*) OVER (PARTITION BY l.label) AS n_docs
