@@ -97,6 +97,10 @@ def materialize_aggregate(
             prev = spark.read.parquet(table).filter(
                 F.col("bucket").isin(touched)
             )
+            if "_applied_epoch" not in prev.columns:
+                # table predates the epoch marker (or was built by a batch
+                # backfill): treat every bucket as folded-through epoch -1
+                prev = prev.withColumn("_applied_epoch", F.lit(-1))
             # Replay guard: a bucket whose committed high-water epoch is
             # >= this epoch already folded this exact delta in (foreachBatch
             # retries a failed epoch under the SAME epoch_id with the same
