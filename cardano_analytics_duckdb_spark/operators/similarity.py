@@ -798,7 +798,139 @@ ORDER BY q_id, rk
 """
 
 
+# -- distributed Lloyd's k-means ----------------------------------------------
+# The iterative ML operator the similarity family was missing: this is how
+# an IVF coarse quantizer is actually TRAINED (the registered ivf_topk uses
+# pinned cells; a production index runs a few Lloyd's rounds first).  Each
+# round is one narrow assignment pass (argmin over k centroid-distance
+# expressions, all plan literals inside codegen) + one k-group hash-agg;
+# the only driver traffic is k x dim centroid floats per round — the
+# standard Lloyd's-on-Spark shape, cost independent of corpus size.
+#
+# Determinism across engines (the oracle is the SAME algorithm unrolled
+# into chained CTEs): centroids are floor-rounded to 6 decimals after init
+# and after every update, and distances are rounded before the argmin, so
+# double-precision accumulation-order ulps (~1e-13) cannot flip the
+# trajectory; ties break on cluster id on both sides.
+
+_KMEANS_K = 4
+_KMEANS_ROUNDS = 2  # assign+update rounds; one final assignment follows
+
+
+def _r6(x: float) -> float:
+    import math
+
+    return math.floor(float(x) * 1e6 + 0.5) / 1e6
+
+
+def _euclid(vec_col: str, centroid: list[float]) -> Column:
+    return F.sqrt(
+        F.expr(
+            f"aggregate(zip_with({vec_col}, {_plane_lit(centroid)},"
+            " (x, y) -> (cast(x as double) - y) * (cast(x as double) - y)),"
+            " cast(0.0 as double), (acc, v) -> acc + v)"
+        )
+    )
+
+
+def kmeans_assignments(
+    spark: SparkSession,
+    emb: DataFrame,
+    k: int = _KMEANS_K,
+    rounds: int = _KMEANS_ROUNDS,
+) -> DataFrame:
+    """(vec_id, cluster, dist) after ``rounds`` Lloyd's iterations seeded
+    by the k lowest vec_ids.  Empty clusters keep their previous centroid."""
+    init = emb.orderBy("vec_id").limit(k).collect()
+    centroids = [[_r6(x) for x in r["embedding"]] for r in init]
+
+    def assign(cents: list[list[float]]) -> DataFrame:
+        choice = F.array_min(
+            F.array(
+                *[
+                    F.struct(
+                        rnd(_euclid("embedding", c), 6).alias("d"),
+                        F.lit(i).cast("int").alias("c"),
+                    )
+                    for i, c in enumerate(cents)
+                ]
+            )
+        )
+        return emb.select(
+            "vec_id",
+            "embedding",
+            choice["c"].alias("cluster"),
+            choice["d"].alias("dist"),
+        )
+
+    for _ in range(rounds):
+        stats = (
+            assign(centroids)
+            .groupBy("cluster")
+            .agg(*[F.avg(F.col("embedding")[d]).alias(f"m{d}") for d in range(_DIM)])
+            .collect()
+        )
+        new = {
+            r["cluster"]: [_r6(r[f"m{d}"]) for d in range(_DIM)] for r in stats
+        }
+        centroids = [new.get(i, centroids[i]) for i in range(k)]
+    return assign(centroids)
+
+
+def kmeans_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    assigned = kmeans_assignments(spark, emb)
+    return (
+        assigned.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            rnd(F.avg("dist"), 4).alias("avg_dist"),
+            F.min("vec_id").alias("exemplar_vec_id"),
+        )
+        .orderBy("cluster")
+    )
+
+
+def _kmeans_profile_sql() -> str:
+    from ..functions.rounding import rnd_sql
+
+    k, dim = _KMEANS_K, _DIM
+    avg_list = ", ".join(
+        rnd_sql(f"avg(v[{i + 1}])", 6) for i in range(dim)
+    )
+    parts = [
+        "WITH pts AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"""c0 AS (
+  SELECT cluster, list_transform(v, x -> {rnd_sql('x', 6)}) AS v FROM (
+    SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cluster, v
+    FROM pts) WHERE cluster < {k})""",
+    ]
+    for t in range(1, _KMEANS_ROUNDS + 2):
+        d = rnd_sql(f"list_distance(p.v, c.v)", 6)
+        parts.append(f"""a{t} AS (
+  SELECT vec_id, v, cluster, d FROM (
+    SELECT p.vec_id, p.v, c.cluster, {d} AS d,
+           row_number() OVER (PARTITION BY p.vec_id ORDER BY {d}, c.cluster) AS rn
+    FROM pts p CROSS JOIN c{t - 1} c) WHERE rn = 1)""")
+        if t <= _KMEANS_ROUNDS:
+            parts.append(f"""c{t} AS (
+  SELECT prev.cluster, CASE WHEN upd.cluster IS NULL THEN prev.v ELSE upd.v END AS v
+  FROM c{t - 1} prev LEFT JOIN (
+    SELECT cluster, [{avg_list}] AS v FROM a{t} GROUP BY cluster) upd
+  USING (cluster))""")
+    final = _KMEANS_ROUNDS + 1
+    return (
+        ",\n".join(parts)
+        + f"""
+SELECT cluster, count(*) AS n_points, {rnd_sql('avg(d)', 4)} AS avg_dist,
+       min(vec_id) AS exemplar_vec_id
+FROM a{final} GROUP BY cluster ORDER BY cluster
+"""
+    )
+
+
 QUERIES = {
+    "kmeans_cluster_profile": kmeans_cluster_profile,
     "cosine_topk": cosine_topk,
     "embedding_dim_stats": embedding_dim_stats,
     "embedding_norm_stats": embedding_norm_stats,
@@ -812,6 +944,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "kmeans_cluster_profile": _kmeans_profile_sql(),
     "ivf_recall_eval": _ivf_recall_sql(),
     "cosine_topk": _COSINE_TOPK_SQL,
     "embedding_dim_stats": _DIM_STATS_SQL,
