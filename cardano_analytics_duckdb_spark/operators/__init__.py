@@ -45,6 +45,7 @@ _WINDOW = (
     "cardano_address_cluster_summary",
     "image_dup_cluster_summary",
     "packing_efficiency_eval",
+    "kmeans_cluster_profile",
     # r6-changed: minhash candidate generation grew the signature-level
     # hot-bucket collapse; pHash banding was re-parameterized
     "minhash_band_buckets",
@@ -67,7 +68,6 @@ _WINDOW = (
     "customers_with_high_value_orders",
     "customers_without_orders",
     "priority_order_union",
-    "repeat_buyer_custkeys",
     "first_half_only_custkeys",
     "slot_time_conversion",
     "status_price_matrix",
@@ -84,9 +84,10 @@ _WINDOW = (
     "alpha_token_stats",
     "rolling_fingerprints",
 )
-# out this round for the two r6-new queries: part_name_tokens (r1) and
-# bpe_token_counts (r3) — both single-expression narrow maps over columns
-# whose loaders have no r6 diff; both stay pytest-oracle-green.
+# out this round for the three r6-new queries: part_name_tokens (r1),
+# repeat_buyer_custkeys (r1), bpe_token_counts (r3) — all simple
+# single-shape queries over columns whose loaders have no r6 diff; all
+# stay pytest-oracle-green.
 
 
 def _ordered(pick) -> dict:
