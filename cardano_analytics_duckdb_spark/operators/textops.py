@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.ordering import small_sorted
-from ..functions.rounding import rnd
+from ..functions.rounding import rnd, rnd_sql
 from ..lake.tables import load_table
 
 # -- token counting + quality scoring -----------------------------------------
@@ -467,7 +467,88 @@ LIMIT 100
 """
 
 
+# -- bigram language-model scoring --------------------------------------------
+# The classic LM-based quality signal (Gopher-style): score every document
+# by its mean log-probability under the corpus's own add-one-smoothed
+# bigram MLE.  Out-of-distribution documents (boilerplate, garbled text,
+# wrong language) score low; the column feeds the same filter layer as
+# doc_quality_scores.
+#
+# Scale shape: two count aggregations (unigrams, bigrams — map-side
+# partials absorb the Zipf skew), then the doc-bigram stream joins the
+# count tables by key; vocabulary size and nothing else crosses the driver
+# (1-row broadcast).  No Python in the plan.
+
+
+def bigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    big = (
+        docs.select("doc_id", w.alias("w"))
+        .filter(F.size("w") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(w)-2),"
+                    " i -> struct(w[i] as w1, w[i+1] as w2))"
+                )
+            ).alias("bg"),
+        )
+        .select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    )
+    toks = docs.select(F.explode(w).alias("tok"))
+    uni = toks.groupBy(F.col("tok").alias("w1")).agg(
+        F.count(F.lit(1)).alias("c1")
+    )
+    vocab = toks.select(F.countDistinct("tok").alias("vsize"))
+    bgc = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    logp = F.log((F.col("c2") + 1.0) / (F.col("c1") + F.col("vsize")))
+    return (
+        big.join(bgc, ["w1", "w2"])
+        .join(uni, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            rnd(F.avg(logp), 4).alias("avg_logprob"),
+        )
+        .withColumn(
+            "perplexity", rnd(F.exp(-F.col("avg_logprob")), 4)
+        )
+        .transform(small_sorted, "doc_id")
+    )
+
+
+_BIGRAM_LM_SQL = f"""
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), big AS (
+  SELECT doc_id, w[g] AS w1, w[g + 1] AS w2
+  FROM words, unnest(generate_series(1, greatest(len(w) - 1, 0))) AS t(g)
+  WHERE len(w) >= 2
+), toks AS (
+  SELECT unnest(w) AS tok FROM words
+), uni AS (
+  SELECT tok AS w1, count(*) AS c1 FROM toks GROUP BY tok
+), vocab AS (
+  SELECT count(DISTINCT tok) AS vsize FROM toks
+), bgc AS (
+  SELECT w1, w2, count(*) AS c2 FROM big GROUP BY w1, w2
+), scored AS (
+  SELECT b.doc_id, ln((c2 + 1.0) / (c1 + vsize)) AS logp
+  FROM big b JOIN bgc USING (w1, w2) JOIN uni USING (w1), vocab
+)
+SELECT doc_id, count(*) AS n_bigrams,
+       {rnd_sql('avg(logp)', 4)} AS avg_logprob,
+       {rnd_sql(f"exp(-({rnd_sql('avg(logp)', 4)}))", 4)} AS perplexity
+FROM scored GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
+    "bigram_logprob_scores": bigram_logprob_scores,
     "doc_quality_scores": doc_quality_scores,
     "lang_id_scores": lang_id_scores,
     "lang_id_confusion": lang_id_confusion,
@@ -482,6 +563,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "bigram_logprob_scores": _BIGRAM_LM_SQL,
     "doc_regex_features": _REGEX_FEATURES_SQL,
     "doc_quality_scores": _QUALITY_SQL,
     "lang_id_scores": _lang_id_sql(),
