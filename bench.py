@@ -48,18 +48,14 @@ def main() -> None:
     # queries whose shuffle partitions are already sized to the core count.
     # The production session (plans/session.py) keeps AQE on: at cluster /
     # 100 TB scale its coalescing + skew splitting dominate that latency.
-    # constraintPropagation and the console progress bar are, like AQE,
-    # driver-side latency on sub-second queries (constraint inference is
-    # quadratic in predicate count and benefits none of these plans); the
-    # production session keeps both defaults.
+    # Since r7 the production session itself ships constraintPropagation
+    # and the console progress bar OFF (both semantics-free, see
+    # plans/session.py), so AQE is the ONLY conf this bench posture
+    # changes — the companion pass below prices exactly that delta.
     spark = get_session(
         app_name="bench",
         shuffle_partitions=8,
-        extra_conf={
-            "spark.sql.adaptive.enabled": "false",
-            "spark.sql.constraintPropagation.enabled": "false",
-            "spark.ui.showConsoleProgress": "false",
-        },
+        extra_conf={"spark.sql.adaptive.enabled": "false"},
     )
     queries = all_queries()
 
@@ -133,16 +129,13 @@ def main() -> None:
         if d_runs:
             duck_timings[name] = round(sorted(d_runs)[len(d_runs) // 2], 3)
 
-    # Companion pass under PRODUCTION session defaults (AQE on, constraint
-    # propagation on — what plans/session.py ships), one run per query:
-    # keeps the cost of the bench-only conf posture visible in every
-    # BENCH_r*.json instead of silently drifting.  SQL confs are runtime-
-    # settable, so toggle-run-restore on the same session; the console
-    # progress bar is a context-startup conf and stays off here (display
-    # only, no plan impact).
+    # Companion pass under PRODUCTION session defaults (AQE on — the one
+    # conf plans/session.py ships differently from this bench posture),
+    # one run per query: keeps the cost of the bench-only conf visible in
+    # every BENCH_r*.json instead of silently drifting.  SQL confs are
+    # runtime-settable, so toggle-run-restore on the same session.
     bench_overrides = {
         "spark.sql.adaptive.enabled": "true",
-        "spark.sql.constraintPropagation.enabled": "true",
     }
     saved = {k: spark.conf.get(k) for k in bench_overrides}
     for k, v in bench_overrides.items():

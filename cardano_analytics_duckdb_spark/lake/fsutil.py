@@ -49,8 +49,32 @@ class LakeFs:
             if st.isFile()
         )
 
+    def list_dirs(self, d: str) -> list[str]:
+        """Names (last path segment, not full URIs) of the DIRECTORIES
+        directly under ``d`` ([] if absent) — partition-dir probes
+        (``bucket=*``, ``slot_group=*``) for maintenance and the
+        materializer's merge-vs-bootstrap decision."""
+        p = self._Path(d)
+        if not self._fs.exists(p):
+            return []
+        return sorted(
+            st.getPath().getName()
+            for st in self._fs.listStatus(p)
+            if st.isDirectory()
+        )
+
     def delete(self, path: str) -> None:
         self._fs.delete(self._Path(path), False)
+
+    def delete_recursive(self, path: str) -> None:
+        self._fs.delete(self._Path(path), True)
+
+    def rename(self, src: str, dst: str) -> None:
+        """Directory swap for maintenance rewrites.  Atomic on HDFS/local;
+        on S3A it is a copy-and-delete — callers must hold the documented
+        single-writer maintenance window regardless of scheme."""
+        if not self._fs.rename(self._Path(src), self._Path(dst)):
+            raise IOError(f"rename {src} -> {dst} failed")
 
     def write_text(self, path: str, text: str) -> None:
         """Atomic publish: write to a ``.tmp`` sibling, then rename into

@@ -51,8 +51,14 @@ def upsert_partitioned(
       never does.
     """
     path = os.path.join(root, table)
-    n_updates_total = updates.count()
-    n_distinct_keys = updates.select(*key_cols).distinct().count()
+    # One aggregation pass for both counts (count vs count_distinct over a
+    # key struct) — two separate .count() actions would materialize the
+    # updates lineage twice more before the merge job runs it a third time.
+    counts = updates.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct(F.struct(*key_cols)).alias("k"),
+    ).first()
+    n_updates_total, n_distinct_keys = counts["n"], counts["k"]
     if n_distinct_keys != n_updates_total:
         raise ValueError(
             f"updates batch has {n_updates_total - n_distinct_keys} duplicate"

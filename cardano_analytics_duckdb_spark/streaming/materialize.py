@@ -34,13 +34,14 @@ high-water collect, both bounded by the delta's bucket fan-out (≤
 
 from __future__ import annotations
 
-import glob
 import os
 from collections.abc import Callable
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from ..lake.fsutil import LakeFs
 
 EVENTS_SCHEMA = T.StructType(
     [
@@ -75,6 +76,23 @@ def materialize_aggregate(
     Both are thunks so one definition can serve many streams.
     """
     table = os.path.join(dest, table_name)
+    lfs = LakeFs(spark, dest)
+    checkpoint = os.path.join(dest, f"_checkpoint_{table_name}")
+    legacy_checkpoint = os.path.join(dest, "_checkpoint")
+    if lfs.exists(legacy_checkpoint) and not lfs.exists(checkpoint):
+        # Pre-r6 materializers checkpointed at dest/_checkpoint (unscoped).
+        # Starting a FRESH checkpoint over an already-populated table would
+        # restart at epoch 0, re-read every source file, and fold all
+        # history into existing rows — silent double-counting.  Refuse and
+        # tell the operator how to migrate (rename preserves epoch
+        # numbering; checkpoint contents are table-name-independent).
+        raise RuntimeError(
+            f"{legacy_checkpoint} exists but {checkpoint} does not: this "
+            "looks like a pre-upgrade materializer deployment.  Rename "
+            f"_checkpoint to _checkpoint_{table_name} to keep its stream "
+            "progress, or choose a fresh dest — starting a new checkpoint "
+            "over the existing table would re-fold all history."
+        )
     stream = spark.readStream.schema(schema).parquet(src_glob)
     aggs = agg_exprs()
     agg_cols = list(aggs)
@@ -90,7 +108,14 @@ def materialize_aggregate(
             .agg(*[c.alias(name) for name, c in aggs.items()])
             .withColumn("bucket", bucket)
         )
-        if glob.glob(os.path.join(table, "bucket=*")):
+        # Merge-vs-bootstrap probe through the Hadoop FS (NOT local glob):
+        # on an s3a://or hdfs:// dest a driver-local glob returns [] for a
+        # populated table, skipping the merge branch and overwriting the
+        # touched buckets without folding prior state — silent data loss.
+        has_buckets = any(
+            d.startswith("bucket=") for d in lfs.list_dirs(table)
+        )
+        if has_buckets:
             touched = [
                 r[0] for r in delta.select("bucket").distinct().collect()
             ]
@@ -138,10 +163,7 @@ def materialize_aggregate(
     q = (
         stream.writeStream.foreachBatch(upsert_epoch)
         .trigger(availableNow=True)
-        .option(
-            "checkpointLocation",
-            os.path.join(dest, f"_checkpoint_{table_name}"),
-        )
+        .option("checkpointLocation", checkpoint)
         .start()
     )
     try:
@@ -183,7 +205,15 @@ def materialize_fees_by_slot_group(
     already-ingested table — ``ingest_blocks`` must have run at least
     once), so ingest-side schema evolution flows through without a second
     schema definition here.
+
+    Runs only BETWEEN committed ingest epochs (guarded): the streaming
+    ingest replay protocol deletes and re-appends an uncommitted epoch's
+    partial files, so a fold racing that replay would double-count those
+    rows or hit FileNotFound mid-read.
     """
+    from .ingest import _require_no_uncommitted_epochs
+
+    _require_no_uncommitted_epochs(spark, lake_dir)
     tx_path = os.path.join(lake_dir, "tx")
     schema = spark.read.parquet(tx_path).schema
     return materialize_aggregate(

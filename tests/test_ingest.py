@@ -282,6 +282,27 @@ def test_streaming_epoch_replay_does_not_duplicate_table_rows(spark, tmp_path):
         assert _canon_rows(spark.read.parquet(f"{dest}/{t}")) == rows, t
 
 
+def test_streaming_modules_use_no_driver_local_fs():
+    """Every filesystem touch in the streaming modules must go through the
+    Hadoop FS wrapper (lake/fsutil.py) — a driver-local glob/os probe
+    returns nothing on hdfs:///s3a:// and either fails open (guards) or
+    loses data (the materializer's merge probe).  Source-inspection pin so
+    a convenience regression can't slip back in; os.path.join is allowed
+    (pure string manipulation)."""
+    import inspect
+
+    from cardano_analytics_duckdb_spark.streaming import ingest, materialize
+
+    banned = (
+        "glob.glob", "shutil.", "os.listdir", "os.path.isdir",
+        "os.path.exists", "os.remove", "os.rename", "os.makedirs",
+    )
+    for mod in (ingest, materialize):
+        src = inspect.getsource(mod)
+        for needle in banned:
+            assert needle not in src, f"{mod.__name__} uses {needle}"
+
+
 def test_maintenance_refuses_uncommitted_epoch(spark, tmp_path):
     """compact_lake / rollback_lake must refuse to rewrite files while a
     streaming epoch is uncommitted (pending replay would roll back against

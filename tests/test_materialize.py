@@ -123,6 +123,166 @@ def test_fees_by_slot_group_tracks_streaming_ingest(spark, tmp_path):
     assert got == expect
 
 
+def test_bucket_probe_is_not_driver_local_glob(spark, split_events, tmp_path, monkeypatch):
+    """The merge-vs-bootstrap probe must go through the Hadoop FS, never
+    local ``glob``/``os.listdir`` — on an s3a:// dest a local glob sees []
+    for a populated table and the fold would overwrite touched buckets
+    without merging prior state (silent data loss).  Poison glob.glob for
+    the duration of an incremental fold: the fold must still MERGE (table
+    equals the batch aggregate), proving the decision path never consults
+    the local filesystem API."""
+
+    def _boom(*a, **k):  # pragma: no cover - raising is the assertion
+        raise AssertionError(
+            "materialize consulted local glob — invisible on s3a://"
+        )
+
+    events, src, second = split_events
+    dest = str(tmp_path / "mv_fsapi")
+    table = materialize_user_counts(spark, f"{src}/*", dest, n_buckets=8)
+    second.coalesce(1).write.parquet(str(src / "f1"))
+    monkeypatch.setattr(glob, "glob", _boom)
+    materialize_user_counts(spark, f"{src}/*", dest, n_buckets=8)
+    monkeypatch.undo()
+
+    got = _as_map(spark, table)
+    expect = {
+        r["user_id"]: (r["n"], r["tv"])
+        for r in events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("tv"))
+        .collect()
+    }
+    assert set(got) == set(expect)
+    for u, (n, tv) in expect.items():
+        assert got[u] == (n, pytest.approx(tv, rel=1e-9))
+
+
+def test_legacy_unscoped_checkpoint_is_refused(spark, split_events, tmp_path):
+    """A pre-upgrade deployment checkpointed at dest/_checkpoint; starting
+    a FRESH table-scoped checkpoint next to it would restart at epoch 0 and
+    re-fold all history into the populated table.  The materializer must
+    refuse with migration instructions, not silently double-count."""
+    _, src, _ = split_events
+    dest = str(tmp_path / "mv_legacy")
+    table = materialize_user_counts(spark, f"{src}/*", dest, n_buckets=8)
+    before = _as_map(spark, table)
+    os.rename(
+        os.path.join(dest, "_checkpoint_user_counts"),
+        os.path.join(dest, "_checkpoint"),
+    )
+    with pytest.raises(RuntimeError, match="_checkpoint_user_counts"):
+        materialize_user_counts(spark, f"{src}/*", dest, n_buckets=8)
+    # refusal left the table untouched
+    assert _as_map(spark, table) == before
+    # migrating as instructed resumes cleanly (no re-fold: noop rerun)
+    os.rename(
+        os.path.join(dest, "_checkpoint"),
+        os.path.join(dest, "_checkpoint_user_counts"),
+    )
+    materialize_user_counts(spark, f"{src}/*", dest, n_buckets=8)
+    assert _as_map(spark, table) == before
+
+
+def test_materialize_refuses_uncommitted_ingest_epoch(spark, tmp_path):
+    """The ingest replay protocol deletes and re-appends an uncommitted
+    epoch's partial files; a fold racing that replay double-counts (or
+    hits FileNotFound).  materialize_fees_by_slot_group must refuse while
+    the lake has a snapshot without its done-marker."""
+    import json
+
+    from cardano_analytics_duckdb_spark.lake.fixtures import fixture_blocks
+    from cardano_analytics_duckdb_spark.streaming.ingest import (
+        ingest_blocks_streaming,
+    )
+    from cardano_analytics_duckdb_spark.streaming.materialize import (
+        materialize_fees_by_slot_group,
+    )
+
+    src = tmp_path / "blocks_json"
+    src.mkdir()
+    with open(src / "blocks_0.jsonl", "w") as f:
+        for b in fixture_blocks()[:3]:
+            f.write(json.dumps(b) + "\n")
+    lake = str(tmp_path / "lake_guard")
+    ingest_blocks_streaming(spark, str(src), lake)
+    done = glob.glob(os.path.join(lake, "_epochs", "*.done"))[0]
+    os.remove(done)
+    with pytest.raises(RuntimeError, match="uncommitted streaming epoch"):
+        materialize_fees_by_slot_group(
+            spark, lake, str(tmp_path / "mv_guard"), n_buckets=4
+        )
+
+
+def test_fees_materializer_crash_replay_under_streaming_ingest(spark, tmp_path):
+    """End-to-end exactly-once: streaming ingest appends epochs to the
+    lake, the materializer folds between them, then crashes AFTER the
+    fold's table commit but BEFORE its checkpoint commit (simulated by
+    deleting the newest checkpoint commits/ entry — Structured Streaming
+    then re-delivers that epoch with identical offsets).  The resumed
+    materializer must skip the already-folded epoch via the per-bucket
+    ``_applied_epoch`` guard, and the table must equal a batch recompute
+    of the whole tx table."""
+    import json
+
+    from cardano_analytics_duckdb_spark.lake.fixtures import fixture_blocks
+    from cardano_analytics_duckdb_spark.streaming.ingest import (
+        ingest_blocks_streaming,
+    )
+    from cardano_analytics_duckdb_spark.streaming.materialize import (
+        materialize_fees_by_slot_group,
+    )
+
+    src = tmp_path / "blocks_json"
+    src.mkdir()
+    blocks = fixture_blocks()
+    half = len(blocks) // 2
+    with open(src / "blocks_0.jsonl", "w") as f:
+        for b in blocks[:half]:
+            f.write(json.dumps(b) + "\n")
+    lake = str(tmp_path / "lake_e2e")
+    dest = str(tmp_path / "mv_e2e")
+    ingest_blocks_streaming(spark, str(src), lake)
+    table = materialize_fees_by_slot_group(spark, lake, dest, n_buckets=4)
+
+    with open(src / "blocks_1.jsonl", "w") as f:
+        for b in blocks[half:]:
+            f.write(json.dumps(b) + "\n")
+    ingest_blocks_streaming(spark, str(src), lake)
+    materialize_fees_by_slot_group(spark, lake, dest, n_buckets=4)
+
+    # crash window: table committed, checkpoint commit lost
+    commits = sorted(
+        glob.glob(
+            os.path.join(dest, "_checkpoint_fees_by_slot_group", "commits", "*")
+        ),
+        key=lambda p: os.path.basename(p),
+    )
+    latest = [p for p in commits if not p.endswith(".tmp")][-1]
+    os.remove(latest)
+    # Hadoop LocalFileSystem keeps a checksum sidecar; removing the commit
+    # file alone leaves a stale .crc that fails the re-written commit's
+    # rename.  A real crash loses neither or both (the FS pairs them).
+    crc = os.path.join(
+        os.path.dirname(latest), f".{os.path.basename(latest)}.crc"
+    )
+    if os.path.exists(crc):
+        os.remove(crc)
+    materialize_fees_by_slot_group(spark, lake, dest, n_buckets=4)
+
+    got = {
+        r["slot_group"]: (r["n_txs"], r["total_fees"])
+        for r in spark.read.parquet(table).collect()
+    }
+    expect = {
+        r["slot_group"]: (r["n"], r["tf"])
+        for r in spark.read.parquet(os.path.join(lake, "tx"))
+        .groupBy("slot_group")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("tx_fee").alias("tf"))
+        .collect()
+    }
+    assert got == expect
+
+
 def test_generalized_aggregate_with_composite_key(spark, split_events, tmp_path):
     """materialize_aggregate with plural key_cols and a custom bucket:
     the maintained table equals the batch aggregate keyed by

@@ -28,7 +28,10 @@ def test_filter_pushdown_reaches_parquet_scan(spark, sf_dir):
         F.col("o_totalprice") > 400_000
     ).select("o_orderkey")
     plan = _plan(df)
-    assert "PushedFilters: [IsNotNull(o_totalprice), GreaterThan(o_totalprice" in plan
+    # the comparison itself must reach the scan; the inferred IsNotNull
+    # companion only appears when constraintPropagation is on (the
+    # production session ships it off — semantics-free either way)
+    assert "GreaterThan(o_totalprice" in plan.split("PushedFilters:")[1]
 
 
 def test_column_pruning_reaches_scan(spark, sf_dir):
@@ -72,7 +75,10 @@ def test_slot_predicate_prunes_partitions(spark, sf_dir):
     pruned = tx.filter(F.col("slot_group") == 0)
     executed = _plan(pruned)
     # partition filter must appear as such, not as a post-scan filter
-    assert "PartitionFilters: [isnotnull(slot_group" in executed
+    # (with constraintPropagation off there is no inferred isnotnull —
+    # the equality itself is the pruning predicate)
+    pf = executed.split("PartitionFilters:")[1].split("]")[0]
+    assert "slot_group" in pf and "= 0" in pf
     n_all = tx.select("slot_group").distinct().count()
     assert n_all >= 2  # fixture spans multiple groups, so pruning is real
 
@@ -243,7 +249,7 @@ def test_regex_features_pushdown_and_codegen(spark, sf_dir):
     )
 
     plan = _plan(doc_regex_features(spark, sf_dir))
-    assert "PushedFilters: [IsNotNull(doc_id), LessThan(doc_id" in plan
+    assert "LessThan(doc_id" in plan.split("PushedFilters:")[1]
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
