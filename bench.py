@@ -134,6 +134,10 @@ def main() -> None:
     # one run per query: keeps the cost of the bench-only conf visible in
     # every BENCH_r*.json instead of silently drifting.  SQL confs are
     # runtime-settable, so toggle-run-restore on the same session.
+    # Why the drift is justified: SCALE_PROBE.json (scale_probe.py) shows
+    # the AQE penalty shrinking from ~2.4x here to 1.10x at 10x the data,
+    # with AQE ahead on the shuffle-heavy shapes — sub-second sf0.1
+    # latency is the one regime where adaptive re-planning can't pay.
     bench_overrides = {
         "spark.sql.adaptive.enabled": "true",
     }

@@ -7,7 +7,14 @@ whole engine assumes:
 
 - AQE on (runtime re-plan, partition coalescing, skew-join splitting) so the
   same logical plans survive 1000-executor / 100 TB deployments where static
-  estimates are wrong.
+  estimates are wrong.  This is a measured decision, not a hope:
+  ``scale_probe.py`` (results in ``SCALE_PROBE.json``) times the same plans
+  AQE on/off — at sf0.1 with core-count shuffle partitions AQE costs ~2.4x
+  (pure per-stage driver latency on sub-second queries, why bench.py's
+  timed pass turns it off), while at 10x the data with production-sized
+  (200) shuffle partitions the total penalty is 1.10x and AQE already WINS
+  on the shuffle-heavy grouped-agg and fact-fact-join shapes it exists
+  for.  The crossover direction is the 100 TB argument.
 - constraintPropagation off: constraint inference is quadratic in predicate
   count and none of this engine's plans benefit (no inferred-filter join
   elimination anywhere in the query library); it is an optimizer *inference*
