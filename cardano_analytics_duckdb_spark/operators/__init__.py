@@ -46,6 +46,10 @@ _WINDOW = (
     "bigram_logprob_scores",
     "near_dup_survivors",
     "simhash_recall_eval",
+    # new in r7 (never driver-checked)
+    "sq8_topk",
+    "sq8_recall_eval",
+    "duplicated_ngram_coverage",
     # last driver row r1
     "part_name_tokens",
     "repeat_buyer_custkeys",
@@ -76,9 +80,6 @@ _WINDOW = (
     "events_sliding_10min",
     "events_within_minute_pairs",
     "knn_join_topk",
-    "order_status_unpivot",
-    "price_decile_stats",
-    "revenue_grouping_sets",
     # r5-checked but explicitly named by the r6 verdict (helpers evolved)
     "lsh_multiband_near_dup_pairs",
     "tfidf_top_terms",
@@ -87,8 +88,10 @@ _WINDOW = (
 # reports, minhash family, the r1-vintage relational block re-attested in
 # r6, ...).  Still in the oldest-first backlog for r8: user_hourly_gapfill,
 # user_running_value, user_conversion_funnel, user_event_gaps,
-# weekly_cohort_retention, status_price_range_frame, top_revenue_suppliers
-# (r4) and the r5 block.  All stay pytest-oracle-green every round.
+# weekly_cohort_retention, status_price_range_frame, top_revenue_suppliers,
+# order_status_unpivot, price_decile_stats, revenue_grouping_sets (r4 —
+# the last three displaced mid-r7 by the new sq8/span-dedup queries) and
+# the r5 block.  All stay pytest-oracle-green every round.
 
 
 def _ordered(pick) -> dict:

@@ -1055,8 +1055,96 @@ ORDER BY c.doc_id
 """
 
 
+# -- substring-level (span) dedup signal --------------------------------------
+# Document-level dedup misses the pervasive PARTIAL overlap in web corpora:
+# boilerplate headers, quoted paragraphs, syndicated passages.  The
+# established signal (Lee et al. 2022, "Deduplicating Training Data Makes
+# Language Models Better") is span-level: how much of each document is made
+# of long n-gram spans that also occur elsewhere in the corpus.  This
+# operator scores every document with the fraction of its 8-token grams
+# whose corpus-wide occurrence count exceeds 1 — the filter column an LLM
+# pipeline thresholds on (e.g. drop docs > 0.8, trim spans > 0.2).
+#
+# Scale shape (100 TB): explode to one row per gram position (linear in
+# corpus token count), one hash-agg keyed by gram (map-side partials absorb
+# the duplicate mass), one shuffle join back keyed by gram, one per-doc
+# agg.  All linear — this is the shuffle-heavy-but-scalable shape, unlike
+# suffix-array exact-substring dedup which needs a specialized sort.  In
+# production the join key is xxhash64(gram) (8-byte keys instead of ~50-byte
+# strings, ~6x narrower shuffle); the oracle-facing query keeps the string
+# key because DuckDB's hash() differs from Spark's xxhash64.
+
+_SPAN_N = 8  # tokens per gram — long enough that a shared gram means copying
+
+
+def duplicated_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _SPAN_N
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.expr("filter(split(text, ' '), t -> t != '')").alias("t")
+    )
+    grams = toks.filter(F.expr(f"size(t) >= {n}")).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(t) - {n - 1}),"
+                f" i -> concat_ws(' ', slice(t, i, {n})))"
+            )
+        ).alias("gram"),
+    )
+    counts = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("cnt"))
+    per_doc = (
+        grams.join(counts, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count(F.when(F.col("cnt") > 1, F.lit(1))).alias("dup_grams"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_grams"), F.lit(0).cast("long")).alias("n_grams"),
+            F.coalesce(F.col("dup_grams"), F.lit(0).cast("long")).alias(
+                "dup_grams"
+            ),
+            F.when(F.col("n_grams").isNull(), F.lit(0.0))
+            .otherwise(rnd(F.col("dup_grams") / F.col("n_grams").cast("double"), 6))
+            .alias("dup_fraction"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_SPAN_COVERAGE_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS t
+  FROM documents
+), grams AS (
+  SELECT doc_id, array_to_string(t[g:g+{_SPAN_N - 1}], ' ') AS gram
+  FROM toks, unnest(generate_series(1, len(t) - {_SPAN_N - 1})) AS s(g)
+  WHERE len(t) >= {_SPAN_N}
+), counts AS (SELECT gram, count(*) AS cnt FROM grams GROUP BY gram),
+per_doc AS (
+  SELECT doc_id, count(*) AS n_grams,
+         count(*) FILTER (WHERE cnt > 1) AS dup_grams
+  FROM grams JOIN counts USING (gram) GROUP BY doc_id)
+SELECT d.doc_id, coalesce(p.n_grams, 0) AS n_grams,
+       coalesce(p.dup_grams, 0) AS dup_grams,
+       CASE WHEN p.n_grams IS NULL THEN 0.0
+            ELSE floor(p.dup_grams / CAST(p.n_grams AS DOUBLE) * 1000000.0 + 0.5)
+                 / 1000000.0
+       END AS dup_fraction
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
 QUERIES = {
     "exact_dedup_groups": exact_dedup_groups,
+    "duplicated_ngram_coverage": duplicated_ngram_coverage,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "minhash_band_buckets": minhash_band_buckets,
     "semantic_dedup_pairs": semantic_dedup_pairs,
@@ -1071,6 +1159,7 @@ QUERIES = {
 
 ORACLE = {
     "exact_dedup_groups": _EXACT_DEDUP_SQL,
+    "duplicated_ngram_coverage": _SPAN_COVERAGE_SQL,
     "ngram_jaccard_pairs": _JACCARD_SQL,
     "minhash_band_buckets": _minhash_sql(),
     "semantic_dedup_pairs": _semantic_dedup_sql(),

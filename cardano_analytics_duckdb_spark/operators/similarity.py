@@ -929,8 +929,196 @@ FROM a{final} GROUP BY cluster ORDER BY cluster
     )
 
 
+# -- int8 scalar quantization (SQ8): the memory-compression scale path --------
+# The third axis of the ANN family: IVF prunes candidates, LSH buckets
+# them, SQ8 shrinks the VECTORS — 4x less memory traffic per scanned
+# candidate (64 int8 codes vs 64 float32), which at 100 TB of embeddings
+# is the difference between an in-memory scan and a spilling one.
+#
+# Pipeline: one stats pass derives per-dimension (min, max) over the
+# corpus (posexplode -> 64-row hash agg -> single-row array frame,
+# broadcast); encoding each vector to its code — and reconstructing the
+# dequantized `xhat` — is a narrow JVM-side `transform`, no shuffle.
+# Search is ADC (asymmetric distance computation): the query stays full
+# precision, corpus vectors are dequantized codes.  In production the
+# stats row and the int8 codes are computed once at ingest and stored
+# (codes as `array<tinyint>`); here the whole pipeline runs inline so the
+# oracle can replay it exactly.
+#
+# Determinism: quantization is pure IEEE double arithmetic with the same
+# op order on both engines (floor(x*255+0.5) clamp, never engine round()),
+# so codes — and therefore xhat — are bit-identical by construction.
+
+
+def _sq8_stats(emb: DataFrame) -> DataFrame:
+    """Single-row frame (mns, mxs): per-dimension min/max as dim-ordered
+    DOUBLE arrays.  One narrow explode + a 64-group agg — at 100 TB this
+    is a one-off ingest-time pass, persisted next to the codes."""
+    per_dim = (
+        emb.select(F.posexplode("embedding").alias("dim", "x"))
+        .groupBy("dim")
+        .agg(
+            F.min(F.col("x").cast("double")).alias("mn"),
+            F.max(F.col("x").cast("double")).alias("mx"),
+        )
+    )
+    return per_dim.groupBy().agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(dim, mn))), s -> s.mn)"
+        ).alias("mns"),
+        F.expr(
+            "transform(array_sort(collect_list(struct(dim, mx))), s -> s.mx)"
+        ).alias("mxs"),
+    )
+
+
+# Dequantized reconstruction of the int8 code, elementwise over the (mns,
+# mxs) arrays from the broadcast stats row.  Spark lambda index i is
+# 0-based; element_at is 1-based — the DuckDB rendering uses the list's
+# native 1-based subscripts so both engines index the same dimension.
+# (Expression string, not a module-level Column: building a Column calls
+# into the JVM, and operator modules must import without a live session.)
+_SQ8_XHAT_EXPR = (
+    "transform(embedding, (x, i) ->"
+    " element_at(mns, i + 1) + least(255.0D, greatest(0.0D,"
+    "   floor(CASE WHEN element_at(mxs, i + 1) = element_at(mns, i + 1)"
+    "         THEN 0.0D"
+    "         ELSE (cast(x as double) - element_at(mns, i + 1))"
+    "              / (element_at(mxs, i + 1) - element_at(mns, i + 1)) * 255.0D"
+    "         END + 0.5D)))"
+    " * (element_at(mxs, i + 1) - element_at(mns, i + 1)) / 255.0D)"
+)
+
+
+def _sq8_xhat() -> Column:
+    return F.expr(_SQ8_XHAT_EXPR)
+
+_SQ8_SQL_COMMON = """
+WITH st AS (
+  SELECT list(mn ORDER BY dim) AS mns, list(mx ORDER BY dim) AS mxs FROM (
+    SELECT g AS dim, min(embedding[g]::DOUBLE) AS mn, max(embedding[g]::DOUBLE) AS mx
+    FROM embeddings, unnest(generate_series(1, 64)) AS s(g)
+    GROUP BY g)
+),
+qz AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         list_transform(generate_series(1, 64), g ->
+           mns[g] + least(255.0, greatest(0.0,
+             floor(CASE WHEN mxs[g] = mns[g] THEN 0.0
+                   ELSE (embedding[g]::DOUBLE - mns[g]) / (mxs[g] - mns[g]) * 255.0 END + 0.5)))
+           * (mxs[g] - mns[g]) / 255.0) AS xhat
+  FROM embeddings, st
+)
+"""
+
+
+def sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    stats = _sq8_stats(emb)
+    qz = (
+        emb.crossJoin(F.broadcast(stats))
+        .select("vec_id", "embedding", _sq8_xhat().alias("xhat"))
+    )
+    query = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+    sim = _dot("xhat", "q") / (_norm("xhat") * _norm("q"))
+    return (
+        qz.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(query))
+        .select("vec_id", rnd(sim, 4).alias("sq8_sim"))
+        .orderBy(F.col("sq8_sim").desc(), F.col("vec_id"))
+        .limit(10)
+    )
+
+
+_SQ8_TOPK_SQL = (
+    _SQ8_SQL_COMMON
+    + """, q AS (SELECT v AS qv FROM qz WHERE vec_id = 0)
+SELECT vec_id,
+       floor((list_cosine_similarity(xhat, qv)) * 10000.0 + 0.5) / 10000.0 AS sq8_sim
+FROM qz, q
+WHERE vec_id != 0
+ORDER BY sq8_sim DESC, vec_id
+LIMIT 10
+"""
+)
+
+
+def sq8_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@k of the SQ8 ranking vs the exact full-precision ranking over
+    a bounded eval set (same harness shape as :func:`ivf_recall_eval`) —
+    the measured answer to "what does 4x compression cost in quality"."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    stats = _sq8_stats(emb)
+    qz = (
+        emb.crossJoin(F.broadcast(stats))
+        .select("vec_id", "embedding", _sq8_xhat().alias("xhat"))
+    )
+    q = emb.filter(F.col("vec_id") < _EVAL_Q).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q")
+    )
+    exact = rnd(_dot("embedding", "q") / (_norm("embedding") * _norm("q")), 4)
+    approx = rnd(_dot("xhat", "q") / (_norm("xhat") * _norm("q")), 4)
+    pairs = qz.join(F.broadcast(q), F.col("vec_id") != F.col("q_id")).select(
+        "q_id", "vec_id", exact.alias("exact_sim"), approx.alias("sq8_sim")
+    )
+    w_exact = Window.partitionBy("q_id").orderBy(
+        F.col("exact_sim").desc(), F.col("vec_id")
+    )
+    w_sq8 = Window.partitionBy("q_id").orderBy(
+        F.col("sq8_sim").desc(), F.col("vec_id")
+    )
+    k = F.lit(_EVAL_K)
+    ranked = pairs.withColumn(
+        "exact_rank", F.row_number().over(w_exact)
+    ).withColumn("sq8_rank", F.row_number().over(w_sq8))
+    return (
+        ranked.groupBy("q_id")
+        .agg(
+            F.count(
+                F.when((F.col("exact_rank") <= k) & (F.col("sq8_rank") <= k), 1)
+            ).alias("n_hits")
+        )
+        .select(
+            "q_id",
+            "n_hits",
+            rnd(F.col("n_hits") / k.cast("double"), 4).alias("recall_at_10"),
+        )
+        .transform(small_sorted, "q_id")
+    )
+
+
+_SQ8_RECALL_SQL = (
+    _SQ8_SQL_COMMON
+    + f""", q AS (
+  SELECT vec_id AS q_id, v AS qv FROM qz WHERE vec_id < {_EVAL_Q}
+), p AS (
+  SELECT q.q_id, qz.vec_id,
+         floor((list_cosine_similarity(qz.v, q.qv)) * 10000.0 + 0.5) / 10000.0 AS exact_sim,
+         floor((list_cosine_similarity(qz.xhat, q.qv)) * 10000.0 + 0.5) / 10000.0 AS sq8_sim
+  FROM qz, q WHERE qz.vec_id != q.q_id
+), r AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY exact_sim DESC, vec_id) AS exact_rank,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY sq8_sim DESC, vec_id) AS sq8_rank
+  FROM p
+)
+SELECT q_id,
+       count(*) FILTER (WHERE exact_rank <= {_EVAL_K} AND sq8_rank <= {_EVAL_K}) AS n_hits,
+       floor((count(*) FILTER (WHERE exact_rank <= {_EVAL_K} AND sq8_rank <= {_EVAL_K})
+              / {float(_EVAL_K)}) * 10000.0 + 0.5) / 10000.0 AS recall_at_10
+FROM r
+GROUP BY q_id
+ORDER BY q_id
+"""
+)
+
+
 QUERIES = {
     "kmeans_cluster_profile": kmeans_cluster_profile,
+    "sq8_topk": sq8_topk,
+    "sq8_recall_eval": sq8_recall_eval,
     "cosine_topk": cosine_topk,
     "embedding_dim_stats": embedding_dim_stats,
     "embedding_norm_stats": embedding_norm_stats,
@@ -945,6 +1133,8 @@ QUERIES = {
 
 ORACLE = {
     "kmeans_cluster_profile": _kmeans_profile_sql(),
+    "sq8_topk": _SQ8_TOPK_SQL,
+    "sq8_recall_eval": _SQ8_RECALL_SQL,
     "ivf_recall_eval": _ivf_recall_sql(),
     "cosine_topk": _COSINE_TOPK_SQL,
     "embedding_dim_stats": _DIM_STATS_SQL,

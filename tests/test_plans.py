@@ -464,3 +464,29 @@ def test_minhash_candidates_reuse_signature_exchange(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", saved)
     assert "ReusedExchange" in plan
+
+
+def test_sq8_topk_plan_shape(spark, sf_dir):
+    """SQ8 ANN must stay JVM-side end-to-end: stats + dequantized scan are
+    codegen expressions, the 1-row stats/query frames broadcast, ranking is
+    a true top-k.  No Python batch operator, no shuffled join anywhere."""
+    from cardano_analytics_duckdb_spark.operators.similarity import sq8_topk
+
+    plan = _plan(sq8_topk(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row stats/query crosses
+
+
+def test_span_coverage_plan_has_mapside_partial_agg(spark, sf_dir):
+    """The gram-count aggregation must apply map-side partial aggregation
+    (the duplicate mass collapses before the shuffle) and carry no Python
+    operator — the shape that keeps span dedup linear at 100 TB."""
+    from cardano_analytics_duckdb_spark.operators.dedup import (
+        duplicated_ngram_coverage,
+    )
+
+    plan = _plan(duplicated_ngram_coverage(spark, sf_dir))
+    assert "partial_count" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

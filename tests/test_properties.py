@@ -452,3 +452,68 @@ def test_minhash_precollapse_bounds_band_buckets(spark):
         within.filter(F.col("n_bands") != len(_BANDS)).count() == 0
     )  # identical docs collide in every band
     assert pairs.filter(F.col("doc_a") >= 5000).count() == 0
+
+
+def test_sq8_quantization_error_within_half_step(spark, sf_dir):
+    """SQ8 invariant: for every in-range value, |x - dequant(quant(x))| <=
+    half the per-dimension quantization step ((mx-mn)/255/2).  Corpus
+    min/max define the range, so no value is out of range and the clamp
+    never widens the error.  Checked through the REAL plan expressions
+    (stats pass + transform), not a python re-implementation."""
+    import pyspark.sql.functions as F
+
+    from cardano_analytics_duckdb_spark.lake.tables import load_table
+    from cardano_analytics_duckdb_spark.operators.similarity import (
+        _sq8_stats,
+        _sq8_xhat,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qz = (
+        emb.crossJoin(F.broadcast(_sq8_stats(emb)))
+        .select("embedding", "mns", "mxs", _sq8_xhat().alias("xhat"))
+    )
+    worst = qz.select(
+        F.max(
+            F.expr(
+                "aggregate(transform(embedding, (x, i) ->"
+                " abs(cast(x as double) - element_at(xhat, i + 1))"
+                " - (element_at(mxs, i + 1) - element_at(mns, i + 1))"
+                "   / 255.0D / 2.0D),"
+                " cast(-1.0 as double), (acc, v) -> greatest(acc, v))"
+            )
+        )
+    ).first()[0]
+    assert worst <= 1e-9, f"quantization error exceeds half-step by {worst}"
+
+
+def test_span_coverage_on_crafted_corpus(spark, tmp_path):
+    """duplicated_ngram_coverage ground truth on a corpus built to hit
+    every branch: exact duplicates (coverage 1.0), a unique doc (0.0), and
+    a sub-8-token doc (no grams, still present with 0.0)."""
+    rows = [
+        (0, "a b c d e f g h i j"),
+        (1, "a b c d e f g h i j"),  # byte-identical: every gram duplicated
+        (2, "completely different tokens one two three four five six seven"),
+        (3, "tiny doc"),  # < 8 tokens: no grams
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, "en", "crafted", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+
+    from cardano_analytics_duckdb_spark.operators.dedup import (
+        duplicated_ngram_coverage,
+    )
+
+    res = {
+        r["doc_id"]: r
+        for r in duplicated_ngram_coverage(spark, str(tmp_path)).collect()
+    }
+    assert len(res) == 4
+    assert res[0]["n_grams"] == 3 and res[0]["dup_fraction"] == 1.0
+    assert res[1]["dup_grams"] == 3 and res[1]["dup_fraction"] == 1.0
+    assert res[2]["n_grams"] == 3 and res[2]["dup_grams"] == 0
+    assert res[2]["dup_fraction"] == 0.0
+    assert res[3]["n_grams"] == 0 and res[3]["dup_fraction"] == 0.0
