@@ -94,6 +94,25 @@ class LakeFs:
         if not self._fs.rename(tmp, dst):
             raise IOError(f"rename {tmp} -> {dst} failed")
 
+    def create_exclusive(self, path: str, text: str) -> bool:
+        """Create-if-absent: write ``text`` to ``path`` only if no file
+        exists there; return whether this caller won.  Atomic on HDFS and
+        local filesystems (``create(path, overwrite=false)`` — the loser
+        gets FileAlreadyExistsException); NOT atomic on S3A, where object
+        stores have no exclusive create — see ``lake/lock.py`` for what
+        that means for the maintenance lock."""
+        try:
+            out = self._fs.create(self._Path(path), False)
+        except Exception as e:  # lost the race: FileAlreadyExists only
+            if "AlreadyExists" in str(e):
+                return False
+            raise
+        try:
+            out.write(bytearray(text.encode("utf-8")))
+        finally:
+            out.close()
+        return True
+
     def read_text(self, path: str) -> str:
         stream = self._fs.open(self._Path(path))
         try:

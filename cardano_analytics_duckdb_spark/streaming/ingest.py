@@ -550,8 +550,20 @@ def rollback_lake(spark: SparkSession, root: str, to_slot: int) -> dict[str, int
     and-swap is NOT atomic for concurrent readers (a query racing the
     swap can see a missing partition) and assumes the single writer —
     run between committed ingest epochs with no readers on the touched
-    partitions.
+    partitions.  The single-WRITER half of that contract is enforced:
+    the job holds the lake's ``_maintenance.lock``
+    (``lake/lock.py``) for its duration, so a second maintenance job
+    fails fast instead of interleaving rewrites.
     """
+    from ..lake.lock import maintenance_lock
+
+    with maintenance_lock(spark, root, owner=f"rollback_lake(to_slot={to_slot})"):
+        return _rollback_lake_locked(spark, root, to_slot)
+
+
+def _rollback_lake_locked(
+    spark: SparkSession, root: str, to_slot: int
+) -> dict[str, int]:
     from ..lake.fsutil import LakeFs
 
     lfs = LakeFs(spark, root)
@@ -638,8 +650,18 @@ def compact_lake(
     for concurrent readers (on S3A rename is copy-and-delete; even on
     HDFS a reader can race the delete) — run with the ingestion stream
     stopped and no readers, the same single-writer window every
-    non-transactional parquet rewrite assumes.
+    non-transactional parquet rewrite assumes.  The single-WRITER half
+    is enforced via the lake's ``_maintenance.lock`` (``lake/lock.py``).
     """
+    from ..lake.lock import maintenance_lock
+
+    with maintenance_lock(spark, root, owner="compact_lake"):
+        _compact_lake_locked(spark, root, tables)
+
+
+def _compact_lake_locked(
+    spark: SparkSession, root: str, tables: Iterable[str]
+) -> None:
     from ..lake.fsutil import LakeFs
 
     lfs = LakeFs(spark, root)

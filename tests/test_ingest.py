@@ -370,3 +370,44 @@ def test_crash_during_snapshot_write_does_not_wedge_replay(spark, tmp_path):
 
     ingest_blocks_streaming(spark, str(src), dest)
     assert _canon_rows(spark.read.parquet(f"{dest}/tx")) == clean
+
+
+def test_maintenance_lock_excludes_second_writer(spark, tmp_path):
+    """The single-writer maintenance window is ENFORCED, not just
+    documented: while one job holds the lake's lock, compact_lake and
+    rollback_lake fail fast with the holder's identity; after release
+    they run normally.  A crashed holder's stale lock stays (deliberate
+    — a mid-rewrite death needs a human look) and the error names the
+    file to delete."""
+    import pytest
+
+    from cardano_analytics_duckdb_spark.lake.lock import (
+        LOCK_NAME,
+        maintenance_lock,
+    )
+
+    from cardano_analytics_duckdb_spark.streaming.ingest import rollback_lake
+
+    dest = str(tmp_path / "lake")
+    ingest_blocks(spark, fixture_blocks()[:3], dest, batch_size=3)
+
+    with maintenance_lock(spark, dest, owner="job-a"):
+        with pytest.raises(RuntimeError, match="job-a"):
+            compact_lake(spark, dest)
+        with pytest.raises(RuntimeError, match=LOCK_NAME):
+            rollback_lake(spark, dest, to_slot=10**9)
+        # re-entry from a second context is also excluded
+        with pytest.raises(RuntimeError, match="locked"):
+            with maintenance_lock(spark, dest, owner="job-b"):
+                pass
+
+    # released on exit: maintenance proceeds (and releases its own lock)
+    compact_lake(spark, dest)
+    compact_lake(spark, dest)
+
+    # exception inside the window still releases the lock
+    with pytest.raises(ValueError, match="boom"):
+        with maintenance_lock(spark, dest, owner="job-c"):
+            raise ValueError("boom")
+    with maintenance_lock(spark, dest, owner="job-d"):
+        pass
