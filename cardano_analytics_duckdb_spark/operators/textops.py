@@ -547,8 +547,66 @@ ORDER BY doc_id
 """
 
 
+# -- BPE merge-pair counting (tokenizer training, step 1) ---------------------
+# The inner loop of BPE training: score every adjacent symbol pair by its
+# frequency-weighted occurrence count and merge the argmax.  This operator
+# is that scoring pass over the initial character vocabulary — the
+# candidate list the first merge picks from (`vocab_top_tokens` is the
+# word-frequency precursor; this is the next artifact a tokenizer
+# pipeline needs).
+#
+# Scale shape: the corpus collapses to the DISTINCT-word frequency table
+# first (one Zipf-absorbing hash-agg — at 100 TB the vocabulary is
+# millions of rows, not trillions), and pair generation explodes the
+# VOCABULARY, never the corpus: cost is O(|vocab| x avg word length).
+# Later BPE iterations rewrite the symbol sequences of the vocab table
+# only — the same corpus-free iteration, one hash-agg per merge.
+
+
+def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    pairs = words.filter(F.length("word") >= 2).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(word) - 1),"
+                " i -> substring(word, i, 2))"
+            )
+        ).alias("pair"),
+        "freq",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").alias("score"))
+        .orderBy(F.col("score").desc(), "pair")
+        .limit(20)
+    )
+
+
+_BPE_MERGE_SQL = """
+WITH words AS (
+  SELECT t.word, count(*) AS freq
+  FROM documents, unnest(string_split(text, ' ')) AS t(word)
+  WHERE t.word != '' GROUP BY t.word
+), pairs AS (
+  SELECT substr(word, g, 2) AS pair, freq
+  FROM words, unnest(generate_series(1, length(word) - 1)) AS s(g)
+  WHERE length(word) >= 2
+)
+SELECT pair, CAST(sum(freq) AS BIGINT) AS score
+FROM pairs GROUP BY pair
+ORDER BY score DESC, pair LIMIT 20
+"""
+
+
 QUERIES = {
     "bigram_logprob_scores": bigram_logprob_scores,
+    "bpe_merge_candidates": bpe_merge_candidates,
     "doc_quality_scores": doc_quality_scores,
     "lang_id_scores": lang_id_scores,
     "lang_id_confusion": lang_id_confusion,
@@ -564,6 +622,7 @@ QUERIES = {
 
 ORACLE = {
     "bigram_logprob_scores": _BIGRAM_LM_SQL,
+    "bpe_merge_candidates": _BPE_MERGE_SQL,
     "doc_regex_features": _REGEX_FEATURES_SQL,
     "doc_quality_scores": _QUALITY_SQL,
     "lang_id_scores": _lang_id_sql(),
