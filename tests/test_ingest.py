@@ -291,13 +291,17 @@ def test_streaming_modules_use_no_driver_local_fs():
     (pure string manipulation)."""
     import inspect
 
-    from cardano_analytics_duckdb_spark.streaming import ingest, materialize
+    from cardano_analytics_duckdb_spark.streaming import (
+        dedup,
+        ingest,
+        materialize,
+    )
 
     banned = (
         "glob.glob", "shutil.", "os.listdir", "os.path.isdir",
         "os.path.exists", "os.remove", "os.rename", "os.makedirs",
     )
-    for mod in (ingest, materialize):
+    for mod in (ingest, materialize, dedup):
         src = inspect.getsource(mod)
         for needle in banned:
             assert needle not in src, f"{mod.__name__} uses {needle}"
