@@ -490,3 +490,40 @@ def test_span_coverage_plan_has_mapside_partial_agg(spark, sf_dir):
     plan = _plan(duplicated_ngram_coverage(spark, sf_dir))
     assert "partial_count" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_runtime_bloom_filter_injects_at_cluster_scan_sizes(spark, sf_dir):
+    """Spark's runtime bloom-filter join reduction (on by default in our
+    sessions) only arms when the application side scans >= 10 GB — so it
+    is invisible at test SFs but active exactly where it matters, a
+    selective filter against a 100 TB fact scan where even the FILTERED
+    side is past the broadcast threshold (a broadcast-able build side
+    rightly suppresses bloom — the broadcast join already prunes).  Pin
+    the behavior by dropping the two size gates that encode "cluster
+    scale": the fact side must gain a might_contain() filter fed by a
+    bloom_filter_agg over the filtered build side."""
+    import pyspark.sql.functions as F
+
+    overrides = {
+        # application side "scans >= 10 GB"
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        # build side "too big to broadcast, small enough for a bloom"
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in overrides}
+    for k, v in overrides.items():
+        spark.conf.set(k, v)
+    try:
+        o = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_totalprice") > 500_000
+        ).select("o_orderkey")
+        li = load_table(spark, sf_dir, "lineitem")
+        j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+            "l_orderkey", "l_quantity"
+        )
+        plan = _optimized(j)
+        assert "might_contain" in plan, plan
+        assert "bloom_filter_agg" in plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
