@@ -1,4 +1,5 @@
-"""Iterative graph analytics over the Cardano lake: address clustering.
+"""Iterative graph analytics over the Cardano lake: address clustering
+and transfer-graph PageRank.
 
 The reference declares ``networkx`` as a dependency but never imports it
 (SURVEY intro; /root/reference/pyproject.toml:10) — UTxO-flow graph analysis
@@ -7,8 +8,8 @@ heuristic (addresses whose UTxOs are consumed by the same transaction are
 assumed co-owned) resolved into connected components with distributed label
 propagation.
 
-This is the one genuinely *iterative* operator family in the engine.  Both
-queries nonetheless carry EXACT oracles (recursive-CTE label propagation in
+This is the one genuinely *iterative* operator family in the engine.  All
+three queries nonetheless carry EXACT oracles (recursive-CTE label propagation in
 DuckDB SQL, below) so the driver hash-matches values, and
 ``tests/test_graph.py`` additionally verifies the kernel against a
 union-find reference implementation.
@@ -242,9 +243,164 @@ def cardano_address_cluster_summary(
     )
 
 
+# -- PageRank over the transfer graph -----------------------------------------
+# The second half of the intended-but-unbuilt networkx capability (the
+# components above are the first): address importance via power iteration
+# over the value-transfer graph.  Directed weighted edges sender->receiver
+# per transaction (consumed-input address -> produced-output address,
+# self-transfers/change excluded), weight = number of transactions.
+#
+# Exactly the textbook damped PageRank with uniform dangling-mass
+# redistribution, made ENGINE-EXACT so the unrolled SQL oracle
+# hash-matches: per-edge contributions are quantized to integer
+# picounits (floor(x*1e12+0.5) as int64) before summation — integer
+# addition is associative, so the per-node sum is independent of
+# partitioning and engine — and each new rank is re-rounded onto the
+# 1e-12 grid.  Same discipline as cent_sum (functions/rounding.py) and
+# the kmeans oracle.  Quantized-sum domain: sum <= 1e12 x total rank
+# mass = 1e12 x N picounits; past N ~ 1e6 nodes raise the grid to 1e9
+# (the 2^63 headroom note in rounding.py applies unchanged).
+#
+# Scale shape: per iteration one join (ranks x out-edge shares, keyed by
+# sender) + one hash-agg (by receiver) + one broadcast of the 1-row
+# dangling aggregate — two shuffles, no driver state but the node count;
+# localCheckpoint flattens the plan each round (the standard Spark
+# iterative idiom, same as min_label_components above).
+
+_PR_D = 0.85
+_PR_ITERS = 10
+_PR_GRID = 1e12
+
+
+def transfer_edges(spark: SparkSession) -> DataFrame:
+    """(sender, receiver, w): distinct consumed-input address x distinct
+    produced-output address pairs per tx, counted over txs."""
+    tx = _lake(spark, "tx")
+    utxo = _lake(spark, "utxo")
+    consumed = (
+        tx.select("tx_id", F.explode("inputs").alias("r"))
+        .select(
+            "tx_id",
+            F.col("r.tx_id").alias("src_tx_id"),
+            F.col("r.output_index").alias("src_output_index"),
+        )
+        .join(
+            utxo.select(
+                F.col("tx_id").alias("src_tx_id"),
+                F.col("output_index").alias("src_output_index"),
+                "address",
+            ),
+            on=["src_tx_id", "src_output_index"],
+        )
+        .select("tx_id", F.col("address").alias("sender"))
+        .distinct()
+    )
+    produced = utxo.select("tx_id", F.col("address").alias("receiver")).distinct()
+    return (
+        consumed.join(produced, "tx_id")
+        .filter(F.col("sender") != F.col("receiver"))
+        .groupBy("sender", "receiver")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+
+
+def pagerank(
+    nodes: DataFrame,
+    edges: DataFrame,
+    d: float = _PR_D,
+    iters: int = _PR_ITERS,
+) -> DataFrame:
+    """(node, rank) after ``iters`` damped power iterations.
+
+    ``nodes``: column ``node``; ``edges``: ``src``/``dst``/``w`` (directed,
+    weighted).  Fixed iteration budget (not a convergence check) keeps the
+    computation a finite unrollable expression — the property the SQL
+    oracle needs; 10 damped rounds are inside 1e-6 of the fixpoint on
+    graphs with spectral gap >= 0.15, which d = 0.85 guarantees.
+    """
+    n = nodes.count()
+    grid = F.lit(_PR_GRID)
+    base = (1.0 - d) / n  # identical op order in the SQL rendering
+
+    shares = edges.join(
+        edges.groupBy("src").agg(F.sum("w").alias("ow")), "src"
+    ).select(
+        "src",
+        "dst",
+        (F.col("w").cast("double") / F.col("ow").cast("double")).alias("share"),
+    )
+    out_nodes = shares.select("src").distinct()
+
+    ranks = nodes.select(
+        "node",
+        (F.floor(F.lit(1.0 / n) * grid + F.lit(0.5)) / grid).alias("r"),
+    ).localCheckpoint()
+    for _ in range(iters):
+        contrib = (
+            shares.join(ranks, shares.src == ranks.node)
+            .select(
+                F.col("dst").alias("node"),
+                F.floor(F.col("r") * F.col("share") * grid + F.lit(0.5))
+                .cast("long")
+                .alias("qc"),
+            )
+            .groupBy("node")
+            .agg(F.sum("qc").alias("qsum"))
+        )
+        dangling = (
+            ranks.join(out_nodes, ranks.node == out_nodes.src, "left_anti")
+            .agg(
+                F.coalesce(
+                    F.sum(F.floor(F.col("r") * grid + F.lit(0.5)).cast("long")),
+                    F.lit(0).cast("long"),
+                ).alias("qd")
+            )
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    F.floor(
+                        (
+                            F.lit(base)
+                            + F.lit(d)
+                            * (
+                                F.coalesce(F.col("qsum"), F.lit(0).cast("long"))
+                                / grid
+                                + (F.col("qd") / grid) / F.lit(float(n))
+                            )
+                        )
+                        * grid
+                        + F.lit(0.5)
+                    )
+                    / grid
+                ).alias("r"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.withColumnRenamed("r", "pagerank")
+
+
+def cardano_address_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Address importance on the transfer graph: (address, rank), most
+    important first."""
+    nodes = _lake(spark, "utxo").select(F.col("address").alias("node")).distinct()
+    edges = transfer_edges(spark).withColumnsRenamed(
+        {"sender": "src", "receiver": "dst"}
+    )
+    return (
+        pagerank(nodes, edges)
+        .select(F.col("node").alias("address"), "pagerank")
+        .orderBy(F.col("pagerank").desc(), "address")
+    )
+
+
 QUERIES = {
     "cardano_address_clusters": cardano_address_clusters,
     "cardano_address_cluster_summary": cardano_address_cluster_summary,
+    "cardano_address_pagerank": cardano_address_pagerank,
 }
 
 
@@ -297,7 +453,62 @@ _ADDRESS_CLUSTER_SUMMARY_SQL = _ADDRESS_CLUSTERS_SQL.replace(
        array_to_string((list(node ORDER BY node))[1:5], '|') AS member_sample""",
 )
 
+# PageRank oracle: the SAME power iteration unrolled into chained CTEs.
+# Float discipline (why this hash-matches bit-for-bit): DuckDB decimal
+# literals are DECIMAL, not DOUBLE — every constant is ::DOUBLE-cast so
+# both engines run the identical IEEE op sequence; per-edge contributions
+# and the dangling mass are quantized to int64 picounits before summing
+# (associative, partitioning-independent), and each rank lands back on
+# the 1e-12 grid.
+def _pagerank_sql() -> str:
+    parts = [
+        f"""WITH consumed AS (
+  SELECT DISTINCT t.tx_id, u.address AS sender
+  FROM (SELECT tx.tx_id, unnest(tx.inputs) AS r FROM {_scan('tx')} tx) t
+  JOIN {_scan('utxo')} u
+    ON u.tx_id = t.r.tx_id AND u.output_index = t.r.output_index
+), produced AS (
+  SELECT DISTINCT tx_id, address AS receiver FROM {_scan('utxo')}
+), pairs AS MATERIALIZED (
+  SELECT sender, receiver, count(*) AS w
+  FROM consumed c JOIN produced p USING (tx_id)
+  WHERE sender <> receiver GROUP BY sender, receiver
+), outw AS (SELECT sender, CAST(sum(w) AS BIGINT) AS ow FROM pairs GROUP BY sender),
+shares AS MATERIALIZED (
+  SELECT sender, receiver, (w::DOUBLE / ow::DOUBLE) AS share
+  FROM pairs JOIN outw USING (sender)
+), nodes AS MATERIALIZED (SELECT DISTINCT address AS node FROM {_scan('utxo')}),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM nodes),
+r0 AS MATERIALIZED (
+  SELECT node, floor((1.0::DOUBLE / nd) * 1e12 + 0.5::DOUBLE) / 1e12 AS r
+  FROM nodes, nn)"""
+    ]
+    for t in range(1, _PR_ITERS + 1):
+        parts.append(f"""c{t} AS MATERIALIZED (
+  SELECT s.receiver AS node,
+         CAST(sum(CAST(floor((r.r * s.share) * 1e12 + 0.5::DOUBLE) AS BIGINT)) AS BIGINT) AS qsum
+  FROM shares s JOIN r{t - 1} r ON r.node = s.sender GROUP BY s.receiver)""")
+        parts.append(f"""d{t} AS MATERIALIZED (
+  SELECT COALESCE(CAST(sum(CAST(floor(r * 1e12 + 0.5::DOUBLE) AS BIGINT)) AS BIGINT), 0) AS qd
+  FROM r{t - 1} WHERE node NOT IN (SELECT sender FROM shares))""")
+        parts.append(f"""r{t} AS MATERIALIZED (
+  SELECT n.node,
+         floor((((1.0::DOUBLE - 0.85::DOUBLE) / nn.nd)
+                + 0.85::DOUBLE * ((COALESCE(c.qsum, 0)::DOUBLE / 1e12)
+                                  + ((d.qd::DOUBLE / 1e12) / nn.nd))) * 1e12
+               + 0.5::DOUBLE) / 1e12 AS r
+  FROM nodes n LEFT JOIN c{t} c USING (node), d{t} d, nn)""")
+    return (
+        ",\n".join(parts)
+        + f"""
+SELECT node AS address, r AS pagerank FROM r{_PR_ITERS}
+ORDER BY pagerank DESC, address
+"""
+    )
+
+
 ORACLE: dict[str, str] = {
     "cardano_address_clusters": _ADDRESS_CLUSTERS_SQL,
     "cardano_address_cluster_summary": _ADDRESS_CLUSTER_SUMMARY_SQL,
+    "cardano_address_pagerank": _pagerank_sql(),
 }

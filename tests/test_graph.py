@@ -122,3 +122,40 @@ def test_component_summary_bounds_cell_width_on_giant_component(spark):
     r = rows[0]
     assert r.component == 0 and r.n_members == n
     assert r.member_sample == "|".join(str(i) for i in range(10))
+
+
+def test_pagerank_mass_conservation_and_order(spark):
+    """Damped PageRank invariants through the real operator: ranks are
+    positive, total mass stays 1 (up to N x the 1e-12 quantization grid),
+    and the heaviest-in-degree hub outranks leaf nodes on a crafted star
+    graph with a dangling sink."""
+    import pyspark.sql.functions as F
+
+    from cardano_analytics_duckdb_spark.operators.graph import pagerank
+
+    nodes = spark.createDataFrame(
+        [(n,) for n in ["hub", "l1", "l2", "l3", "sink"]], "node string"
+    )
+    # l1,l2,l3 -> hub; hub -> sink; sink dangles
+    edges = spark.createDataFrame(
+        [("l1", "hub", 1), ("l2", "hub", 1), ("l3", "hub", 1),
+         ("hub", "sink", 1)],
+        "src string, dst string, w long",
+    )
+    got = {r["node"]: r["pagerank"] for r in pagerank(nodes, edges).collect()}
+    assert all(v > 0 for v in got.values())
+    assert abs(sum(got.values()) - 1.0) < 5 * 1e-12 * len(got)
+    assert got["hub"] > got["l1"] == got["l2"] == got["l3"]
+    assert got["sink"] > got["l1"]  # fed by the hub
+
+
+def test_transfer_graph_pagerank_mass(spark):
+    """Mass conservation on the fixture transfer graph (the oracle pins
+    exact values; this pins the invariant the algorithm must keep)."""
+    from cardano_analytics_duckdb_spark.operators.graph import (
+        cardano_address_pagerank,
+    )
+
+    rows = cardano_address_pagerank(spark, "").collect()
+    total = sum(r["pagerank"] for r in rows)
+    assert abs(total - 1.0) < 5 * 1e-12 * len(rows)
