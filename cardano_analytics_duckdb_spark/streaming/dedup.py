@@ -119,3 +119,114 @@ def dedup_stream(
 def read_deduped(spark: SparkSession, dest: str) -> DataFrame:
     """The deduplicated corpus without the bookkeeping columns."""
     return spark.read.parquet(os.path.join(dest, "data")).drop("_fp", "epoch")
+
+
+# -- near-duplicate suppression at ingest -------------------------------------
+# The exact-fingerprint stream above only stops byte-identical copies; web
+# corpora mostly re-deliver NEAR-duplicates (boilerplate edits, tracking
+# params, re-crawls).  This operator suppresses those at ingest with the
+# SAME MinHash banding the batch dedup family uses (operators/dedup.py):
+# a document is suppressed when any of its band buckets was already
+# claimed by an earlier SURVIVOR — in this batch (smaller doc_id) or in a
+# committed earlier epoch.
+#
+# Semantics (deterministic and parallel, documented over-suppression):
+# per bucket the in-batch winner is the minimum doc_id; a doc survives
+# iff it wins every bucket it occupies and none of its buckets carries a
+# prior-epoch claim.  A doc can be suppressed by a doc that was itself
+# suppressed (chain) — conservative, recall-oriented curation: the
+# smallest doc of every near-dup cluster always survives, and suppressed
+# docs claim nothing, so their unseen buckets stay open for future docs.
+# Shingle-less docs (< 3 tokens) carry no bands and pass through.
+#
+# Exactly-once: the same epoch-partition argument as dedup_stream — both
+# data/ and the claimed-bucket table bands/ are epoch-partitioned dynamic
+# overwrites, survivors are a pure function of (batch, committed epochs
+# < N), so a replay rewrites identical rows.  At 100 TB the prior-claims
+# side is a two-narrow-column scan joined by (band, band_key) — the same
+# bounded-bucket shape as the batch path, with a Bloom prefilter as the
+# production upgrade.
+
+
+def near_dup_suppress_stream(
+    spark: SparkSession,
+    src_glob: str,
+    dest: str,
+    *,
+    schema: T.StructType = DOCUMENTS_SCHEMA,
+    id_col: str = "doc_id",
+) -> str:
+    """Drain unseen files under ``src_glob``, appending only documents
+    that are not MinHash-band near-duplicates of earlier survivors;
+    returns the data path.  Read back with :func:`read_survivors`."""
+    from ..operators.dedup import _minhash_bands
+
+    data = os.path.join(dest, "data")
+    bands_tbl = os.path.join(dest, "bands")
+    lfs = LakeFs(spark, dest)
+    stream = spark.readStream.schema(schema).parquet(src_glob)
+
+    def write_epoch(batch_df: DataFrame, epoch_id: int) -> None:
+        batch = batch_df
+        bands = _minhash_bands(
+            batch.select(F.col(id_col).alias("doc_id"), "text")
+        ).withColumnRenamed("doc_id", "_bid")
+        suppressed_prior = (
+            bands.join(
+                spark.read.parquet(bands_tbl).filter(
+                    F.col("epoch") < epoch_id
+                ),
+                ["band", "band_key"],
+            ).select("_bid")
+            if any(d.startswith("epoch=") for d in lfs.list_dirs(bands_tbl))
+            else bands.select("_bid").limit(0)
+        )
+        bucket_min = bands.groupBy("band", "band_key").agg(
+            F.min("_bid").alias("_w")
+        )
+        suppressed_batch = (
+            bands.join(bucket_min, ["band", "band_key"])
+            .filter(F.col("_bid") > F.col("_w"))
+            .select("_bid")
+        )
+        suppressed = suppressed_prior.union(suppressed_batch).distinct()
+        survivors = batch.join(
+            suppressed, batch[id_col] == suppressed["_bid"], "left_anti"
+        )
+        (
+            survivors.withColumn("epoch", F.lit(epoch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch")
+            .parquet(data)
+        )
+        (
+            bands.join(
+                survivors.select(F.col(id_col).alias("_bid")), "_bid"
+            )
+            .select("band", "band_key")
+            .withColumn("epoch", F.lit(epoch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch")
+            .parquet(bands_tbl)
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(write_epoch)
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation", os.path.join(dest, "_checkpoint_near_dup")
+        )
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return data
+
+
+def read_survivors(spark: SparkSession, dest: str) -> DataFrame:
+    """The near-dup-suppressed corpus without the bookkeeping column."""
+    return spark.read.parquet(os.path.join(dest, "data")).drop("epoch")
