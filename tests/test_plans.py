@@ -527,3 +527,69 @@ def test_runtime_bloom_filter_injects_at_cluster_scan_sizes(spark, sf_dir):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_dynamic_partition_pruning_on_slot_partitioned_lake(spark):
+    """DPP: joining the slot_group-partitioned lake against a filtered
+    dimension must prune tx partitions with a runtime subquery filter —
+    the partition-count lever that makes dimension-filtered fact scans
+    sublinear at 100 TB.  (reuseBroadcastOnly is on by default, so the
+    pruning subquery rides the join's own broadcast — no double scan.)"""
+    import pyspark.sql.functions as F
+
+    root = ensure_fixture_lake(spark)
+    tx = spark.read.parquet(f"{root}/tx")
+    dim = spark.range(0, 10).select(
+        (F.col("id") * 100).alias("slot_group"),
+        (F.col("id") % 2 == 0).alias("keep"),
+    )
+    j = tx.join(dim.filter("keep"), "slot_group").select("tx_id")
+    plan = _plan(j)
+    pf = plan.split("PartitionFilters:")[1].split("]")[0]
+    assert "dynamicpruning" in pf
+    assert "SubqueryAdaptiveBroadcast" in plan or "SubqueryBroadcast" in plan
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """The production session keeps AQE on for exactly this: a hot join
+    key that would pin one reducer at 100 TB gets split into advisory-
+    sized sub-partitions at runtime.  Pinned with shrunk detection
+    thresholds (the skew is structurally identical to a production one,
+    just KB-sized); the final adaptive plan must mark the join skew=true
+    with a skewed AQEShuffleRead.  The plan is read from the SAME
+    QueryExecution that ran (a .write would execute a fresh copy and
+    leave this one unexecuted)."""
+    import pyspark.sql.functions as F
+
+    overrides = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    saved = {k: spark.conf.get(k) for k in overrides}
+    for k, v in overrides.items():
+        spark.conf.set(k, v)
+    try:
+        left = (
+            spark.range(0, 500_000)
+            .select(F.lit(7).alias("k"), F.col("id").alias("v"))
+            .union(
+                spark.range(0, 100).select(
+                    (F.col("id") % 10).alias("k"), F.col("id").alias("v")
+                )
+            )
+        )
+        right = spark.range(0, 10).select(
+            F.col("id").alias("k"), F.lit("x").alias("tag")
+        )
+        j = left.join(right, "k").select("v", "tag")
+        j._jdf.queryExecution().toRdd().count()  # execute THIS plan, JVM-side
+        plan = _plan(j)
+        assert "skew=true" in plan, plan
+        assert "AQEShuffleRead skewed" in plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
