@@ -18,10 +18,12 @@ the job-level parquet commit is atomic (Spark's default committer) and the
 checkpoint and table live and die together (both under ``dest`` — deleting
 one without the other resets epoch numbering and breaks the marker).
 
-Aggregate contract: every expression in ``agg_exprs`` must be mergeable by
-SUM over partial results (count/sum are; avg decomposes into a sum+count
-pair; min/max would need a different combine and are intentionally not
-supported by this primitive).
+Aggregate contract: every expression in ``agg_exprs`` must be mergeable
+over partial results by the ``combine`` re-aggregation (default SUM —
+count/sum qualify, avg decomposes into a sum+count pair; pass e.g.
+``F.max`` for high-water marks or ``hll_union_agg`` for mergeable
+DataSketches HLL state, the pattern every cluster-scale approx-distinct
+rollup uses).
 
 Scale posture: the per-epoch work is (delta hash-agg) + (read ONLY the
 touched buckets) + (bucket-scoped rewrite) — cost ∝ delta size and bucket
@@ -66,14 +68,24 @@ def materialize_aggregate(
     agg_exprs: Callable[[], dict[str, Column]],
     bucket_expr: Callable[[], Column] | None = None,
     n_buckets: int = 16,
+    combine: Callable[[str], Column] | None = None,
 ) -> str:
     """Fold every unseen file under ``src_glob`` into the per-key aggregate
     table ``dest/table_name``; returns the table path.
 
-    ``agg_exprs`` builds ``{out_col: aggregate Column}`` (sum-mergeable —
-    see module docstring); ``bucket_expr`` builds the int bucket column
-    from the key columns (default: ``pmod(xxhash64(*key_cols), n_buckets)``).
-    Both are thunks so one definition can serve many streams.
+    ``agg_exprs`` builds ``{out_col: aggregate Column}`` (mergeable by
+    ``combine`` — see module docstring); ``bucket_expr`` builds the int
+    bucket column from the key columns (default:
+    ``pmod(xxhash64(*key_cols), n_buckets)``).  Both are thunks so one
+    definition can serve many streams.
+
+    ``combine(col_name)`` re-aggregates a partial-result column when a
+    delta folds into stored bucket state (default ``F.sum`` — right for
+    count/sum and decomposed avg).  Any associative, commutative,
+    duplicate-state-free merge works: ``hll_union_agg`` for DataSketches
+    HLL columns (see :func:`materialize_distinct_approx`), ``F.max``/
+    ``F.min`` for high-water marks.  NOT ``F.avg`` or anything weighted —
+    partials must carry their own weights.
     """
     table = os.path.join(dest, table_name)
     lfs = LakeFs(spark, dest)
@@ -143,11 +155,12 @@ def materialize_aggregate(
             prev = prev.filter(F.col("bucket").isin(fresh))
             # prev covers EVERY key of the fresh buckets, so the additive
             # combine is a complete replacement for exactly those buckets
+            merge = combine if combine is not None else F.sum
             combined = (
                 prev.drop("_applied_epoch")
                 .unionByName(delta)
                 .groupBy(*key_cols, "bucket")
-                .agg(*[F.sum(c).alias(c) for c in agg_cols])
+                .agg(*[merge(c).alias(c) for c in agg_cols])
             )
         else:
             combined = delta
@@ -229,4 +242,56 @@ def materialize_fees_by_slot_group(
         },
         bucket_expr=lambda: F.pmod(F.col("slot_group"), F.lit(n_buckets)),
         n_buckets=n_buckets,
+    )
+
+
+def materialize_distinct_approx(
+    spark: SparkSession,
+    src_dir: str,
+    dest: str,
+    *,
+    table_name: str = "distinct_users_by_type",
+    key_cols: list[str] | None = None,
+    distinct_col: str = "user_id",
+    n_buckets: int = 16,
+) -> str:
+    """Incrementally-maintained approximate-distinct table: per key, a
+    DataSketches HLL sketch of ``distinct_col``, kept current by folding
+    each epoch's delta sketch into stored state with ``hll_union_agg``.
+
+    This is the rollup COUNT DISTINCT cannot give you at 100 TB: exact
+    distinct state is unbounded and non-mergeable across partial results,
+    while HLL sketches are fixed-size (~1.5 KB at lgK=12), associative,
+    commutative, and duplicate-insensitive — re-observing the same user in
+    ten epochs cannot inflate the union, which is what makes the fold
+    idempotent-per-element on top of the epoch replay guard.  Read
+    estimates back with :func:`read_distinct_estimates`.
+    """
+    keys = key_cols if key_cols is not None else ["event_type"]
+    return materialize_aggregate(
+        spark,
+        src_dir,
+        dest,
+        table_name=table_name,
+        schema=EVENTS_SCHEMA,
+        key_cols=keys,
+        agg_exprs=lambda: {
+            "users_hll": F.hll_sketch_agg(F.col(distinct_col)),
+            "n_rows": F.count(F.lit(1)),
+        },
+        combine=lambda c: (
+            F.hll_union_agg(F.col(c)) if c == "users_hll" else F.sum(F.col(c))
+        ),
+        n_buckets=n_buckets,
+    )
+
+
+def read_distinct_estimates(
+    spark: SparkSession, dest: str, table_name: str = "distinct_users_by_type"
+) -> DataFrame:
+    """(keys..., n_rows, approx_distinct) from a maintained sketch table."""
+    tbl = spark.read.parquet(os.path.join(dest, table_name))
+    return tbl.select(
+        *[c for c in tbl.columns if c not in ("users_hll", "bucket", "_applied_epoch")],
+        F.hll_sketch_estimate(F.col("users_hll")).alias("approx_distinct"),
     )

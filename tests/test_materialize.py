@@ -330,3 +330,47 @@ def test_generalized_aggregate_with_composite_key(spark, split_events, tmp_path)
     for k, (n, v) in expect.items():
         assert got[k][0] == n
         assert got[k][1] == pytest.approx(v, rel=1e-9)
+
+
+def test_materialized_hll_distinct_equals_batch_sketch(spark, split_events, tmp_path):
+    """Union-mergeable sketch state through the generalized combine:
+    the maintained HLL table after two incremental folds must give the
+    SAME estimates as one batch sketch over all data (DataSketches HLL
+    union is associative and duplicate-insensitive, so fold order cannot
+    change the state), and land within 5% of the exact distinct count."""
+    import pyspark.sql.functions as F
+
+    from cardano_analytics_duckdb_spark.streaming.materialize import (
+        materialize_distinct_approx,
+        read_distinct_estimates,
+    )
+
+    events, src, second = split_events
+    dest = str(tmp_path / "mv_hll")
+    materialize_distinct_approx(spark, f"{src}/*", dest, n_buckets=4)
+    second.coalesce(1).write.parquet(str(src / "f1"))  # second wave arrives
+    materialize_distinct_approx(spark, f"{src}/*", dest, n_buckets=4)
+
+    got = {
+        r["event_type"]: (r["n_rows"], r["approx_distinct"])
+        for r in read_distinct_estimates(spark, dest).collect()
+    }
+    expect = {
+        r["event_type"]: (r["n"], r["est"], r["exact"])
+        for r in spark.read.parquet(f"{src}/*")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.hll_sketch_estimate(
+                F.hll_sketch_agg(F.col("user_id"))
+            ).alias("est"),
+            F.count_distinct(F.col("user_id")).alias("exact"),
+        )
+        .collect()
+    }
+    assert set(got) == set(expect)
+    for et, (n_rows, approx) in got.items():
+        n, est, exact = expect[et]
+        assert n_rows == n
+        assert approx == est  # sketch-exact: fold order cannot matter
+        assert abs(approx - exact) <= max(1, 0.05 * exact)
