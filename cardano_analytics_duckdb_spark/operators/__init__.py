@@ -52,6 +52,7 @@ _WINDOW = (
     "duplicated_ngram_coverage",
     "bpe_merge_candidates",
     "cardano_address_pagerank",
+    "doc_chunks",
     # last driver row r1
     "part_name_tokens",
     "repeat_buyer_custkeys",
@@ -78,7 +79,6 @@ _WINDOW = (
     "approx_user_stats",
     "benchmark_contamination",
     "curated_corpus_sample",
-    "events_asof_purchase",
     "knn_join_topk",
     # r5-checked but explicitly named by the r6 verdict (helpers evolved)
     "lsh_multiband_near_dup_pairs",
@@ -90,8 +90,9 @@ _WINDOW = (
 # user_running_value, user_conversion_funnel, user_event_gaps,
 # weekly_cohort_retention, status_price_range_frame, top_revenue_suppliers,
 # order_status_unpivot, price_decile_stats, revenue_grouping_sets,
-# events_within_minute_pairs, events_sliding_10min (r4 — displaced
-# mid-r7 by the new sq8 / span-dedup / bpe-merge / pagerank queries) and
+# events_within_minute_pairs, events_sliding_10min, events_asof_purchase
+# (r4 — displaced mid-r7 by the new sq8 / span-dedup / bpe-merge /
+# pagerank / doc-chunking queries) and
 # the r5 block.  All stay pytest-oracle-green every round.
 
 

@@ -604,9 +604,55 @@ ORDER BY score DESC, pair LIMIT 20
 """
 
 
+# -- document chunking (RAG / context-window preparation) ---------------------
+# The op every retrieval or long-context pipeline runs between curation
+# and embedding: split each document into fixed-size chunks with overlap
+# so no retrieval boundary loses context.  Char-based here (deterministic
+# and tokenizer-free); production swaps the stride for a token-aware one
+# from the same BPE regex `bpe_token_counts` uses.  One narrow
+# sequence+transform+explode per doc — linear, no shuffle before the
+# output sort.
+
+_CHUNK_SIZE = 200
+_CHUNK_STRIDE = 150  # 50-char overlap
+
+
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = F.expr(
+        f"transform(sequence(1, greatest(length(text), 1), {_CHUNK_STRIDE}),"
+        f" s -> struct(s AS start, substring(text, s, {_CHUNK_SIZE}) AS chunk))"
+    )
+    return (
+        docs.select("doc_id", F.posexplode(chunks).alias("chunk_idx", "c"))
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.col("c.start").alias("chunk_start"),
+            F.length("c.chunk").alias("chunk_len"),
+            F.col("c.chunk").alias("chunk_text"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+_DOC_CHUNKS_SQL = f"""
+SELECT doc_id,
+       CAST(g.i - 1 AS INTEGER) AS chunk_idx,
+       1 + (g.i - 1) * {_CHUNK_STRIDE} AS chunk_start,
+       length(substr(text, 1 + (g.i - 1) * {_CHUNK_STRIDE}, {_CHUNK_SIZE})) AS chunk_len,
+       substr(text, 1 + (g.i - 1) * {_CHUNK_STRIDE}, {_CHUNK_SIZE}) AS chunk_text
+FROM documents,
+     unnest(generate_series(1,
+       1 + (greatest(length(text), 1) - 1) // {_CHUNK_STRIDE})) AS g(i)
+ORDER BY doc_id, chunk_idx
+"""
+
+
 QUERIES = {
     "bigram_logprob_scores": bigram_logprob_scores,
     "bpe_merge_candidates": bpe_merge_candidates,
+    "doc_chunks": doc_chunks,
     "doc_quality_scores": doc_quality_scores,
     "lang_id_scores": lang_id_scores,
     "lang_id_confusion": lang_id_confusion,
@@ -623,6 +669,7 @@ QUERIES = {
 ORACLE = {
     "bigram_logprob_scores": _BIGRAM_LM_SQL,
     "bpe_merge_candidates": _BPE_MERGE_SQL,
+    "doc_chunks": _DOC_CHUNKS_SQL,
     "doc_regex_features": _REGEX_FEATURES_SQL,
     "doc_quality_scores": _QUALITY_SQL,
     "lang_id_scores": _lang_id_sql(),
