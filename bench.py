@@ -131,8 +131,8 @@ def main() -> None:
 
     # Companion pass under PRODUCTION session defaults (AQE on — the one
     # conf plans/session.py ships differently from this bench posture),
-    # one run per query: keeps the cost of the bench-only conf visible in
-    # every BENCH_r*.json instead of silently drifting.  SQL confs are
+    # warmup + median-of-3 per query: keeps the cost of the bench-only
+    # conf visible in every BENCH_r*.json instead of silently drifting.  SQL confs are
     # runtime-settable, so toggle-run-restore on the same session.
     # Why the drift is justified: SCALE_PROBE.json (scale_probe.py) shows
     # the AQE penalty shrinking from ~2.4x here to 1.10x at 10x the data,
@@ -178,7 +178,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf),
-        # single-pass total under production session defaults (see above)
+        # warmup + per-query median-of-3 under production session defaults
         "production_conf_value": round(prod_total, 3),
     }
     if duckdb_value is not None:

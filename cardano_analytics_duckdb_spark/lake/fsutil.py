@@ -15,6 +15,8 @@ moves through Spark jobs.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import SparkSession
 
 
@@ -96,11 +98,26 @@ class LakeFs:
 
     def create_exclusive(self, path: str, text: str) -> bool:
         """Create-if-absent: write ``text`` to ``path`` only if no file
-        exists there; return whether this caller won.  Atomic on HDFS and
-        local filesystems (``create(path, overwrite=false)`` — the loser
-        gets FileAlreadyExistsException); NOT atomic on S3A, where object
-        stores have no exclusive create — see ``lake/lock.py`` for what
-        that means for the maintenance lock."""
+        exists there; return whether this caller won.
+
+        Atomicity by scheme: local paths use the kernel's O_CREAT|O_EXCL
+        (truly atomic — Hadoop's RawLocalFileSystem ``create(...,
+        overwrite=false)`` is an exists-then-create TOCTOU and would let
+        two racing processes both win); HDFS uses the namenode's atomic
+        exclusive create; S3A has no exclusive create at all — see
+        ``lake/lock.py`` for what that means for the maintenance lock."""
+        scheme = self._Path(path).toUri().getScheme()
+        if scheme in (None, "file"):
+            local = self._Path(path).toUri().getPath()
+            try:
+                fd = os.open(local, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except FileExistsError:
+                return False
+            try:
+                os.write(fd, text.encode("utf-8"))
+            finally:
+                os.close(fd)
+            return True
         try:
             out = self._fs.create(self._Path(path), False)
         except Exception as e:  # lost the race: FileAlreadyExists only

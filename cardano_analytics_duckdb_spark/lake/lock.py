@@ -17,12 +17,15 @@ acquire; the lock is still worth holding there (it stops every non-racing
 overlap, which is the realistic failure) but the hard guarantee needs an
 external coordinator — documented, not pretended.
 
-Crash behavior: a killed process leaves the lock file behind and every
-later acquisition fails with the recorded owner and timestamp.  This is
-deliberate — a maintenance job dying MID-REWRITE leaves the lake in a
-state that needs a human look before the next rewrite (e.g. a
-``__compacting`` tmp dir), so auto-expiring the lock would be exactly
-wrong.  Break a confirmed-stale lock by deleting ``<root>/_maintenance.lock``.
+Crash behavior: a job that dies mid-rewrite — killed OR by exception —
+leaves the lock file behind, and every later acquisition fails with the
+recorded owner and timestamp.  This is deliberate: a failed rewrite
+leaves the lake in a state that needs a human look before the next
+rewrite (e.g. a ``__compacting`` tmp dir after a failed swap), so
+releasing on exception would hand the next cron run a half-rewritten
+table it would then silently "fix" (an absent table dir reads as
+nothing-to-compact).  The lock is released only when the job completes.
+Break a confirmed-stale lock by deleting ``<root>/_maintenance.lock``.
 """
 
 from __future__ import annotations
@@ -45,9 +48,14 @@ def _lock_path(root: str) -> str:
 
 @contextmanager
 def maintenance_lock(spark: SparkSession, root: str, owner: str = "maintenance"):
-    """Hold the lake's exclusive maintenance lock for the duration of the
-    ``with`` block.  Raises ``RuntimeError`` (with the holder's recorded
-    identity) if another job holds it."""
+    """Hold the lake's exclusive maintenance lock while the ``with`` block
+    COMPLETES; raises ``RuntimeError`` (with the holder's recorded
+    identity) if another job holds it.
+
+    Released only on normal exit — a body that raises leaves the lock in
+    place (see module docstring: a failed rewrite needs inspection, not a
+    fresh writer), with the original exception propagating unchanged.
+    """
     lfs = LakeFs(spark, root)
     lfs.mkdirs(root)
     path = _lock_path(root)
@@ -65,7 +73,5 @@ def maintenance_lock(spark: SparkSession, root: str, owner: str = "maintenance")
             f"(e.g. '__compacting'/'__rollback' tmp dirs), then delete "
             f"{path} to break the lock."
         )
-    try:
-        yield
-    finally:
-        lfs.delete(path)
+    yield
+    lfs.delete(path)

@@ -22,8 +22,9 @@ from pyspark.sql import DataFrame, SparkSession
 # this round; fill the rest strictly oldest-first by last driver-green
 # round, computed from CORRECTNESS_r1..r6).  Every r5/r6 green query whose
 # code is untouched rotates out; the pytest oracle suite still covers
-# every query regardless of position.  After r7 every registered query has
-# had a driver row in some round (121/121 ever-driver-green).
+# every query regardless of position.  After r7 every one of the 121
+# queries registered before this round has a driver row in some round;
+# the 6 added mid-r7 are in this window for their first row.
 _WINDOW = (
     # reference parity (pinned every round)
     "cardano_high_fee_txs",

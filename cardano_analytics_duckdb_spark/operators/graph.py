@@ -318,7 +318,16 @@ def pagerank(
     oracle needs; 10 damped rounds are inside 1e-6 of the fixpoint on
     graphs with spectral gap >= 0.15, which d = 0.85 guarantees.
     """
+    # Iteration inputs are CACHED (same idiom as min_label_components):
+    # without this, every one of the `iters` rounds re-derives the whole
+    # edge subtree — explode/join/distinct/groupBy — TWICE (contrib join +
+    # dangling anti-join) instead of reading a materialized edge list.
+    nodes = nodes.cache()
     n = nodes.count()
+    if n == 0:
+        # empty graph: every other registered query returns an empty frame
+        # on empty input; dividing by n here would raise instead
+        return nodes.select("node", F.lit(0.0).alias("pagerank"))
     grid = F.lit(_PR_GRID)
     base = (1.0 - d) / n  # identical op order in the SQL rendering
 
@@ -328,8 +337,8 @@ def pagerank(
         "src",
         "dst",
         (F.col("w").cast("double") / F.col("ow").cast("double")).alias("share"),
-    )
-    out_nodes = shares.select("src").distinct()
+    ).cache()
+    out_nodes = shares.select("src").distinct().cache()
 
     ranks = nodes.select(
         "node",
@@ -380,6 +389,9 @@ def pagerank(
             )
             .localCheckpoint()
         )
+    # ranks is localCheckpointed, so dropping the iteration inputs is safe
+    for frame in (shares, out_nodes, nodes):
+        frame.unpersist()
     return ranks.withColumnRenamed("r", "pagerank")
 
 

@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..lake.fsutil import LakeFs
+from .runner import has_epoch_partitions, run_available_now
 
 DOCUMENTS_SCHEMA = T.StructType(
     [
@@ -83,9 +84,7 @@ def dedup_stream(
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
-        # Merge probe through the Hadoop FS, NOT local glob (same
-        # cluster-portability rule as materialize_aggregate's bucket probe)
-        if any(d.startswith("epoch=") for d in lfs.list_dirs(data)):
+        if has_epoch_partitions(lfs, data):
             seen = (
                 spark.read.parquet(data)
                 # epoch N's own partial rows from a crashed attempt must
@@ -103,16 +102,9 @@ def dedup_stream(
             .parquet(data)
         )
 
-    q = (
-        stream.writeStream.foreachBatch(write_epoch)
-        .trigger(availableNow=True)
-        .option("checkpointLocation", os.path.join(dest, "_checkpoint_dedup"))
-        .start()
+    run_available_now(
+        stream, os.path.join(dest, "_checkpoint_dedup"), write_epoch
     )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
     return data
 
 
@@ -178,7 +170,7 @@ def near_dup_suppress_stream(
                 ),
                 ["band", "band_key"],
             ).select("_bid")
-            if any(d.startswith("epoch=") for d in lfs.list_dirs(bands_tbl))
+            if has_epoch_partitions(lfs, bands_tbl)
             else bands.select("_bid").limit(0)
         )
         bucket_min = bands.groupBy("band", "band_key").agg(
@@ -212,18 +204,9 @@ def near_dup_suppress_stream(
             .parquet(bands_tbl)
         )
 
-    q = (
-        stream.writeStream.foreachBatch(write_epoch)
-        .trigger(availableNow=True)
-        .option(
-            "checkpointLocation", os.path.join(dest, "_checkpoint_near_dup")
-        )
-        .start()
+    run_available_now(
+        stream, os.path.join(dest, "_checkpoint_near_dup"), write_epoch
     )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
     return data
 
 

@@ -520,16 +520,9 @@ def ingest_blocks_streaming(
             )
         lfs.write_text(done_marker, "")
 
-    q = (
-        stream.writeStream.foreachBatch(write_epoch)
-        .trigger(availableNow=True)
-        .option("checkpointLocation", os.path.join(dest, "_checkpoint"))
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    from .runner import run_available_now
+
+    run_available_now(stream, os.path.join(dest, "_checkpoint"), write_epoch)
 
 
 def rollback_lake(spark: SparkSession, root: str, to_slot: int) -> dict[str, int]:
@@ -557,6 +550,10 @@ def rollback_lake(spark: SparkSession, root: str, to_slot: int) -> dict[str, int
     """
     from ..lake.lock import maintenance_lock
 
+    # Preflight OUTSIDE the lock: a refusal here touches nothing, so it
+    # must not leave the keep-on-failure lock behind (the in-lock check
+    # below still covers the preflight->lock race window).
+    _require_no_uncommitted_epochs(spark, root)
     with maintenance_lock(spark, root, owner=f"rollback_lake(to_slot={to_slot})"):
         return _rollback_lake_locked(spark, root, to_slot)
 
@@ -655,6 +652,8 @@ def compact_lake(
     """
     from ..lake.lock import maintenance_lock
 
+    # Preflight outside the lock — see rollback_lake
+    _require_no_uncommitted_epochs(spark, root)
     with maintenance_lock(spark, root, owner="compact_lake"):
         _compact_lake_locked(spark, root, tables)
 

@@ -44,6 +44,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..lake.fsutil import LakeFs
+from .runner import run_available_now
 
 EVENTS_SCHEMA = T.StructType(
     [
@@ -173,16 +174,7 @@ def materialize_aggregate(
             .parquet(table)
         )
 
-    q = (
-        stream.writeStream.foreachBatch(upsert_epoch)
-        .trigger(availableNow=True)
-        .option("checkpointLocation", checkpoint)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    run_available_now(stream, checkpoint, upsert_epoch)
     return table
 
 

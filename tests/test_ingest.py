@@ -380,9 +380,9 @@ def test_maintenance_lock_excludes_second_writer(spark, tmp_path):
     """The single-writer maintenance window is ENFORCED, not just
     documented: while one job holds the lake's lock, compact_lake and
     rollback_lake fail fast with the holder's identity; after release
-    they run normally.  A crashed holder's stale lock stays (deliberate
-    — a mid-rewrite death needs a human look) and the error names the
-    file to delete."""
+    they run normally.  A holder that dies — by kill OR by exception —
+    leaves the lock in place (a failed rewrite needs inspection before
+    the next writer), and the error names the file to delete."""
     import pytest
 
     from cardano_analytics_duckdb_spark.lake.lock import (
@@ -409,9 +409,14 @@ def test_maintenance_lock_excludes_second_writer(spark, tmp_path):
     compact_lake(spark, dest)
     compact_lake(spark, dest)
 
-    # exception inside the window still releases the lock
+    # a body that RAISES keeps the lock held: the next writer must not
+    # run over a half-finished rewrite — breaking it is a manual delete
     with pytest.raises(ValueError, match="boom"):
         with maintenance_lock(spark, dest, owner="job-c"):
             raise ValueError("boom")
+    with pytest.raises(RuntimeError, match="job-c"):
+        with maintenance_lock(spark, dest, owner="job-d"):
+            pass
+    os.remove(os.path.join(dest, LOCK_NAME))  # operator breaks the lock
     with maintenance_lock(spark, dest, owner="job-d"):
         pass
