@@ -21,7 +21,7 @@ Crash behavior: a job that dies mid-rewrite — killed OR by exception —
 leaves the lock file behind, and every later acquisition fails with the
 recorded owner and timestamp.  This is deliberate: a failed rewrite
 leaves the lake in a state that needs a human look before the next
-rewrite (e.g. a ``__compacting`` tmp dir after a failed swap), so
+rewrite (e.g. a ``_compacting__*`` tmp dir after a failed swap), so
 releasing on exception would hand the next cron run a half-rewritten
 table it would then silently "fix" (an absent table dir reads as
 nothing-to-compact).  The lock is released only when the job completes.
@@ -70,7 +70,8 @@ def maintenance_lock(spark: SparkSession, root: str, owner: str = "maintenance")
         raise RuntimeError(
             f"lake {root} is locked by another maintenance job: {holder}. "
             "If that job crashed, inspect the lake for partial rewrites "
-            f"(e.g. '__compacting'/'__rollback' tmp dirs), then delete "
+            f"(run lake.vacuum.find_orphans, or look for '_compacting__*'/"
+            f"'_rollback__*' tmp dirs), then delete "
             f"{path} to break the lock."
         )
     yield

@@ -583,7 +583,12 @@ def _rollback_lake_locked(
             n_keep = keep.count()
             if n_keep == n_before:
                 continue
-            tmp = part_dir + "__rollback"
+            # "_"-prefixed sibling: Spark's file index skips _* paths, so
+            # a crashed swap's leftover can never poison a table read.
+            # The "=" must go — "_x=y" names are EXEMPT from that filter
+            # (partition-discovery special case) and would be parsed as a
+            # conflicting partition column.
+            tmp = os.path.join(src, "_rollback__" + entry.replace("=", "_"))
             if n_keep > 0:
                 keep.write.mode("overwrite").parquet(tmp)
                 lfs.delete_recursive(part_dir)
@@ -630,11 +635,14 @@ def _require_no_uncommitted_epochs(spark: SparkSession, root: str) -> list[str]:
 def compact_lake(
     spark: SparkSession, root: str, tables: Iterable[str] = LAKE_TABLES
 ) -> None:
-    """Rewrite each table to one file per slot_group partition.
+    """Rewrite fragmented partitions to one file per slot_group.
 
     ≙ the reference's end-of-run compaction (ogmios_parquet.py:523-571):
-    many small append chunks → a single compressed file per partition.
-    One shuffle keyed on the partition column per table.
+    many small append chunks → a single compressed file per partition —
+    but INCREMENTAL: partitions already at a single file are skipped and
+    each fragmented partition is rewritten in its own directory-scoped
+    job, so repeated compaction of a growing lake costs ∝ the freshly
+    appended partitions, not the table.
 
     Refuses to run over a lake with an UNCOMMITTED streaming epoch (a
     snapshot without its done-marker): the pending replay would roll back
@@ -659,32 +667,40 @@ def compact_lake(
 
 
 def _compact_lake_locked(
-    spark: SparkSession, root: str, tables: Iterable[str]
+    spark: SparkSession, root: str, tables: Iterable[str], min_files: int = 2
 ) -> None:
     from ..lake.fsutil import LakeFs
 
     lfs = LakeFs(spark, root)
     for snap in _require_no_uncommitted_epochs(spark, root):
         lfs.delete(snap)
+    # INCREMENTAL: only partitions fragmented past ``min_files`` are
+    # rewritten, each scoped to its own directory — cost ∝ fragmented
+    # partitions, never table size.  Steady state (append a few chunks to
+    # the newest slot_group, compact, repeat) touches one partition per
+    # run where the old whole-table rewrite re-shuffled every byte.  The
+    # partition column lives in the directory name, so reading the leaf
+    # dir and renaming the rewrite into the same hive path preserves it
+    # (same layout contract rollback_lake relies on).  coalesce(1)
+    # mirrors the reference's one-file-per-partition output; partitions
+    # are slot_group-bounded, so a single file stays row-group sized.
     for t in tables:
         src = os.path.join(root, t)
-        # an all-empty append leaves a dir with only _SUCCESS (zero part
-        # files) — nothing to compact, and the read can't infer a schema
-        has_parquet = any(
-            f.endswith(".parquet")
-            for d in lfs.list_dirs(src)
-            if d.startswith("slot_group=")
-            for f in lfs.list_files(os.path.join(src, d))
-        )
-        if not has_parquet:
-            continue
-        tmp = src + "__compacting"
-        (
-            spark.read.parquet(src)
-            .repartition("slot_group")
-            .write.mode("overwrite")
-            .partitionBy("slot_group")
-            .parquet(tmp)
-        )
-        lfs.delete_recursive(src)
-        lfs.rename(tmp, src)
+        for d in lfs.list_dirs(src):
+            if not d.startswith("slot_group="):
+                continue
+            part_dir = os.path.join(src, d)
+            n_parquet = sum(
+                f.endswith(".parquet") for f in lfs.list_files(part_dir)
+            )
+            if n_parquet < min_files:
+                continue  # already compact (or empty-append _SUCCESS only)
+            tmp = os.path.join(src, "_compacting__" + d.replace("=", "_"))
+            (
+                spark.read.parquet(part_dir)
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(tmp)
+            )
+            lfs.delete_recursive(part_dir)
+            lfs.rename(tmp, part_dir)

@@ -420,3 +420,49 @@ def test_maintenance_lock_excludes_second_writer(spark, tmp_path):
     os.remove(os.path.join(dest, LOCK_NAME))  # operator breaks the lock
     with maintenance_lock(spark, dest, owner="job-d"):
         pass
+
+
+def test_compaction_is_incremental_per_partition(spark, tmp_path):
+    """Compaction must not touch already-compact partitions: a partition
+    at one file keeps the SAME part-file (identical path — no rewrite),
+    while a fragmented partition collapses to one file."""
+    from cardano_analytics_duckdb_spark.lake.fsutil import LakeFs
+
+    dest = str(tmp_path / "lake")
+    blocks = fixture_blocks()[:6]
+    # wave 1 + compact: every partition at one file
+    ingest_blocks(spark, blocks[:3], dest, batch_size=1)
+    compact_lake(spark, dest)
+    lfs = LakeFs(spark, dest)
+
+    def files_by_partition(table):
+        src = os.path.join(dest, table)
+        return {
+            d: [
+                f
+                for f in lfs.list_files(os.path.join(src, d))
+                if f.endswith(".parquet")
+            ]
+            for d in lfs.list_dirs(src)
+            if d.startswith("slot_group=")
+        }
+
+    before = files_by_partition("tx")
+    assert all(len(v) == 1 for v in before.values())
+
+    # wave 2 appends into (at least) one partition; others stay compact
+    ingest_blocks(spark, blocks[3:], dest, batch_size=1)
+    mid = files_by_partition("tx")
+    untouched = [d for d in before if len(mid[d]) == len(before[d]) == 1
+                 and mid[d] == before[d]]
+    fragmented = [d for d in mid if len(mid[d]) > 1]
+    assert fragmented, "fixture waves must fragment at least one partition"
+
+    n_rows = spark.read.parquet(os.path.join(dest, "tx")).count()
+    compact_lake(spark, dest)
+    after = files_by_partition("tx")
+    # fragmented partitions collapsed; untouched ones kept their exact file
+    assert all(len(after[d]) == 1 for d in fragmented)
+    for d in untouched:
+        assert after[d] == before[d]
+    assert spark.read.parquet(os.path.join(dest, "tx")).count() == n_rows
