@@ -263,6 +263,18 @@ def _cmd_curate(args: argparse.Namespace, spark: SparkSession) -> int:
     return 0
 
 
+def _cmd_vacuum(args, spark: SparkSession) -> int:
+    from .lake.vacuum import find_orphans, vacuum_lake
+
+    report = (
+        vacuum_lake(spark, args.lake)
+        if args.apply
+        else find_orphans(spark, args.lake)
+    )
+    print(json.dumps({"applied": bool(args.apply), **report}))
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="cardano-analytics-spark",
@@ -326,6 +338,19 @@ def build_parser() -> argparse.ArgumentParser:
         " splits (md5-nibble assignment, reproducible on any engine)",
     )
     cu.set_defaults(func=_cmd_curate)
+
+    va = sub.add_parser(
+        "vacuum",
+        help="report (default) or remove crash leftovers in a lake",
+    )
+    va.add_argument("--lake", required=True, help="lake root")
+    va.add_argument(
+        "--apply",
+        action="store_true",
+        help="remove the reported orphans (takes the maintenance lock;"
+        " refuses while another maintenance job holds it)",
+    )
+    va.set_defaults(func=_cmd_vacuum)
     return p
 
 

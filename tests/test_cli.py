@@ -196,3 +196,27 @@ def test_curate_split_writes_partitioned_splits(spark, tmp_path, capsys):
         nib = hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[0]
         want = "train" if nib < "c" else ("val" if nib < "e" else "test")
         assert r["split"] == want
+
+
+def test_vacuum_cli_reports_then_applies(spark, tmp_path, capsys):
+    import os
+
+    from cardano_analytics_duckdb_spark.cli import main
+
+    dest = str(tmp_path / "lake")
+    assert main(["extract", "--dest", dest, "--batch-size", "3"], spark) == 0
+    capsys.readouterr()
+    orphan = os.path.join(dest, "_compacting__tx")
+    os.makedirs(orphan)
+
+    assert main(["vacuum", "--lake", dest], spark) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out == {
+        "applied": False, "tmp_dirs": ["_compacting__tx"], "tmp_files": [],
+    }
+    assert os.path.isdir(orphan)  # report-only by default
+
+    assert main(["vacuum", "--lake", dest, "--apply"], spark) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["applied"] is True and out["tmp_dirs"] == ["_compacting__tx"]
+    assert not os.path.exists(orphan)
