@@ -593,3 +593,25 @@ def test_aqe_splits_skewed_join_partitions(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_registry_wide_plan_lint(spark, sf_dir):
+    """Every registered query, one plan-lint pass: no CartesianProduct
+    (an unconditioned big-big join is a silent N² at scale — deliberate
+    1-row crosses compile to BroadcastNestedLoopJoin, not this) and no
+    BatchEvalPython (row-at-a-time Python UDF; vectorized Arrow kernels
+    are allowed).  Catches a regression in ANY query the moment it is
+    registered, not just the ones with dedicated plan tests."""
+    from cardano_analytics_duckdb_spark.operators import all_queries
+
+    offenders = {}
+    for name, fn in all_queries().items():
+        plan = _plan(fn(spark, sf_dir))
+        bad = [
+            op
+            for op in ("CartesianProduct", "BatchEvalPython")
+            if op in plan
+        ]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, offenders
