@@ -54,6 +54,7 @@ _WINDOW = (
     "bpe_merge_candidates",
     "cardano_address_pagerank",
     "doc_chunks",
+    "corpus_keep_decisions",
     # last driver row r1
     "part_name_tokens",
     "repeat_buyer_custkeys",
@@ -78,7 +79,6 @@ _WINDOW = (
     "simhash_fingerprints",
     # last driver row r4
     "approx_user_stats",
-    "benchmark_contamination",
     "curated_corpus_sample",
     "knn_join_topk",
     # r5-checked but explicitly named by the r6 verdict (helpers evolved)
@@ -91,9 +91,10 @@ _WINDOW = (
 # user_running_value, user_conversion_funnel, user_event_gaps,
 # weekly_cohort_retention, status_price_range_frame, top_revenue_suppliers,
 # order_status_unpivot, price_decile_stats, revenue_grouping_sets,
-# events_within_minute_pairs, events_sliding_10min, events_asof_purchase
-# (r4 — displaced mid-r7 by the new sq8 / span-dedup / bpe-merge /
-# pagerank / doc-chunking queries) and
+# events_within_minute_pairs, events_sliding_10min, events_asof_purchase,
+# benchmark_contamination (r4 — displaced mid-r7 by the new sq8 /
+# span-dedup / bpe-merge / pagerank / doc-chunking / keep-decision
+# queries) and
 # the r5 block.  All stay pytest-oracle-green every round.
 
 

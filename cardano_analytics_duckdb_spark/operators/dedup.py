@@ -1142,9 +1142,90 @@ ORDER BY d.doc_id
 """
 
 
+# -- per-document keep/drop decisions (the attribute+filter capstone) ---------
+# Dolma-style curation shape: every filter signal is materialized as an
+# ATTRIBUTE column next to the decision, so a threshold change is a
+# re-filter over attributes — never a recompute of the signals — and
+# every dropped doc carries WHY it was dropped.  One Catalyst plan
+# composes the exact-dup canonical choice (window over the fingerprint),
+# the span-dedup coverage (gram hash-agg + join-back), and the token
+# count; `reason` applies the rules in a fixed priority order.
+#
+# Scale shape: the union of its parts — one fingerprint window exchange,
+# one gram agg + join-back, all linear; output is per-doc.
+
+_MIN_TOKENS = 5
+_MAX_DUP_FRACTION = 0.5
+
+
+def corpus_keep_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    with_fp = docs.select(
+        "doc_id",
+        "text",
+        F.md5(F.col("text").cast("binary")).alias("fp"),
+        F.size(F.expr("filter(split(text, ' '), t -> t != '')")).alias(
+            "n_tokens"
+        ),
+    )
+    canonical = with_fp.withColumn(
+        "is_canonical",
+        F.col("doc_id") == F.min("doc_id").over(Window.partitionBy("fp")),
+    )
+    spans = duplicated_ngram_coverage(spark, sf_dir).select(
+        "doc_id", "dup_fraction"
+    )
+    attrs = canonical.join(spans, "doc_id")
+    reason = (
+        F.when(~F.col("is_canonical"), F.lit("exact_duplicate"))
+        .when(F.col("n_tokens") < _MIN_TOKENS, F.lit("too_short"))
+        .when(
+            F.col("dup_fraction") > _MAX_DUP_FRACTION,
+            F.lit("duplicated_spans"),
+        )
+        .otherwise(F.lit("keep"))
+    )
+    return (
+        attrs.select(
+            "doc_id",
+            "n_tokens",
+            "is_canonical",
+            "dup_fraction",
+            reason.alias("reason"),
+            (reason == "keep").alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_KEEP_DECISIONS_SQL = f"""
+WITH spans AS ({_SPAN_COVERAGE_SQL.replace("ORDER BY d.doc_id", "")}),
+attrs AS (
+  SELECT doc_id,
+         len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tokens,
+         doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS is_canonical
+  FROM documents
+), decided AS (
+  SELECT a.doc_id, a.n_tokens, a.is_canonical, s.dup_fraction,
+         CASE WHEN NOT a.is_canonical THEN 'exact_duplicate'
+              WHEN a.n_tokens < {_MIN_TOKENS} THEN 'too_short'
+              WHEN s.dup_fraction > {_MAX_DUP_FRACTION} THEN 'duplicated_spans'
+              ELSE 'keep' END AS reason
+  FROM attrs a JOIN spans s USING (doc_id)
+)
+SELECT doc_id, n_tokens, is_canonical, dup_fraction, reason,
+       reason = 'keep' AS keep
+FROM decided
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "exact_dedup_groups": exact_dedup_groups,
     "duplicated_ngram_coverage": duplicated_ngram_coverage,
+    "corpus_keep_decisions": corpus_keep_decisions,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "minhash_band_buckets": minhash_band_buckets,
     "semantic_dedup_pairs": semantic_dedup_pairs,
@@ -1160,6 +1241,7 @@ QUERIES = {
 ORACLE = {
     "exact_dedup_groups": _EXACT_DEDUP_SQL,
     "duplicated_ngram_coverage": _SPAN_COVERAGE_SQL,
+    "corpus_keep_decisions": _KEEP_DECISIONS_SQL,
     "ngram_jaccard_pairs": _JACCARD_SQL,
     "minhash_band_buckets": _minhash_sql(),
     "semantic_dedup_pairs": _semantic_dedup_sql(),
