@@ -517,3 +517,40 @@ def test_span_coverage_on_crafted_corpus(spark, tmp_path):
     assert res[2]["n_grams"] == 3 and res[2]["dup_grams"] == 0
     assert res[2]["dup_fraction"] == 0.0
     assert res[3]["n_grams"] == 0 and res[3]["dup_fraction"] == 0.0
+
+
+def test_doc_chunks_reconstruct_documents(spark, sf_dir):
+    """Chunking invariant through the real operator: stripping each
+    chunk to its stride and concatenating in chunk order reproduces the
+    original text exactly — no character lost or duplicated at any
+    boundary, for every document in the table."""
+    import pyspark.sql.functions as F
+
+    from cardano_analytics_duckdb_spark.lake.tables import load_table
+    from cardano_analytics_duckdb_spark.operators.textops import (
+        _CHUNK_STRIDE,
+        doc_chunks,
+    )
+
+    rebuilt = (
+        doc_chunks(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("chunk_idx", "chunk_text"))
+                    ),
+                    lambda s: F.substring(s["chunk_text"], 1, _CHUNK_STRIDE),
+                ),
+            ).alias("rebuilt")
+        )
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    mismatches = (
+        docs.join(rebuilt, "doc_id")
+        .filter(F.col("text") != F.col("rebuilt"))
+        .count()
+    )
+    assert mismatches == 0
