@@ -1,0 +1,325 @@
+"""File-level min/max statistics manifest: data skipping on raw parquet.
+
+Partition pruning (``partitionBy`` dirs) only helps on the partition key;
+for every other selective column a 100 TB scan still opens every file.
+Parquet footers already carry per-column min/max — this module hoists
+them into a tiny queryable manifest (the Iceberg/Delta data-skipping
+idea, rebuilt on plain parquet):
+
+- :func:`build_manifest` — DISTRIBUTED footer-stat collection: the file
+  list is parallelized and each task reads only footers (no data pages)
+  via pyarrow, so building costs O(files) metadata reads, not a scan.
+  Stats land in ``<table>/_manifest/`` ("_"-prefixed: invisible to Spark
+  readers, same convention as the epoch control dirs).
+- :func:`prune_files` — files whose [min, max] interval can intersect a
+  numeric range predicate.  CORRECTNESS RULE: a file is skipped only when
+  its stats PROVE no row can match — files missing from the manifest
+  (appended after the build), columns with no stats, or all-null chunks
+  on a range predicate are handled conservatively (kept, kept, skipped —
+  SQL range predicates reject NULL).
+- :func:`read_pruned` — the pruned scan: selected files via
+  ``option("basePath", table)`` (partition columns survive), with the
+  row-level filter still applied on top — file skipping is an
+  optimization, never the filter itself.
+
+Synergy with ``lake/zorder.py``: z-ordering clusters rows so per-file
+min/max ranges are tight and disjoint — the manifest is what turns that
+layout into skipped IO on non-partition columns.
+
+Staleness contract: the manifest is a snapshot.  Appends after a build
+are READ (never wrongly skipped) but not pruned until the next
+:func:`build_manifest`; rewrites that delete manifest-listed files leave
+dangling entries, which :func:`prune_files` drops by re-listing live
+files.  Rebuild after maintenance (compaction / z-order) for best
+skipping.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .fsutil import LakeFs
+
+MANIFEST_DIR = "_manifest"
+
+_MANIFEST_SCHEMA = T.StructType(
+    [
+        T.StructField("file", T.StringType()),
+        T.StructField("n_rows", T.LongType()),
+        T.StructField("column", T.StringType()),
+        T.StructField("null_count", T.LongType()),
+        T.StructField("min_num", T.DoubleType()),
+        T.StructField("max_num", T.DoubleType()),
+        T.StructField("min_str", T.StringType()),
+        T.StructField("max_str", T.StringType()),
+    ]
+)
+
+
+def _data_files(lfs: LakeFs, root: str) -> list[str]:
+    """Full URIs of every committed data file under ``root``, recursing
+    through partition dirs; control dirs/files ("_"/"." prefixes) are
+    skipped — the same visibility rule Hadoop readers apply."""
+    out: list[str] = []
+    stack = [root]
+    while stack:
+        d = stack.pop()
+        for f in lfs.list_files(d):
+            name = f.rsplit("/", 1)[-1]
+            if not name.startswith(("_", ".")) and name.endswith(".parquet"):
+                out.append(f)
+        for sub in lfs.list_dirs(d):
+            if not sub.startswith(("_", ".")):
+                stack.append(os.path.join(d, sub))
+    return sorted(out)
+
+
+def _relative(files: list[str], lfs: LakeFs, root: str) -> dict[str, str]:
+    """{full URI -> path relative to the table root} so the manifest
+    survives a table move/copy."""
+    root_uri = str(lfs._Path(root).toUri())  # noqa: SLF001 - same package
+    out = {}
+    for f in files:
+        rel = f[len(root_uri) :].lstrip("/") if f.startswith(root_uri) else f
+        out[f] = rel
+    return out
+
+
+def build_manifest(spark: SparkSession, table_dir: str) -> str:
+    """Collect per-file, per-column footer stats for every top-level
+    primitive column of ``table_dir`` into ``table_dir/_manifest``;
+    returns the manifest path.
+
+    The footer reads run in EXECUTOR tasks over the parallelized file
+    list (``mapInPandas`` so a 100M-file table fans out instead of
+    looping on the driver); each task opens only the ~KB footer.  Numeric
+    (int/float/bool) and temporal stats land in ``min_num``/``max_num``
+    (timestamps as POSIX seconds, dates as ordinal days); string stats in
+    ``min_str``/``max_str``.
+    """
+    lfs = LakeFs(spark, table_dir)
+    files = _data_files(lfs, table_dir)
+    rel = _relative(files, lfs, table_dir)
+    rows = [(f, rel[f]) for f in files]
+
+    def footer_stats(batches) -> Iterator:
+        # Locally-defined kernel: shipped by value (driver harness runs
+        # from a foreign cwd — module-level functions don't resolve).
+        import datetime as _dt
+
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        def open_file(uri: str):
+            if uri.startswith("file:"):
+                local = uri[len("file:") :]
+                while local.startswith("//"):
+                    local = local[1:]
+                return pq.ParquetFile(local)
+            if "://" in uri:
+                from pyarrow import fs as pafs
+
+                scheme_fix = uri.replace("s3a://", "s3://", 1)
+                fs, path = pafs.FileSystem.from_uri(scheme_fix)
+                return pq.ParquetFile(fs.open_input_file(path))
+            return pq.ParquetFile(uri)
+
+        def as_num(v):
+            if isinstance(v, bool):
+                return float(v)
+            if isinstance(v, (int, float)):
+                return float(v)
+            if isinstance(v, _dt.datetime):
+                return v.timestamp()
+            if isinstance(v, _dt.date):
+                return float(v.toordinal())
+            return None
+
+        for pdf in batches:
+            out: list[dict] = []
+            for uri, relpath in zip(pdf["uri"], pdf["rel"]):
+                pf = open_file(uri)
+                md = pf.metadata
+                n_rows = md.num_rows
+                agg: dict[str, dict] = {}
+                for rg in range(md.num_row_groups):
+                    for ci in range(md.num_columns):
+                        col = md.row_group(rg).column(ci)
+                        name = col.path_in_schema
+                        if "." in name:  # nested field — skip
+                            continue
+                        st = col.statistics
+                        a = agg.setdefault(
+                            name,
+                            {
+                                "null_count": 0,
+                                "min_num": None,
+                                "max_num": None,
+                                "min_str": None,
+                                "max_str": None,
+                                "has_stats": True,
+                            },
+                        )
+                        if st is None or not st.has_min_max:
+                            a["has_stats"] = False
+                            continue
+                        a["null_count"] += st.null_count or 0
+                        mn, mx = st.min, st.max
+                        if isinstance(mn, bytes):
+                            try:
+                                mn = mn.decode("utf-8")
+                                mx = mx.decode("utf-8")
+                            except UnicodeDecodeError:
+                                a["has_stats"] = False
+                                continue
+                        nmn, nmx = as_num(mn), as_num(mx)
+                        if nmn is not None:
+                            a["min_num"] = (
+                                nmn
+                                if a["min_num"] is None
+                                else min(a["min_num"], nmn)
+                            )
+                            a["max_num"] = (
+                                nmx
+                                if a["max_num"] is None
+                                else max(a["max_num"], nmx)
+                            )
+                        elif isinstance(mn, str):
+                            a["min_str"] = (
+                                mn
+                                if a["min_str"] is None
+                                else min(a["min_str"], mn)
+                            )
+                            a["max_str"] = (
+                                mx
+                                if a["max_str"] is None
+                                else max(a["max_str"], mx)
+                            )
+                for name, a in agg.items():
+                    if not a["has_stats"]:
+                        # any stat-less chunk poisons the file's entry for
+                        # that column — pruning must not trust partial info
+                        a.update(
+                            min_num=None,
+                            max_num=None,
+                            min_str=None,
+                            max_str=None,
+                            null_count=-1,
+                        )
+                    out.append(
+                        {
+                            "file": relpath,
+                            "n_rows": n_rows,
+                            "column": name,
+                            "null_count": a["null_count"],
+                            "min_num": a["min_num"],
+                            "max_num": a["max_num"],
+                            "min_str": a["min_str"],
+                            "max_str": a["max_str"],
+                        }
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "file",
+                    "n_rows",
+                    "column",
+                    "null_count",
+                    "min_num",
+                    "max_num",
+                    "min_str",
+                    "max_str",
+                ],
+            )
+
+    n_slices = max(1, min(len(rows), 64))
+    files_df = spark.createDataFrame(
+        rows, T.StructType(
+            [
+                T.StructField("uri", T.StringType()),
+                T.StructField("rel", T.StringType()),
+            ]
+        )
+    ).repartition(n_slices)
+    manifest = files_df.mapInPandas(footer_stats, schema=_MANIFEST_SCHEMA)
+    dest = os.path.join(table_dir, MANIFEST_DIR)
+    manifest.write.mode("overwrite").parquet(dest)
+    return dest
+
+
+def prune_files(
+    spark: SparkSession,
+    table_dir: str,
+    column: str,
+    lo: float | None = None,
+    hi: float | None = None,
+) -> list[str]:
+    """Full URIs of the data files that may contain rows with
+    ``lo <= column <= hi`` (either bound optional).
+
+    Skip only on proof: a manifest row skips its file iff the file's
+    [min, max] for ``column`` lies entirely outside [lo, hi], or the
+    column is all-null there (range predicates reject NULL).  Files with
+    no manifest entry (post-build appends) and files whose stats are
+    incomplete (null_count = -1 sentinel) are always kept; manifest
+    entries whose file no longer exists are dropped.
+    """
+    lfs = LakeFs(spark, table_dir)
+    live = _data_files(lfs, table_dir)
+    rel = _relative(live, lfs, table_dir)
+    by_rel = {r: f for f, r in rel.items()}
+    mpath = os.path.join(table_dir, MANIFEST_DIR)
+    if not lfs.exists(mpath):
+        return live
+    m = spark.read.parquet(mpath).filter(F.col("column") == column)
+    cond = F.lit(False)
+    # provably-no-match: interval disjoint from [lo, hi] ...
+    if lo is not None:
+        cond = cond | (F.col("max_num") < F.lit(float(lo)))
+    if hi is not None:
+        cond = cond | (F.col("min_num") > F.lit(float(hi)))
+    # ... or every value NULL (min/max absent, yet stats were complete)
+    all_null = (
+        F.col("min_num").isNull()
+        & F.col("min_str").isNull()
+        & (F.col("null_count") >= F.lit(0))
+    )
+    skippable = m.filter(
+        (cond & F.col("min_num").isNotNull()) | all_null
+    )
+    skipped = {r["file"] for r in skippable.select("file").collect()}
+    manifest_files = {r["file"] for r in m.select("file").collect()}
+    out = []
+    for relpath, full in sorted(by_rel.items()):
+        if relpath in manifest_files and relpath in skipped:
+            continue
+        out.append(full)
+    return out
+
+
+def read_pruned(
+    spark: SparkSession,
+    table_dir: str,
+    column: str,
+    lo: float | None = None,
+    hi: float | None = None,
+) -> DataFrame:
+    """The range query itself, reading only surviving files.  The same
+    predicate is re-applied row-level (file skipping is coarse); the
+    result is exactly ``full scan WHERE lo <= column <= hi``."""
+    files = prune_files(spark, table_dir, column, lo, hi)
+    if not files:
+        schema = spark.read.parquet(table_dir).schema
+        df = spark.createDataFrame([], schema)
+    else:
+        df = spark.read.option("basePath", table_dir).parquet(*files)
+    if lo is not None:
+        df = df.filter(F.col(column) >= F.lit(lo))
+    if hi is not None:
+        df = df.filter(F.col(column) <= F.lit(hi))
+    return df

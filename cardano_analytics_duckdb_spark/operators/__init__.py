@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 # code is untouched rotates out; the pytest oracle suite still covers
 # every query regardless of position.  After r7 every one of the 121
 # queries registered before this round has a driver row in some round;
-# the 6 added mid-r7 are in this window for their first row.
+# the queries added mid-r7 are in this window for their first row.
 _WINDOW = (
     # reference parity (pinned every round)
     "cardano_high_fee_txs",
@@ -55,6 +55,8 @@ _WINDOW = (
     "cardano_address_pagerank",
     "doc_chunks",
     "corpus_keep_decisions",
+    "kmeans_silhouette_eval",
+    "cross_source_dup_leakage",
     # last driver row r1
     "part_name_tokens",
     "repeat_buyer_custkeys",
@@ -81,10 +83,12 @@ _WINDOW = (
     "approx_user_stats",
     "curated_corpus_sample",
     "knn_join_topk",
-    # r5-checked but explicitly named by the r6 verdict (helpers evolved)
-    "lsh_multiband_near_dup_pairs",
-    "tfidf_top_terms",
 )
+# The r6 verdict also named `lsh_multiband_near_dup_pairs` and
+# `tfidf_top_terms` (r5-attested, helpers evolved) — displaced by the two
+# r7-late additions above under the never-checked-first policy (a query
+# with NO driver row ever outranks an r5-green one); both lead the r8
+# oldest-first backlog.
 # out this round: every r5/r6-green row with no r7 code diff (cluster
 # reports, minhash family, the r1-vintage relational block re-attested in
 # r6, ...).  Still in the oldest-first backlog for r8: user_hourly_gapfill,

@@ -1222,11 +1222,103 @@ ORDER BY doc_id
 """
 
 
+# -- cross-source duplicate leakage -------------------------------------------
+
+
+def cross_source_dup_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pair counts by (source, source) cell — the curation
+    question behind it: does deduplicating WITHIN each source suffice, or
+    do duplicates leak ACROSS source boundaries (cells with
+    ``source_a != source_b``), forcing a global pass?  Mirrors the
+    cross-source overlap audits in public corpus reports (C4/Dolma-style
+    source mixing), composed from the same verified Jaccard pair
+    generator as the rest of the near-dup family.
+
+    Scale shape: the pair set is the already-bounded near-dup output
+    (linear in true duplicates, not O(N²)); the two source-label attaches
+    broadcast the bounded doc-id side; the final cell agg groups on at
+    most |sources|² keys.  Mean Jaccard is summed in int 1e-4 units so
+    the cell mean is partition-order-independent.
+    """
+    pairs = ngram_jaccard_pairs(spark, sf_dir)
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    labeled = (
+        pairs.join(
+            F.broadcast(
+                src.select(
+                    F.col("doc_id").alias("doc_a"),
+                    F.col("source").alias("sa"),
+                )
+            ),
+            "doc_a",
+        )
+        .join(
+            F.broadcast(
+                src.select(
+                    F.col("doc_id").alias("doc_b"),
+                    F.col("source").alias("sb"),
+                )
+            ),
+            "doc_b",
+        )
+        .select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+            "jaccard",
+        )
+    )
+    return (
+        labeled.groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.max("jaccard").alias("max_jaccard"),
+            rnd(
+                F.sum(
+                    F.floor(F.col("jaccard") * F.lit(10000.0) + F.lit(0.5)).cast(
+                        "long"
+                    )
+                )
+                / (F.count(F.lit(1)) * F.lit(10000.0)),
+                4,
+            ).alias("mean_jaccard"),
+        )
+        .withColumn(
+            "is_cross_source", F.col("source_a") != F.col("source_b")
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+def _cross_source_leakage_sql() -> str:
+    from ..functions.rounding import rnd_sql
+
+    mean = rnd_sql("sum(CAST(floor(jaccard * 10000.0 + 0.5) AS BIGINT)) / (count(*) * 10000.0)", 4)
+    return f"""
+WITH pairs AS (
+{_JACCARD_SQL}
+),
+labeled AS (
+  SELECT least(da.source, db.source) AS source_a,
+         greatest(da.source, db.source) AS source_b,
+         p.jaccard
+  FROM pairs p
+  JOIN documents da ON da.doc_id = p.doc_a
+  JOIN documents db ON db.doc_id = p.doc_b
+)
+SELECT source_a, source_b, count(*) AS n_pairs,
+       max(jaccard) AS max_jaccard,
+       {mean} AS mean_jaccard,
+       source_a <> source_b AS is_cross_source
+FROM labeled GROUP BY source_a, source_b ORDER BY source_a, source_b
+"""
+
+
 QUERIES = {
     "exact_dedup_groups": exact_dedup_groups,
     "duplicated_ngram_coverage": duplicated_ngram_coverage,
     "corpus_keep_decisions": corpus_keep_decisions,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
+    "cross_source_dup_leakage": cross_source_dup_leakage,
     "minhash_band_buckets": minhash_band_buckets,
     "semantic_dedup_pairs": semantic_dedup_pairs,
     "minhash_recall_eval": minhash_recall_eval,
@@ -1243,6 +1335,7 @@ ORACLE = {
     "duplicated_ngram_coverage": _SPAN_COVERAGE_SQL,
     "corpus_keep_decisions": _KEEP_DECISIONS_SQL,
     "ngram_jaccard_pairs": _JACCARD_SQL,
+    "cross_source_dup_leakage": _cross_source_leakage_sql(),
     "minhash_band_buckets": _minhash_sql(),
     "semantic_dedup_pairs": _semantic_dedup_sql(),
     "minhash_recall_eval": _minhash_recall_sql(),

@@ -833,39 +833,39 @@ def _euclid(vec_col: str, centroid: list[float]) -> Column:
     )
 
 
-def kmeans_assignments(
-    spark: SparkSession,
-    emb: DataFrame,
-    k: int = _KMEANS_K,
-    rounds: int = _KMEANS_ROUNDS,
-) -> DataFrame:
-    """(vec_id, cluster, dist) after ``rounds`` Lloyd's iterations seeded
-    by the k lowest vec_ids.  Empty clusters keep their previous centroid."""
+def _kmeans_assign(emb: DataFrame, cents: list[list[float]]) -> DataFrame:
+    """(vec_id, embedding, cluster, dist): nearest centroid per point,
+    ties broken toward the lower cluster id (struct min orders by d, c)."""
+    choice = F.array_min(
+        F.array(
+            *[
+                F.struct(
+                    rnd(_euclid("embedding", c), 6).alias("d"),
+                    F.lit(i).cast("int").alias("c"),
+                )
+                for i, c in enumerate(cents)
+            ]
+        )
+    )
+    return emb.select(
+        "vec_id",
+        "embedding",
+        choice["c"].alias("cluster"),
+        choice["d"].alias("dist"),
+    )
+
+
+def _kmeans_centroids(
+    emb: DataFrame, k: int = _KMEANS_K, rounds: int = _KMEANS_ROUNDS
+) -> list[list[float]]:
+    """Final centroid list after ``rounds`` Lloyd's iterations seeded by
+    the k lowest vec_ids.  Empty clusters keep their previous centroid.
+    The only driver state is the k x dim centroid matrix."""
     init = emb.orderBy("vec_id").limit(k).collect()
     centroids = [[_r6(x) for x in r["embedding"]] for r in init]
-
-    def assign(cents: list[list[float]]) -> DataFrame:
-        choice = F.array_min(
-            F.array(
-                *[
-                    F.struct(
-                        rnd(_euclid("embedding", c), 6).alias("d"),
-                        F.lit(i).cast("int").alias("c"),
-                    )
-                    for i, c in enumerate(cents)
-                ]
-            )
-        )
-        return emb.select(
-            "vec_id",
-            "embedding",
-            choice["c"].alias("cluster"),
-            choice["d"].alias("dist"),
-        )
-
     for _ in range(rounds):
         stats = (
-            assign(centroids)
+            _kmeans_assign(emb, centroids)
             .groupBy("cluster")
             .agg(*[F.avg(F.col("embedding")[d]).alias(f"m{d}") for d in range(_DIM)])
             .collect()
@@ -874,7 +874,18 @@ def kmeans_assignments(
             r["cluster"]: [_r6(r[f"m{d}"]) for d in range(_DIM)] for r in stats
         }
         centroids = [new.get(i, centroids[i]) for i in range(k)]
-    return assign(centroids)
+    return centroids
+
+
+def kmeans_assignments(
+    spark: SparkSession,
+    emb: DataFrame,
+    k: int = _KMEANS_K,
+    rounds: int = _KMEANS_ROUNDS,
+) -> DataFrame:
+    """(vec_id, cluster, dist) after ``rounds`` Lloyd's iterations seeded
+    by the k lowest vec_ids.  Empty clusters keep their previous centroid."""
+    return _kmeans_assign(emb, _kmeans_centroids(emb, k, rounds))
 
 
 def kmeans_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -891,7 +902,11 @@ def kmeans_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmeans_profile_sql() -> str:
+def _kmeans_sql_parts(include_final_assign: bool) -> list[str]:
+    """Unrolled Lloyd's-fixpoint CTE chain shared by the profile and
+    silhouette oracles: pts, c0..c{ROUNDS} (centroid states) and
+    a1..a{ROUNDS} (per-round assignments); with ``include_final_assign``
+    also a{ROUNDS+1}, the assignment against the final centroids."""
     from ..functions.rounding import rnd_sql
 
     k, dim = _KMEANS_K, _DIM
@@ -905,8 +920,9 @@ def _kmeans_profile_sql() -> str:
     SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cluster, v
     FROM pts) WHERE cluster < {k})""",
     ]
-    for t in range(1, _KMEANS_ROUNDS + 2):
-        d = rnd_sql(f"list_distance(p.v, c.v)", 6)
+    last = _KMEANS_ROUNDS + 1 if include_final_assign else _KMEANS_ROUNDS
+    for t in range(1, last + 1):
+        d = rnd_sql("list_distance(p.v, c.v)", 6)
         parts.append(f"""a{t} AS (
   SELECT vec_id, v, cluster, d FROM (
     SELECT p.vec_id, p.v, c.cluster, {d} AS d,
@@ -918,6 +934,13 @@ def _kmeans_profile_sql() -> str:
   FROM c{t - 1} prev LEFT JOIN (
     SELECT cluster, [{avg_list}] AS v FROM a{t} GROUP BY cluster) upd
   USING (cluster))""")
+    return parts
+
+
+def _kmeans_profile_sql() -> str:
+    from ..functions.rounding import rnd_sql
+
+    parts = _kmeans_sql_parts(include_final_assign=True)
     final = _KMEANS_ROUNDS + 1
     return (
         ",\n".join(parts)
@@ -925,6 +948,95 @@ def _kmeans_profile_sql() -> str:
 SELECT cluster, count(*) AS n_points, {rnd_sql('avg(d)', 4)} AS avg_dist,
        min(vec_id) AS exemplar_vec_id
 FROM a{final} GROUP BY cluster ORDER BY cluster
+"""
+    )
+
+
+def kmeans_silhouette_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster simplified (centroid-based) silhouette over the final
+    k-means assignment: s = (b - a) / max(a, b) with a = distance to the
+    assigned (nearest) centroid and b = distance to the second-nearest.
+    Mean s near 1 means tight, well-separated clusters; near 0 means the
+    point sits between two centroids — the standard clustering-quality
+    read-out, and the eval companion the k-means axis was missing.
+
+    Full silhouette is O(N²) pairwise; the centroid form is O(N·k) — a
+    narrow codegen map per point against the broadcast k x dim centroid
+    matrix, then one k-group agg.  Per-point s is quantized to int 1e-4
+    units before summation so the per-cluster mean is associative-exact
+    (partition-order-independent), the same trick as the pagerank and
+    cent_sum paths.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = _kmeans_centroids(emb)
+    # Sorted (d, c) struct array: [0] is the assigned centroid, [1] the
+    # runner-up; struct order ties toward the lower cluster id, matching
+    # the oracle's row_number(ORDER BY d, cluster).
+    ranked = F.array_sort(
+        F.array(
+            *[
+                F.struct(
+                    rnd(_euclid("embedding", c), 6).alias("d"),
+                    F.lit(i).cast("int").alias("c"),
+                )
+                for i, c in enumerate(cents)
+            ]
+        )
+    )
+    pts = emb.select(
+        "vec_id",
+        ranked[0]["c"].alias("cluster"),
+        ranked[0]["d"].alias("a"),
+        ranked[1]["d"].alias("b"),
+    )
+    s_raw = F.when(F.greatest("a", "b") == F.lit(0.0), F.lit(0.0)).otherwise(
+        (F.col("b") - F.col("a")) / F.greatest("a", "b")
+    )
+    quantized = pts.select(
+        "cluster",
+        F.floor(s_raw * F.lit(10000.0) + F.lit(0.5)).cast("long").alias("sil_i"),
+    )
+    return (
+        quantized.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            rnd(
+                F.sum("sil_i") / (F.count(F.lit(1)) * F.lit(10000.0)), 4
+            ).alias("mean_silhouette"),
+        )
+        .orderBy("cluster")
+    )
+
+
+def _kmeans_silhouette_sql() -> str:
+    from ..functions.rounding import rnd_sql
+
+    parts = _kmeans_sql_parts(include_final_assign=False)
+    d = rnd_sql("list_distance(p.v, c.v)", 6)
+    s_raw = (
+        "CASE WHEN greatest(a, b) = 0 THEN 0.0"
+        " ELSE (b - a) / greatest(a, b) END"
+    )
+    parts.append(f"""ab AS (
+  SELECT vec_id,
+         max(CASE WHEN rn = 1 THEN cluster END) AS cluster,
+         max(CASE WHEN rn = 1 THEN d END) AS a,
+         max(CASE WHEN rn = 2 THEN d END) AS b
+  FROM (
+    SELECT p.vec_id, c.cluster, {d} AS d,
+           row_number() OVER (PARTITION BY p.vec_id ORDER BY {d}, c.cluster) AS rn
+    FROM pts p CROSS JOIN c{_KMEANS_ROUNDS} c) WHERE rn <= 2
+  GROUP BY vec_id)""")
+    parts.append(f"""sil AS (
+  SELECT cluster,
+         CAST(floor(({s_raw}) * 10000.0 + 0.5) AS BIGINT) AS sil_i
+  FROM ab)""")
+    return (
+        ",\n".join(parts)
+        + f"""
+SELECT cluster, count(*) AS n_points,
+       {rnd_sql('sum(sil_i) / (count(*) * 10000.0)', 4)} AS mean_silhouette
+FROM sil GROUP BY cluster ORDER BY cluster
 """
     )
 
@@ -1117,6 +1229,7 @@ ORDER BY q_id
 
 QUERIES = {
     "kmeans_cluster_profile": kmeans_cluster_profile,
+    "kmeans_silhouette_eval": kmeans_silhouette_eval,
     "sq8_topk": sq8_topk,
     "sq8_recall_eval": sq8_recall_eval,
     "cosine_topk": cosine_topk,
@@ -1133,6 +1246,7 @@ QUERIES = {
 
 ORACLE = {
     "kmeans_cluster_profile": _kmeans_profile_sql(),
+    "kmeans_silhouette_eval": _kmeans_silhouette_sql(),
     "sq8_topk": _SQ8_TOPK_SQL,
     "sq8_recall_eval": _SQ8_RECALL_SQL,
     "ivf_recall_eval": _ivf_recall_sql(),

@@ -1,0 +1,143 @@
+"""File-level min/max manifest (lake/manifest.py): build, prune, and the
+correctness rule that makes data skipping safe — skip only on proof.
+
+The test table is range-partitioned on the pruning column so files have
+tight, mostly-disjoint [min, max] spans (the layout z-order produces);
+a narrow range predicate must then drop most files while every read
+stays exactly equal to the full-scan filter.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from cardano_analytics_duckdb_spark.lake.manifest import (
+    MANIFEST_DIR,
+    build_manifest,
+    prune_files,
+    read_pruned,
+)
+from cardano_analytics_duckdb_spark.lake.tables import load_table
+
+N_FILES = 8
+
+
+@pytest.fixture(scope="module")
+def mtable(spark, sf_dir, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("manifest") / "orders_m")
+    src = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    # range layout on the pruning column -> disjoint per-file spans
+    src.repartitionByRange(N_FILES, "o_totalprice").write.parquet(path)
+    build_manifest(spark, path)
+    return path
+
+
+def _full(spark, mtable):
+    return spark.read.parquet(mtable)
+
+
+def test_manifest_dir_is_reader_invisible(spark, sf_dir, mtable):
+    assert os.path.isdir(os.path.join(mtable, MANIFEST_DIR))
+    src = load_table(spark, sf_dir, "orders")
+    assert _full(spark, mtable).count() == src.count()
+
+
+def test_manifest_rows_cover_files_and_columns(spark, mtable):
+    m = spark.read.parquet(os.path.join(mtable, MANIFEST_DIR))
+    files = {r["file"] for r in m.select("file").distinct().collect()}
+    assert len(files) == N_FILES
+    cols = {r["column"] for r in m.select("column").distinct().collect()}
+    assert {"o_orderkey", "o_totalprice", "o_orderstatus"} <= cols
+    # numeric stats on the numeric column, string stats on the string one
+    tp = m.filter(F.col("column") == "o_totalprice").first()
+    assert tp["min_num"] is not None and tp["min_str"] is None
+    st = m.filter(F.col("column") == "o_orderstatus").first()
+    assert st["min_str"] is not None and st["min_num"] is None
+
+
+def test_prune_is_strict_subset_on_narrow_range(spark, mtable):
+    lo, hi = _full(spark, mtable).agg(
+        F.min("o_totalprice"), F.max("o_totalprice")
+    ).first()
+    width = (hi - lo) / N_FILES
+    kept = prune_files(spark, mtable, "o_totalprice", lo, lo + width / 2)
+    assert 0 < len(kept) < N_FILES
+
+
+def test_read_pruned_equals_full_filter(spark, mtable):
+    lo, hi = _full(spark, mtable).agg(
+        F.min("o_totalprice"), F.max("o_totalprice")
+    ).first()
+    mid_lo = lo + (hi - lo) * 0.3
+    mid_hi = lo + (hi - lo) * 0.42
+    expect = sorted(
+        map(
+            tuple,
+            _full(spark, mtable)
+            .filter(
+                (F.col("o_totalprice") >= mid_lo)
+                & (F.col("o_totalprice") <= mid_hi)
+            )
+            .collect(),
+        )
+    )
+    actual = sorted(
+        map(
+            tuple,
+            read_pruned(spark, mtable, "o_totalprice", mid_lo, mid_hi)
+            .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+            .collect(),
+        )
+    )
+    assert actual == expect
+    assert len(actual) > 0
+
+
+def test_out_of_range_prunes_everything(spark, mtable):
+    hi = _full(spark, mtable).agg(F.max("o_totalprice")).first()[0]
+    assert prune_files(spark, mtable, "o_totalprice", hi + 1e6, None) == []
+    df = read_pruned(spark, mtable, "o_totalprice", hi + 1e6, None)
+    assert df.count() == 0
+    # empty result still carries the table schema
+    assert "o_custkey" in df.columns
+
+
+def test_post_build_appends_are_never_skipped(spark, mtable):
+    """The staleness contract: files appended AFTER the manifest build
+    have no stats and must always be read."""
+    hi = _full(spark, mtable).agg(F.max("o_totalprice")).first()[0]
+    extra = spark.createDataFrame(
+        [(10_000_001, 1, float(hi) + 5e6, "X")],
+        "o_orderkey long, o_custkey long, o_totalprice double, o_orderstatus string",
+    )
+    extra.coalesce(1).write.mode("append").parquet(mtable)
+    got = read_pruned(
+        spark, mtable, "o_totalprice", float(hi) + 1e6, None
+    ).collect()
+    assert [r["o_orderkey"] for r in got] == [10_000_001]
+    # rebuild folds the new file in; pruning now skips it for old ranges
+    build_manifest(spark, mtable)
+    lo = _full(spark, mtable).agg(F.min("o_totalprice")).first()[0]
+    kept = prune_files(spark, mtable, "o_totalprice", lo, lo + 1.0)
+    assert all("10_000_001" not in f for f in kept)
+    m = spark.read.parquet(os.path.join(mtable, MANIFEST_DIR))
+    assert m.select("file").distinct().count() == N_FILES + 1
+
+
+def test_unclustered_column_cannot_skip_mid_range(spark, mtable):
+    """o_orderkey was NOT the layout column, so every original file's
+    span straddles the middle of the key range and a mid-range probe
+    skips none of them — the measured motivation for z-order: skipping
+    quality is a property of LAYOUT, surfaced by the manifest.  (The
+    out-of-range single-row file appended by the previous test is the
+    one legitimate skip.)"""
+    base = _full(spark, mtable).filter(F.col("o_orderkey") < 10_000_001)
+    lo, hi = base.agg(F.min("o_orderkey"), F.max("o_orderkey")).first()
+    mid = (lo + hi) / 2.0
+    kept = prune_files(spark, mtable, "o_orderkey", mid, mid)
+    assert len(kept) == N_FILES  # all originals kept, appended row skipped
