@@ -275,6 +275,25 @@ def _cmd_vacuum(args, spark: SparkSession) -> int:
     return 0
 
 
+def _cmd_manifest(args, spark: SparkSession) -> int:
+    from .lake.manifest import build_manifest, prune_files
+
+    if args.probe_column is None:
+        dest = build_manifest(spark, args.table)
+        n = spark.read.parquet(dest).select("file").distinct().count()
+        print(json.dumps({"manifest": dest, "n_files": n}))
+        return 0
+    kept = prune_files(
+        spark, args.table, args.probe_column, args.lo, args.hi
+    )
+    print(
+        json.dumps(
+            {"probe_column": args.probe_column, "kept_files": len(kept)}
+        )
+    )
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="cardano-analytics-spark",
@@ -351,6 +370,22 @@ def build_parser() -> argparse.ArgumentParser:
         " refuses while another maintenance job holds it)",
     )
     va.set_defaults(func=_cmd_vacuum)
+
+    ma = sub.add_parser(
+        "manifest",
+        help="build a file-level min/max stats manifest (default) or"
+        " probe how many files a range predicate would read",
+    )
+    ma.add_argument("--table", required=True, help="parquet table dir")
+    ma.add_argument(
+        "--probe-column",
+        default=None,
+        help="probe instead of build: report surviving file count for"
+        " a range on this column",
+    )
+    ma.add_argument("--lo", type=float, default=None)
+    ma.add_argument("--hi", type=float, default=None)
+    ma.set_defaults(func=_cmd_manifest)
     return p
 
 

@@ -220,3 +220,39 @@ def test_vacuum_cli_reports_then_applies(spark, tmp_path, capsys):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["applied"] is True and out["tmp_dirs"] == ["_compacting__tx"]
     assert not os.path.exists(orphan)
+
+
+def test_manifest_cli_build_then_probe(spark, sf_dir, tmp_path, capsys):
+    import pyspark.sql.functions as F
+
+    from cardano_analytics_duckdb_spark.lake.tables import load_table
+
+    table = str(tmp_path / "orders_m")
+    src = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    src.repartitionByRange(4, "o_totalprice").write.parquet(table)
+
+    rc = main(["manifest", "--table", table], spark=spark)
+    assert rc == 0
+    built = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert built["n_files"] == 4
+
+    lo = src.agg(F.min("o_totalprice")).first()[0]
+    rc = main(
+        [
+            "manifest",
+            "--table",
+            table,
+            "--probe-column",
+            "o_totalprice",
+            "--lo",
+            str(lo),
+            "--hi",
+            str(lo + 1.0),
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    probe = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert 0 < probe["kept_files"] < 4
