@@ -686,6 +686,7 @@ def _compact_lake_locked(
     # are slot_group-bounded, so a single file stays row-group sized.
     for t in tables:
         src = os.path.join(root, t)
+        rewrote = False
         for d in lfs.list_dirs(src):
             if not d.startswith("slot_group="):
                 continue
@@ -704,3 +705,12 @@ def _compact_lake_locked(
             )
             lfs.delete_recursive(part_dir)
             lfs.rename(tmp, part_dir)
+            rewrote = True
+        # A rewrite invalidates manifest entries (old files gone, new
+        # files unknown -> pruning degrades to keep-everything).  Refresh
+        # an EXISTING manifest in the same maintenance window so data
+        # skipping stays tight; tables that never built one pay nothing.
+        from ..lake.manifest import MANIFEST_DIR, build_manifest
+
+        if rewrote and lfs.exists(os.path.join(src, MANIFEST_DIR)):
+            build_manifest(spark, src)

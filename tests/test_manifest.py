@@ -141,3 +141,29 @@ def test_unclustered_column_cannot_skip_mid_range(spark, mtable):
     mid = (lo + hi) / 2.0
     kept = prune_files(spark, mtable, "o_orderkey", mid, mid)
     assert len(kept) == N_FILES  # all originals kept, appended row skipped
+
+
+def test_compaction_refreshes_existing_manifest(spark, sf_dir, tmp_path):
+    """compact_lake rewrites files; an existing manifest must be rebuilt
+    in the same maintenance window or pruning degrades to keep-all."""
+    from cardano_analytics_duckdb_spark.streaming.ingest import compact_lake
+
+    root = str(tmp_path / "lake")
+    tx = os.path.join(root, "tx")
+    src = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("tx_fee"),
+        (F.col("o_orderkey") % 2).alias("slot_group"),
+    )
+    for _ in range(3):  # three append chunks per partition
+        src.coalesce(1).write.mode("append").partitionBy("slot_group").parquet(tx)
+    build_manifest(spark, tx)
+    before = spark.read.parquet(os.path.join(tx, MANIFEST_DIR))
+    assert before.select("file").distinct().count() == 6
+
+    compact_lake(spark, root, tables=["tx"])
+    after = spark.read.parquet(os.path.join(tx, MANIFEST_DIR))
+    files = [r["file"] for r in after.select("file").distinct().collect()]
+    assert len(files) == 2  # one rewritten file per slot_group
+    # refreshed entries prune against the LIVE post-compaction files
+    hi = spark.read.parquet(tx).agg(F.max("tx_fee")).first()[0]
+    assert prune_files(spark, tx, "tx_fee", hi + 1, None) == []
