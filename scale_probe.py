@@ -98,6 +98,54 @@ def timed_pass(spark, scratch: str, n_runs: int = 3) -> dict[str, float]:
     return out
 
 
+def manifest_probe(spark, scratch: str, n_runs: int = 3) -> dict:
+    """Data-skipping evidence: the SAME range query on the SAME rows under
+    two layouts — as-written (random 64-file) vs z-ordered — each with a
+    stats manifest.  Records files kept and wall time of the pruned read
+    vs the full-scan filter; the point being measured: skipping quality
+    is a property of LAYOUT (zorder tightens per-file spans), and the
+    manifest is what converts that into files never opened."""
+    from cardano_analytics_duckdb_spark.lake.manifest import (
+        build_manifest,
+        prune_files,
+        read_pruned,
+    )
+    from cardano_analytics_duckdb_spark.lake.zorder import zorder_write
+
+    linear = os.path.join(scratch, "lineitem")
+    li = spark.read.parquet(linear)
+    zpath = os.path.join(scratch, "lineitem_z")
+    zorder_write(
+        li, zpath, ["l_orderkey", "l_partkey"], out_files=64
+    )
+    lo, hi = li.agg(F.min("l_partkey"), F.max("l_partkey")).first()
+    qlo, qhi = float(lo), float(lo) + (float(hi) - float(lo)) / 16.0
+    out = {"probe": f"l_partkey range 1/16 of span, one dim of a 2-dim z-order"}
+    for name, path in (("linear", linear), ("zorder", zpath)):
+        build_manifest(spark, path)
+        kept = prune_files(spark, path, "l_partkey", qlo, qhi)
+        total = len(prune_files(spark, path, "l_partkey", None, None))
+        t_full, t_pruned = [], []
+        for _ in range(n_runs):
+            full_df = spark.read.parquet(path).filter(
+                (F.col("l_partkey") >= qlo) & (F.col("l_partkey") <= qhi)
+            )
+            t0 = time.perf_counter()
+            full_df.write.format("noop").mode("overwrite").save()
+            t_full.append(time.perf_counter() - t0)
+            pruned_df = read_pruned(spark, path, "l_partkey", qlo, qhi)
+            t0 = time.perf_counter()
+            pruned_df.write.format("noop").mode("overwrite").save()
+            t_pruned.append(time.perf_counter() - t0)
+        out[name] = {
+            "files_total": total,
+            "files_kept": len(kept),
+            "t_full_scan": round(sorted(t_full)[n_runs // 2], 3),
+            "t_pruned": round(sorted(t_pruned)[n_runs // 2], 3),
+        }
+    return out
+
+
 def main() -> None:
     scratch = sys.argv[1] if len(sys.argv) > 1 else "/tmp/spark_scale_probe"
     # Production shuffle sizing posture: oversized partition count, AQE
@@ -123,6 +171,7 @@ def main() -> None:
     summary["aqe_on_over_off"] = round(
         summary["total_aqe_on"] / summary["total_aqe_off"], 3
     )
+    summary["manifest_skipping"] = manifest_probe(spark, scratch)
     with open("SCALE_PROBE.json", "w") as f:
         json.dump(summary, f, indent=2)
     print(json.dumps(summary))
