@@ -276,9 +276,13 @@ def _cmd_vacuum(args, spark: SparkSession) -> int:
 
 
 def _cmd_manifest(args, spark: SparkSession) -> int:
-    from .lake.manifest import build_manifest, prune_files
+    from .lake.manifest import build_manifest, prune_files, update_manifest
 
     if args.probe_column is None:
+        if args.update:
+            n_new = update_manifest(spark, args.table)
+            print(json.dumps({"updated": True, "n_new_files": n_new}))
+            return 0
         dest = build_manifest(spark, args.table)
         n = spark.read.parquet(dest).select("file").distinct().count()
         print(json.dumps({"manifest": dest, "n_files": n}))
@@ -385,6 +389,12 @@ def build_parser() -> argparse.ArgumentParser:
     )
     ma.add_argument("--lo", type=float, default=None)
     ma.add_argument("--hi", type=float, default=None)
+    ma.add_argument(
+        "--update",
+        action="store_true",
+        help="incremental: stat only files without a manifest entry"
+        " (O(new files) instead of a full rebuild)",
+    )
     ma.set_defaults(func=_cmd_manifest)
     return p
 

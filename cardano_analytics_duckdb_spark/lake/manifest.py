@@ -101,11 +101,56 @@ def build_manifest(spark: SparkSession, table_dir: str) -> str:
     (int/float/bool) and temporal stats land in ``min_num``/``max_num``
     (timestamps as POSIX seconds, dates as ordinal days); string stats in
     ``min_str``/``max_str``.
+
+    Driver-side traffic is file NAMES only (the listing here, the
+    per-file skip verdicts in :func:`prune_files`) — the same metadata
+    cost class as Spark's own InMemoryFileIndex for the scan being
+    replaced; stats bytes stay in executors and parquet.  For steady
+    append workloads prefer :func:`update_manifest` (cost ∝ new files).
     """
+    return _write_stats(spark, table_dir, mode="overwrite")
+
+
+def update_manifest(spark: SparkSession, table_dir: str) -> int:
+    """Incrementally extend the manifest: compute footer stats ONLY for
+    live data files with no manifest entry and append them; returns how
+    many files were added.  This is the steady-state maintenance path —
+    an append-heavy lake pays O(delta) per refresh instead of
+    :func:`build_manifest`'s O(files) rebuild.  Entries for deleted
+    files are left in place (pruning drops them against the live
+    listing); run a full rebuild after rewrites to shed them.
+    """
+    lfs = LakeFs(spark, table_dir)
+    mpath = os.path.join(table_dir, MANIFEST_DIR)
+    if not lfs.exists(mpath):
+        build_manifest(spark, table_dir)
+        return len(_data_files(lfs, table_dir))
+    covered = {
+        r["file"]
+        for r in spark.read.parquet(mpath).select("file").distinct().collect()
+    }
+    _write_stats(spark, table_dir, mode="append", skip_rel=covered)
+    live = _relative(_data_files(lfs, table_dir), lfs, table_dir)
+    return sum(1 for rel in live.values() if rel not in covered)
+
+
+def _write_stats(
+    spark: SparkSession,
+    table_dir: str,
+    mode: str,
+    skip_rel: set[str] | None = None,
+) -> str:
     lfs = LakeFs(spark, table_dir)
     files = _data_files(lfs, table_dir)
     rel = _relative(files, lfs, table_dir)
-    rows = [(f, rel[f]) for f in files]
+    rows = [
+        (f, rel[f])
+        for f in files
+        if skip_rel is None or rel[f] not in skip_rel
+    ]
+    dest = os.path.join(table_dir, MANIFEST_DIR)
+    if not rows:
+        return dest
 
     def footer_stats(batches) -> Iterator:
         # Locally-defined kernel: shipped by value (driver harness runs
@@ -247,8 +292,7 @@ def build_manifest(spark: SparkSession, table_dir: str) -> str:
         )
     ).repartition(n_slices)
     manifest = files_df.mapInPandas(footer_stats, schema=_MANIFEST_SCHEMA)
-    dest = os.path.join(table_dir, MANIFEST_DIR)
-    manifest.write.mode("overwrite").parquet(dest)
+    manifest.write.mode(mode).parquet(dest)
     return dest
 
 
@@ -289,17 +333,16 @@ def prune_files(
         & F.col("min_str").isNull()
         & (F.col("null_count") >= F.lit(0))
     )
-    skippable = m.filter(
-        (cond & F.col("min_num").isNotNull()) | all_null
-    )
-    skipped = {r["file"] for r in skippable.select("file").collect()}
-    manifest_files = {r["file"] for r in m.select("file").collect()}
-    out = []
-    for relpath, full in sorted(by_rel.items()):
-        if relpath in manifest_files and relpath in skipped:
-            continue
-        out.append(full)
-    return out
+    verdicts = m.select(
+        "file",
+        ((cond & F.col("min_num").isNotNull()) | all_null).alias("skip"),
+    ).collect()  # one bounded collect: (file name, skip verdict) pairs
+    skipped = {r["file"] for r in verdicts if r["skip"]}
+    return [
+        full
+        for relpath, full in sorted(by_rel.items())
+        if relpath not in skipped
+    ]
 
 
 def read_pruned(

@@ -167,3 +167,36 @@ def test_compaction_refreshes_existing_manifest(spark, sf_dir, tmp_path):
     # refreshed entries prune against the LIVE post-compaction files
     hi = spark.read.parquet(tx).agg(F.max("tx_fee")).first()[0]
     assert prune_files(spark, tx, "tx_fee", hi + 1, None) == []
+
+
+def test_update_manifest_is_incremental(spark, sf_dir, tmp_path):
+    """update_manifest stats only the uncovered files: O(delta) per
+    refresh, and a no-op refresh adds nothing."""
+    from cardano_analytics_duckdb_spark.lake.manifest import update_manifest
+
+    table = str(tmp_path / "orders_u")
+    src = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    src.repartitionByRange(4, "o_totalprice").write.parquet(table)
+    assert update_manifest(spark, table) == 4  # bootstrap == full build
+
+    hi = src.agg(F.max("o_totalprice")).first()[0]
+    spark.createDataFrame(
+        [(20_000_001, float(hi) + 9e6)],
+        "o_orderkey long, o_totalprice double",
+    ).coalesce(1).write.mode("append").parquet(table)
+    assert update_manifest(spark, table) == 1  # only the new file
+    assert update_manifest(spark, table) == 0  # steady state: no-op
+
+    m = spark.read.parquet(os.path.join(table, MANIFEST_DIR))
+    assert m.select("file").distinct().count() == 5
+    # the freshly covered file is now skippable for old ranges ...
+    lo = src.agg(F.min("o_totalprice")).first()[0]
+    kept = prune_files(spark, table, "o_totalprice", lo, lo + 1.0)
+    assert len(kept) <= 2 and all("part-" in f for f in kept)
+    # ... and found for its own range
+    got = read_pruned(
+        spark, table, "o_totalprice", float(hi) + 1e6, None
+    ).collect()
+    assert [r["o_orderkey"] for r in got] == [20_000_001]
