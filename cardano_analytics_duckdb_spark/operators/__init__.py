@@ -57,6 +57,8 @@ _WINDOW = (
     "corpus_keep_decisions",
     "kmeans_silhouette_eval",
     "cross_source_dup_leakage",
+    "pq_topk",
+    "pq_recall_eval",
     # last driver row r1
     "part_name_tokens",
     "repeat_buyer_custkeys",
@@ -80,15 +82,15 @@ _WINDOW = (
     "payload_metadata",
     "simhash_fingerprints",
     # last driver row r4
-    "approx_user_stats",
-    "curated_corpus_sample",
     "knn_join_topk",
 )
-# The r6 verdict also named `lsh_multiband_near_dup_pairs` and
-# `tfidf_top_terms` (r5-attested, helpers evolved) — displaced by the two
-# r7-late additions above under the never-checked-first policy (a query
-# with NO driver row ever outranks an r5-green one); both lead the r8
-# oldest-first backlog.
+# Displaced by the four r7-late additions above under the
+# never-checked-first policy (a query with NO driver row ever outranks
+# an attested one): the 2 r6-verdict-named r5 rows
+# (`lsh_multiband_near_dup_pairs`, `tfidf_top_terms`) and 2 r4 rows
+# (`approx_user_stats`, `curated_corpus_sample`).  The r8 oldest-first
+# backlog leads with those four, then `benchmark_contamination` (r4) and
+# the r5 block.
 # out this round: every r5/r6-green row with no r7 code diff (cluster
 # reports, minhash family, the r1-vintage relational block re-attested in
 # r6, ...).  Still in the oldest-first backlog for r8: user_hourly_gapfill,

@@ -1227,9 +1227,206 @@ ORDER BY q_id
 )
 
 
+# -- product quantization (PQ): the sub-vector compression scale path --------
+# Completes the classic ANN compression trio: IVF prunes CANDIDATES, SQ8
+# compresses SCALARS (4x), PQ compresses SUB-VECTORS — each embedding is
+# m=8 subspaces of 8 dims, each encoded as the index of its nearest
+# codebook entry (K=16 -> 4 bits), so 256 B of float32 becomes 4 B of
+# codes: 64x compression, the regime where a 100 TB embedding corpus
+# fits a few hundred GB of RAM.  Search is ADC against the reconstructed
+# centroids, exactly like the SQ8 path, and the recall eval prices the
+# quality cost the same way.
+#
+# Codebooks here are SAMPLED (the k lowest vec_ids, the same seeding the
+# k-means family uses) so the whole pipeline is replayable as SQL; a
+# production deployment would refine each subspace codebook with the
+# per-subspace Lloyd's iterations `_kmeans_centroids` already implements
+# and store the trained codebook + codes at ingest.  Encoding is a
+# narrow JVM-side expression over BROADCAST-LITERAL codebooks — no
+# shuffle, no Python.
+
+_PQ_M = 8  # subspaces
+_PQ_SUB = 8  # dims per subspace (m * sub == _DIM)
+_PQ_K = 16  # codebook entries per subspace
+
+
+def _sub_euclid(lo: int, n: int, centroid: list[float]) -> Column:
+    """Euclidean distance of vec[lo-1 : lo-1+n] (1-based ``lo``) to a
+    literal sub-centroid — `_euclid` over a slice."""
+    return F.sqrt(
+        F.expr(
+            f"aggregate(zip_with(slice(embedding, {lo}, {n}), {_plane_lit(centroid)},"
+            " (x, y) -> (cast(x as double) - y) * (cast(x as double) - y)),"
+            " cast(0.0 as double), (acc, v) -> acc + v)"
+        )
+    )
+
+
+def _pq_codebook(emb: DataFrame) -> list[list[float]]:
+    init = emb.orderBy("vec_id").limit(_PQ_K).collect()
+    return [[_r6(x) for x in r["embedding"]] for r in init]
+
+
+def _pq_xhat(cb: list[list[float]]) -> Column:
+    """Reconstruction (decode(encode(v))): per subspace, the nearest
+    codebook sub-vector (ties toward the lower code), concatenated."""
+    subs = []
+    for s in range(_PQ_M):
+        lo = s * _PQ_SUB + 1
+        choice = F.array_min(
+            F.array(
+                *[
+                    F.struct(
+                        rnd(
+                            _sub_euclid(
+                                lo,
+                                _PQ_SUB,
+                                cb[j][s * _PQ_SUB : (s + 1) * _PQ_SUB],
+                            ),
+                            6,
+                        ).alias("d"),
+                        F.lit(j).cast("int").alias("j"),
+                        F.expr(
+                            _plane_lit(cb[j][s * _PQ_SUB : (s + 1) * _PQ_SUB])
+                        ).alias("v"),
+                    )
+                    for j in range(_PQ_K)
+                ]
+            )
+        )
+        subs.append(choice["v"])
+    return F.flatten(F.array(*subs))
+
+
+def pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = _pq_codebook(emb)
+    qz = emb.select("vec_id", "embedding", _pq_xhat(cb).alias("xhat"))
+    query = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q")
+    )
+    sim = _dot("xhat", "q") / (_norm("xhat") * _norm("q"))
+    return (
+        qz.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(query))
+        .select("vec_id", rnd(sim, 4).alias("pq_sim"))
+        .orderBy(F.col("pq_sim").desc(), F.col("vec_id"))
+        .limit(10)
+    )
+
+
+_PQ_SQL_COMMON = f"""
+WITH pts AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cb AS (
+  SELECT j, list_transform(v, x -> floor((x) * 1000000.0 + 0.5) / 1000000.0) AS v FROM (
+    SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS j, v
+    FROM pts) WHERE j < {_PQ_K}),
+enc AS (
+  SELECT vec_id, s, v_sub FROM (
+    SELECT p.vec_id, s.s,
+           list_slice(c.v, s.s * {_PQ_SUB} + 1, s.s * {_PQ_SUB} + {_PQ_SUB}) AS v_sub,
+           row_number() OVER (
+             PARTITION BY p.vec_id, s.s
+             ORDER BY floor((list_distance(
+                         list_slice(p.v, s.s * {_PQ_SUB} + 1, s.s * {_PQ_SUB} + {_PQ_SUB}),
+                         list_slice(c.v, s.s * {_PQ_SUB} + 1, s.s * {_PQ_SUB} + {_PQ_SUB})
+                       )) * 1000000.0 + 0.5) / 1000000.0, c.j) AS rn
+    FROM pts p
+    CROSS JOIN (SELECT unnest(generate_series(0, {_PQ_M - 1})) AS s) s
+    CROSS JOIN cb c) WHERE rn = 1),
+qz AS (
+  SELECT e.vec_id, any_value(p.v) AS v, flatten(list(e.v_sub ORDER BY e.s)) AS xhat
+  FROM enc e JOIN pts p USING (vec_id)
+  GROUP BY e.vec_id)
+"""
+
+_PQ_TOPK_SQL = (
+    _PQ_SQL_COMMON
+    + """, q AS (SELECT v AS qv FROM qz WHERE vec_id = 0)
+SELECT vec_id,
+       floor((list_cosine_similarity(xhat, qv)) * 10000.0 + 0.5) / 10000.0 AS pq_sim
+FROM qz, q
+WHERE vec_id != 0
+ORDER BY pq_sim DESC, vec_id
+LIMIT 10
+"""
+)
+
+
+def pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@k of the PQ (64x-compressed) ranking vs the exact ranking —
+    same harness as :func:`sq8_recall_eval`, so the three compression/
+    pruning axes report quality on one comparable scale."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = _pq_codebook(emb)
+    qz = emb.select("vec_id", "embedding", _pq_xhat(cb).alias("xhat"))
+    q = emb.filter(F.col("vec_id") < _EVAL_Q).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q")
+    )
+    exact = rnd(_dot("embedding", "q") / (_norm("embedding") * _norm("q")), 4)
+    approx = rnd(_dot("xhat", "q") / (_norm("xhat") * _norm("q")), 4)
+    pairs = qz.join(F.broadcast(q), F.col("vec_id") != F.col("q_id")).select(
+        "q_id", "vec_id", exact.alias("exact_sim"), approx.alias("pq_sim")
+    )
+    w_exact = Window.partitionBy("q_id").orderBy(
+        F.col("exact_sim").desc(), F.col("vec_id")
+    )
+    w_pq = Window.partitionBy("q_id").orderBy(
+        F.col("pq_sim").desc(), F.col("vec_id")
+    )
+    k = F.lit(_EVAL_K)
+    ranked = pairs.withColumn(
+        "exact_rank", F.row_number().over(w_exact)
+    ).withColumn("pq_rank", F.row_number().over(w_pq))
+    return (
+        ranked.groupBy("q_id")
+        .agg(
+            F.count(
+                F.when((F.col("exact_rank") <= k) & (F.col("pq_rank") <= k), 1)
+            ).alias("n_hits")
+        )
+        .select(
+            "q_id",
+            "n_hits",
+            rnd(F.col("n_hits") / k.cast("double"), 4).alias("recall_at_10"),
+        )
+        .transform(small_sorted, "q_id")
+    )
+
+
+_PQ_RECALL_SQL = (
+    _PQ_SQL_COMMON
+    + f""", q AS (
+  SELECT vec_id AS q_id, v AS qv FROM qz WHERE vec_id < {_EVAL_Q}
+), p AS (
+  SELECT q.q_id, qz.vec_id,
+         floor((list_cosine_similarity(qz.v, q.qv)) * 10000.0 + 0.5) / 10000.0 AS exact_sim,
+         floor((list_cosine_similarity(qz.xhat, q.qv)) * 10000.0 + 0.5) / 10000.0 AS pq_sim
+  FROM qz, q WHERE qz.vec_id != q.q_id
+), r AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY exact_sim DESC, vec_id) AS exact_rank,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY pq_sim DESC, vec_id) AS pq_rank
+  FROM p
+)
+SELECT q_id,
+       count(*) FILTER (WHERE exact_rank <= {_EVAL_K} AND pq_rank <= {_EVAL_K}) AS n_hits,
+       floor((count(*) FILTER (WHERE exact_rank <= {_EVAL_K} AND pq_rank <= {_EVAL_K})
+              / {float(_EVAL_K)}) * 10000.0 + 0.5) / 10000.0 AS recall_at_10
+FROM r
+GROUP BY q_id
+ORDER BY q_id
+"""
+)
+
+
 QUERIES = {
     "kmeans_cluster_profile": kmeans_cluster_profile,
     "kmeans_silhouette_eval": kmeans_silhouette_eval,
+    "pq_topk": pq_topk,
+    "pq_recall_eval": pq_recall_eval,
     "sq8_topk": sq8_topk,
     "sq8_recall_eval": sq8_recall_eval,
     "cosine_topk": cosine_topk,
@@ -1247,6 +1444,8 @@ QUERIES = {
 ORACLE = {
     "kmeans_cluster_profile": _kmeans_profile_sql(),
     "kmeans_silhouette_eval": _kmeans_silhouette_sql(),
+    "pq_topk": _PQ_TOPK_SQL,
+    "pq_recall_eval": _PQ_RECALL_SQL,
     "sq8_topk": _SQ8_TOPK_SQL,
     "sq8_recall_eval": _SQ8_RECALL_SQL,
     "ivf_recall_eval": _ivf_recall_sql(),
