@@ -200,3 +200,41 @@ def test_update_manifest_is_incremental(spark, sf_dir, tmp_path):
         spark, table, "o_totalprice", float(hi) + 1e6, None
     ).collect()
     assert [r["o_orderkey"] for r in got] == [20_000_001]
+
+
+def test_read_pruned_preserves_partition_columns(spark, sf_dir, tmp_path):
+    """Pruned reads pass explicit file lists; option(basePath) must keep
+    hive partition columns alive and consistent with the full scan."""
+    table = str(tmp_path / "part_table")
+    src = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_totalprice",
+        (F.col("o_orderkey") % 3).alias("bucket3"),
+    )
+    src.repartitionByRange(2, "o_totalprice").write.partitionBy(
+        "bucket3"
+    ).parquet(table)
+    build_manifest(spark, table)
+    lo, hi = src.agg(F.min("o_totalprice"), F.max("o_totalprice")).first()
+    mid_lo, mid_hi = lo + (hi - lo) * 0.2, lo + (hi - lo) * 0.5
+    got = read_pruned(spark, table, "o_totalprice", mid_lo, mid_hi)
+    assert "bucket3" in got.columns
+    expect = sorted(
+        map(
+            tuple,
+            spark.read.parquet(table)
+            .filter(
+                (F.col("o_totalprice") >= mid_lo)
+                & (F.col("o_totalprice") <= mid_hi)
+            )
+            .select("o_orderkey", "o_totalprice", "bucket3")
+            .collect(),
+        )
+    )
+    actual = sorted(
+        map(
+            tuple,
+            got.select("o_orderkey", "o_totalprice", "bucket3").collect(),
+        )
+    )
+    assert actual == expect and len(actual) > 0
