@@ -59,6 +59,7 @@ _WINDOW = (
     "cross_source_dup_leakage",
     "pq_topk",
     "pq_recall_eval",
+    "bpe_vocab_merges",
     # last driver row r1
     "part_name_tokens",
     "repeat_buyer_custkeys",
@@ -81,16 +82,14 @@ _WINDOW = (
     "part_name_levenshtein_pairs",
     "payload_metadata",
     "simhash_fingerprints",
-    # last driver row r4
-    "knn_join_topk",
 )
-# Displaced by the four r7-late additions above under the
+# Displaced by the five r7-late additions above under the
 # never-checked-first policy (a query with NO driver row ever outranks
 # an attested one): the 2 r6-verdict-named r5 rows
-# (`lsh_multiband_near_dup_pairs`, `tfidf_top_terms`) and 2 r4 rows
-# (`approx_user_stats`, `curated_corpus_sample`).  The r8 oldest-first
-# backlog leads with those four, then `benchmark_contamination` (r4) and
-# the r5 block.
+# (`lsh_multiband_near_dup_pairs`, `tfidf_top_terms`) and 3 r4 rows
+# (`approx_user_stats`, `curated_corpus_sample`, `knn_join_topk`).  The
+# r8 oldest-first backlog leads with those five, then
+# `benchmark_contamination` (r4) and the r5 block.
 # out this round: every r5/r6-green row with no r7 code diff (cluster
 # reports, minhash family, the r1-vintage relational block re-attested in
 # r6, ...).  Still in the oldest-first backlog for r8: user_hourly_gapfill,

@@ -604,6 +604,125 @@ ORDER BY score DESC, pair LIMIT 20
 """
 
 
+# -- BPE merge training (tokenizer training, step 2) --------------------------
+# The actual BPE training loop: R rounds of score-all-pairs -> merge the
+# argmax -> rewrite the vocab's symbol sequences.  Step 1
+# (`bpe_merge_candidates`) is one scoring pass over the character
+# vocabulary; this runs the fixpoint and emits the MERGE LIST — the
+# artifact a tokenizer ships.
+#
+# Scale shape (the promise in step 1's docstring, kept): every round
+# iterates the DISTINCT-word vocabulary only (cached once; Zipf-absorbed
+# from the corpus by one hash-agg), pair scoring is one explode + one
+# hash-agg over it, and the merge apply is a narrow string `replace`.
+# Driver state is the merge list itself (R rows) plus one 1-row collect
+# per round — the same bounded-driver-state pattern as the k-means
+# centroids.  Symbols are tracked as '<sym>'-marked space-joined strings
+# so the merge apply is a plain leftmost non-overlapping string replace
+# with identical semantics on both engines (markers make cross-symbol
+# matches impossible; corpus tokens never contain '<', '>' or spaces).
+
+_BPE_TRAIN_ROUNDS = 5
+
+
+def bpe_vocab_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(
+            "freq",
+            F.expr("rtrim(regexp_replace(word, '(.)', '<$1> '))").alias("s"),
+        )
+        .cache()
+    )
+    state = vocab
+    merges: list[tuple] = []
+    try:
+        for r in range(1, _BPE_TRAIN_ROUNDS + 1):
+            syms = state.filter(
+                F.expr("size(split(s, ' ')) >= 2")
+            ).select("freq", F.split("s", " ").alias("ss"))
+            pairs = syms.select(
+                "freq",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(ss) - 1), i ->"
+                        " concat_ws(' ', element_at(ss, i),"
+                        " element_at(ss, i + 1)))"
+                    )
+                ).alias("pat"),
+            )
+            top = (
+                pairs.groupBy("pat")
+                .agg(F.sum("freq").alias("score"))
+                .orderBy(F.col("score").desc(), "pat")
+                .limit(1)
+                .collect()
+            )
+            if not top:
+                break
+            pat, score = top[0]["pat"], top[0]["score"]
+            merged = pat.replace("> <", "")  # '<a> <b>' -> '<ab>'
+            left_m, right_m = pat.split(" ")
+            merges.append(
+                (r, left_m[1:-1], right_m[1:-1], merged[1:-1], score)
+            )
+            state = state.select(
+                "freq",
+                F.replace(F.col("s"), F.lit(pat), F.lit(merged)).alias("s"),
+            )
+        return spark.createDataFrame(
+            merges,
+            "merge_rank int, left_sym string, right_sym string,"
+            " merged string, score long",
+        ).orderBy("merge_rank")
+    finally:
+        vocab.unpersist()
+
+
+def _bpe_train_sql() -> str:
+    parts = [
+        """WITH v0 AS (
+  SELECT freq, rtrim(regexp_replace(word, '(.)', '<\\1> ', 'g')) AS s
+  FROM (SELECT t.word AS word, count(*) AS freq
+        FROM documents, unnest(string_split(text, ' ')) AS t(word)
+        WHERE t.word != '' GROUP BY t.word))"""
+    ]
+    for r in range(1, _BPE_TRAIN_ROUNDS + 1):
+        parts.append(f"""p{r} AS (
+  SELECT ss[g] || ' ' || ss[g + 1] AS pat, sum(freq) AS score
+  FROM (SELECT freq, string_split(s, ' ') AS ss FROM v{r - 1}),
+       unnest(generate_series(1, len(ss) - 1)) AS u(g)
+  GROUP BY pat)""")
+        parts.append(
+            f"b{r} AS (SELECT pat, score FROM p{r}"
+            " ORDER BY score DESC, pat LIMIT 1)"
+        )
+        if r < _BPE_TRAIN_ROUNDS:
+            parts.append(f"""v{r} AS (
+  SELECT freq, replace(s, b.pat, replace(b.pat, '> <', '')) AS s
+  FROM v{r - 1}, b{r} b)""")
+    rows = "\nUNION ALL\n".join(
+        f"""SELECT {r} AS merge_rank,
+       substr(string_split(pat, ' ')[1], 2,
+              length(string_split(pat, ' ')[1]) - 2) AS left_sym,
+       substr(string_split(pat, ' ')[2], 2,
+              length(string_split(pat, ' ')[2]) - 2) AS right_sym,
+       substr(replace(pat, '> <', ''), 2,
+              length(replace(pat, '> <', '')) - 2) AS merged,
+       CAST(score AS BIGINT) AS score
+FROM b{r}"""
+        for r in range(1, _BPE_TRAIN_ROUNDS + 1)
+    )
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT * FROM (\n{rows}\n) ORDER BY merge_rank\n"
+    )
+
+
 # -- document chunking (RAG / context-window preparation) ---------------------
 # The op every retrieval or long-context pipeline runs between curation
 # and embedding: split each document into fixed-size chunks with overlap
@@ -652,6 +771,7 @@ ORDER BY doc_id, chunk_idx
 QUERIES = {
     "bigram_logprob_scores": bigram_logprob_scores,
     "bpe_merge_candidates": bpe_merge_candidates,
+    "bpe_vocab_merges": bpe_vocab_merges,
     "doc_chunks": doc_chunks,
     "doc_quality_scores": doc_quality_scores,
     "lang_id_scores": lang_id_scores,
@@ -669,6 +789,7 @@ QUERIES = {
 ORACLE = {
     "bigram_logprob_scores": _BIGRAM_LM_SQL,
     "bpe_merge_candidates": _BPE_MERGE_SQL,
+    "bpe_vocab_merges": _bpe_train_sql(),
     "doc_chunks": _DOC_CHUNKS_SQL,
     "doc_regex_features": _REGEX_FEATURES_SQL,
     "doc_quality_scores": _QUALITY_SQL,
