@@ -554,3 +554,78 @@ def test_doc_chunks_reconstruct_documents(spark, sf_dir):
         .count()
     )
     assert mismatches == 0
+
+
+def test_pq_xhat_blocks_come_from_the_codebook(spark, sf_dir):
+    """PQ invariant: every 8-dim block of the reconstruction equals one of
+    that subspace's 16 codebook sub-vectors (decode(encode(v)) lands ON
+    the codebook grid), and codebook vectors reconstruct to themselves
+    up to the r6 seeding quantization.  Checked through the real plan
+    expression, not a python re-implementation."""
+    import pyspark.sql.functions as F
+
+    from cardano_analytics_duckdb_spark.lake.tables import load_table
+    from cardano_analytics_duckdb_spark.operators.similarity import (
+        _PQ_K,
+        _PQ_M,
+        _PQ_SUB,
+        _pq_codebook,
+        _pq_xhat,
+        _r6,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cb = _pq_codebook(emb)
+    rows = emb.select("vec_id", _pq_xhat(cb).alias("xhat")).collect()
+    grids = [
+        {tuple(cb[j][s * _PQ_SUB : (s + 1) * _PQ_SUB]) for j in range(_PQ_K)}
+        for s in range(_PQ_M)
+    ]
+    for r in rows:
+        for s in range(_PQ_M):
+            block = tuple(r["xhat"][s * _PQ_SUB : (s + 1) * _PQ_SUB])
+            assert block in grids[s], (r["vec_id"], s)
+    by_id = {r["vec_id"]: r["xhat"] for r in rows}
+    for j in range(_PQ_K):  # codebook members are fixed points
+        seed = emb.filter(F.col("vec_id") == j).first()["embedding"]
+        assert by_id[j] == [_r6(x) for x in seed]
+
+
+def test_bpe_merge_scores_are_non_increasing(spark, sf_dir):
+    """BPE training invariant: the selected merge scores never increase
+    round over round — a merge only removes pair occurrences, and any
+    NEW pair it creates (x, ab) occurs at most as often as 'ab' itself,
+    i.e. at most the score just selected."""
+    from cardano_analytics_duckdb_spark.operators.textops import (
+        bpe_vocab_merges,
+    )
+
+    rows = bpe_vocab_merges(spark, sf_dir).collect()
+    scores = [r["score"] for r in sorted(rows, key=lambda r: r["merge_rank"])]
+    assert len(scores) >= 2
+    assert all(a >= b for a, b in zip(scores, scores[1:])), scores
+    for r in rows:  # the merged symbol is the concatenation, by construction
+        assert r["merged"] == r["left_sym"] + r["right_sym"]
+
+
+def test_silhouette_is_bounded_and_cluster_consistent(spark, sf_dir):
+    """Centroid silhouette s=(b-a)/max(a,b) with b the SECOND-nearest:
+    b >= a forces s in [0, 1]; the cluster ids must be exactly the
+    profile query's clusters with the same populations."""
+    from cardano_analytics_duckdb_spark.operators.similarity import (
+        kmeans_cluster_profile,
+        kmeans_silhouette_eval,
+    )
+
+    sil = {
+        r["cluster"]: r
+        for r in kmeans_silhouette_eval(spark, sf_dir).collect()
+    }
+    prof = {
+        r["cluster"]: r
+        for r in kmeans_cluster_profile(spark, sf_dir).collect()
+    }
+    assert set(sil) == set(prof)
+    for c, r in sil.items():
+        assert 0.0 <= r["mean_silhouette"] <= 1.0
+        assert r["n_points"] == prof[c]["n_points"]
