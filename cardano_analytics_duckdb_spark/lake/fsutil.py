@@ -35,6 +35,11 @@ class LakeFs:
     def exists(self, path: str) -> bool:
         return self._fs.exists(self._Path(path))
 
+    def uri(self, path: str) -> str:
+        """The path's full URI rendering (scheme included) — for callers
+        that need to relativize listings against a root."""
+        return str(self._Path(path).toUri())
+
     def mkdirs(self, path: str) -> None:
         self._fs.mkdirs(self._Path(path))
 

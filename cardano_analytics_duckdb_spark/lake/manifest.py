@@ -26,6 +26,12 @@ Synergy with ``lake/zorder.py``: z-ordering clusters rows so per-file
 min/max ranges are tight and disjoint — the manifest is what turns that
 layout into skipped IO on non-partition columns.
 
+Scheme support in the footer kernel: ``file:`` URIs open directly;
+other schemes resolve through ``pyarrow.fs.FileSystem.from_uri``
+(``s3a://`` is normalized to ``s3://``), so S3/GCS work wherever the
+executors carry pyarrow's native filesystems; a scheme pyarrow cannot
+open fails loudly as a task error — run the build where the data lives.
+
 Staleness contract: the manifest is a snapshot.  Appends after a build
 are READ (never wrongly skipped) but not pruned until the next
 :func:`build_manifest`; rewrites that delete manifest-listed files leave
@@ -82,7 +88,7 @@ def _data_files(lfs: LakeFs, root: str) -> list[str]:
 def _relative(files: list[str], lfs: LakeFs, root: str) -> dict[str, str]:
     """{full URI -> path relative to the table root} so the manifest
     survives a table move/copy."""
-    root_uri = str(lfs._Path(root).toUri())  # noqa: SLF001 - same package
+    root_uri = lfs.uri(root)
     out = {}
     for f in files:
         rel = f[len(root_uri) :].lstrip("/") if f.startswith(root_uri) else f
@@ -343,6 +349,46 @@ def prune_files(
         for relpath, full in sorted(by_rel.items())
         if relpath not in skipped
     ]
+
+
+def prune_files_box(
+    spark: SparkSession,
+    table_dir: str,
+    preds: list[tuple[str, float | None, float | None]],
+) -> list[str]:
+    """Conjunctive (box) pruning: files that may contain rows satisfying
+    EVERY ``(column, lo, hi)`` predicate — a file is skipped as soon as
+    ANY column's stats prove no-match, so survivors are the intersection
+    of the per-column keep sets.  This is the read shape z-order layouts
+    exist for: each clustered dimension contributes its own skips and
+    the box keeps only files tight in all of them."""
+    kept: set[str] | None = None
+    for column, lo, hi in preds:
+        files = set(prune_files(spark, table_dir, column, lo, hi))
+        kept = files if kept is None else (kept & files)
+        if not kept:
+            return []
+    return sorted(kept or [])
+
+
+def read_pruned_box(
+    spark: SparkSession,
+    table_dir: str,
+    preds: list[tuple[str, float | None, float | None]],
+) -> DataFrame:
+    """The box query itself over surviving files, predicates re-applied
+    row-level; equals ``full scan WHERE AND_i(lo_i <= col_i <= hi_i)``."""
+    files = prune_files_box(spark, table_dir, preds)
+    if not files:
+        df = spark.createDataFrame([], spark.read.parquet(table_dir).schema)
+    else:
+        df = spark.read.option("basePath", table_dir).parquet(*files)
+    for column, lo, hi in preds:
+        if lo is not None:
+            df = df.filter(F.col(column) >= F.lit(lo))
+        if hi is not None:
+            df = df.filter(F.col(column) <= F.lit(hi))
+    return df
 
 
 def read_pruned(

@@ -238,3 +238,50 @@ def test_read_pruned_preserves_partition_columns(spark, sf_dir, tmp_path):
         )
     )
     assert actual == expect and len(actual) > 0
+
+
+def test_box_pruning_on_zordered_layout(spark, sf_dir, tmp_path):
+    """The z-order + manifest synergy end-to-end: a 2-D box over a
+    z-ordered table skips MORE files than either dimension alone, and
+    the pruned read equals the full-scan box filter exactly."""
+    from cardano_analytics_duckdb_spark.lake.manifest import (
+        prune_files_box,
+        read_pruned_box,
+    )
+    from cardano_analytics_duckdb_spark.lake.zorder import zorder_write
+
+    table = str(tmp_path / "lineitem_zm")
+    src = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    zorder_write(src, table, ["l_orderkey", "l_partkey"], out_files=16)
+    build_manifest(spark, table)
+
+    lo_o, hi_o = src.agg(F.min("l_orderkey"), F.max("l_orderkey")).first()
+    lo_p, hi_p = src.agg(F.min("l_partkey"), F.max("l_partkey")).first()
+    box = [
+        ("l_orderkey", float(lo_o), float(lo_o + (hi_o - lo_o) // 4)),
+        ("l_partkey", float(lo_p), float(lo_p + (hi_p - lo_p) // 4)),
+    ]
+    kept_box = prune_files_box(spark, table, box)
+    kept_o = prune_files(spark, table, *box[0])
+    kept_p = prune_files(spark, table, *box[1])
+    assert set(kept_box) == set(kept_o) & set(kept_p)
+    assert 0 < len(kept_box) < 16
+    assert len(kept_box) <= min(len(kept_o), len(kept_p))
+
+    expect = sorted(
+        map(
+            tuple,
+            spark.read.parquet(table)
+            .filter(
+                (F.col("l_orderkey") >= box[0][1])
+                & (F.col("l_orderkey") <= box[0][2])
+                & (F.col("l_partkey") >= box[1][1])
+                & (F.col("l_partkey") <= box[1][2])
+            )
+            .collect(),
+        )
+    )
+    actual = sorted(map(tuple, read_pruned_box(spark, table, box).collect()))
+    assert actual == expect and len(actual) > 0
