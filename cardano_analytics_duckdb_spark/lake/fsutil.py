@@ -36,9 +36,11 @@ class LakeFs:
         return self._fs.exists(self._Path(path))
 
     def uri(self, path: str) -> str:
-        """The path's full URI rendering (scheme included) — for callers
-        that need to relativize listings against a root."""
-        return str(self._Path(path).toUri())
+        """The path's fully-QUALIFIED URI (scheme and authority filled in
+        by the filesystem, e.g. '/tmp/x' -> 'file:/tmp/x') — for callers
+        that relativize listing results (which are always qualified)
+        against a root the user may have given as a plain path."""
+        return str(self._fs.makeQualified(self._Path(path)).toUri())
 
     def mkdirs(self, path: str) -> None:
         self._fs.mkdirs(self._Path(path))

@@ -162,6 +162,7 @@ def _write_stats(
         # Locally-defined kernel: shipped by value (driver harness runs
         # from a foreign cwd — module-level functions don't resolve).
         import datetime as _dt
+        import decimal
 
         import pandas as pd
         import pyarrow.parquet as pq
@@ -181,11 +182,24 @@ def _write_stats(
             return pq.ParquetFile(uri)
 
         def as_num(v):
+            # Naive timestamps (parquet TIMESTAMP_NTZ) must NOT go through
+            # datetime.timestamp(), which applies the executor's LOCAL
+            # timezone — stats would skew by the UTC offset and differ
+            # across executors; interpret naive values as UTC.
+            import calendar
+
             if isinstance(v, bool):
                 return float(v)
             if isinstance(v, (int, float)):
                 return float(v)
+            if isinstance(v, decimal.Decimal):
+                return float(v)
             if isinstance(v, _dt.datetime):
+                if v.tzinfo is None:
+                    return (
+                        float(calendar.timegm(v.timetuple()))
+                        + v.microsecond / 1e6
+                    )
                 return v.timestamp()
             if isinstance(v, _dt.date):
                 return float(v.toordinal())
@@ -199,6 +213,7 @@ def _write_stats(
                 n_rows = md.num_rows
                 agg: dict[str, dict] = {}
                 for rg in range(md.num_row_groups):
+                    rg_rows = md.row_group(rg).num_rows
                     for ci in range(md.num_columns):
                         col = md.row_group(rg).column(ci)
                         name = col.path_in_schema
@@ -216,8 +231,17 @@ def _write_stats(
                                 "has_stats": True,
                             },
                         )
-                        if st is None or not st.has_min_max:
+                        if st is None:
                             a["has_stats"] = False
+                            continue
+                        if not st.has_min_max:
+                            # an ALL-NULL chunk legitimately has no min/max
+                            # and stays trustworthy; any other reason means
+                            # incomplete stats -> poison the entry
+                            if st.null_count == rg_rows:
+                                a["null_count"] += st.null_count
+                            else:
+                                a["has_stats"] = False
                             continue
                         a["null_count"] += st.null_count or 0
                         mn, mx = st.min, st.max
@@ -251,6 +275,12 @@ def _write_stats(
                                 if a["max_str"] is None
                                 else max(a["max_str"], mx)
                             )
+                        else:
+                            # min/max of a type this kernel can't order
+                            # (time, interval, future types): NEVER leave
+                            # the entry looking all-null — that would make
+                            # prune_files wrongly skip a populated file.
+                            a["has_stats"] = False
                 for name, a in agg.items():
                     if not a["has_stats"]:
                         # any stat-less chunk poisons the file's entry for
