@@ -17,14 +17,15 @@ from pyspark.sql import DataFrame, SparkSession
 
 # The driver hard-checks only the FIRST 50 queries in dict order, so
 # registration order decides which operators get a driver correctness row.
-# _WINDOW is the explicit r7 rotation (policy: pin the reference-parity
+# _WINDOW is the explicit r8 rotation (policy: pin the reference-parity
 # cardano family; include everything NEW or whose shared helpers CHANGED
 # this round; fill the rest strictly oldest-first by last driver-green
-# round, computed from CORRECTNESS_r1..r6).  Every r5/r6 green query whose
-# code is untouched rotates out; the pytest oracle suite still covers
-# every query regardless of position.  After r7 every one of the 121
-# queries registered before this round has a driver row in some round;
-# the queries added mid-r7 are in this window for their first row.
+# round, computed from CORRECTNESS_r1..r7).  After r7 all 133 registered
+# queries are ever-driver-green; r8 is pure freshness — the entire
+# r4-vintage tail (17 queries, the oldest rows in the attestation
+# union) plus the oldest 18 of the r5 block, exactly the r7 verdict's
+# "Next round" #1 ask.  The pytest oracle suite still hash-checks every
+# query every round regardless of position.
 _WINDOW = (
     # reference parity (pinned every round)
     "cardano_high_fee_txs",
@@ -42,65 +43,52 @@ _WINDOW = (
     "cardano_transfer_summary_stats",
     "cardano_transfer_type_stats",
     "cardano_address_clusters",
-    # never driver-checked (added after the r6 window froze) — the r6
-    # verdict's #2 ask
-    "bigram_logprob_scores",
-    "near_dup_survivors",
-    "simhash_recall_eval",
-    # new in r7 (never driver-checked)
-    "sq8_topk",
-    "sq8_recall_eval",
-    "duplicated_ngram_coverage",
-    "bpe_merge_candidates",
-    "cardano_address_pagerank",
-    "doc_chunks",
-    "corpus_keep_decisions",
-    "kmeans_silhouette_eval",
-    "cross_source_dup_leakage",
-    "pq_topk",
-    "pq_recall_eval",
-    "bpe_vocab_merges",
-    # last driver row r1
-    "part_name_tokens",
-    "repeat_buyer_custkeys",
-    # last driver row r3
-    "bpe_token_counts",
-    "cosine_topk",
-    "cross_nation_orders",
-    "doc_regex_features",
-    "embedding_dim_stats",
-    "embedding_norm_stats",
-    "exact_dedup_groups",
-    "frame_sample_features",
-    "image_decode_features",
-    "image_resize_features",
-    "ivf_topk",
-    "lsh_bucket_assignments",
-    "lsh_bucketed_near_dup_pairs",
-    "near_dup_doc_clusters",
-    "order_brand_sets",
-    "part_name_levenshtein_pairs",
-    "payload_metadata",
-    "simhash_fingerprints",
+    # last driver row r4 — the whole vintage, verdict-named first
+    "approx_user_stats",
+    "curated_corpus_sample",
+    "knn_join_topk",
+    "benchmark_contamination",
+    "events_asof_purchase",
+    "events_sliding_10min",
+    "events_within_minute_pairs",
+    "order_status_unpivot",
+    "price_decile_stats",
+    "revenue_grouping_sets",
+    "status_price_range_frame",
+    "top_revenue_suppliers",
+    "user_conversion_funnel",
+    "user_event_gaps",
+    "user_hourly_gapfill",
+    "user_running_value",
+    "weekly_cohort_retention",
+    # last driver row r5 — oldest-first fill (verdict-named leaders first)
+    "lsh_multiband_near_dup_pairs",
+    "tfidf_top_terms",
+    "address_credentials",
+    "audio_waveform_features",
+    "corpus_stats_by_source",
+    "event_props_json",
+    "event_value_histogram",
+    "event_value_outliers",
+    "ivf_recall_eval",
+    "lang_id_confusion",
+    "large_volume_customers",
+    "lineitem_column_profile",
+    "lineitem_rollup",
+    "repetition_scores",
+    "sequence_packing_bins",
+    "source_mix_weights",
+    "stratified_split_counts",
+    "vocab_top_tokens",
 )
-# Displaced by the five r7-late additions above under the
-# never-checked-first policy (a query with NO driver row ever outranks
-# an attested one): the 2 r6-verdict-named r5 rows
-# (`lsh_multiband_near_dup_pairs`, `tfidf_top_terms`) and 3 r4 rows
-# (`approx_user_stats`, `curated_corpus_sample`, `knn_join_topk`).  The
-# r8 oldest-first backlog leads with those five, then
-# `benchmark_contamination` (r4) and the r5 block.
-# out this round: every r5/r6-green row with no r7 code diff (cluster
-# reports, minhash family, the r1-vintage relational block re-attested in
-# r6, ...).  Still in the oldest-first backlog for r8: user_hourly_gapfill,
-# user_running_value, user_conversion_funnel, user_event_gaps,
-# weekly_cohort_retention, status_price_range_frame, top_revenue_suppliers,
-# order_status_unpivot, price_decile_stats, revenue_grouping_sets,
-# events_within_minute_pairs, events_sliding_10min, events_asof_purchase,
-# benchmark_contamination (r4 — displaced mid-r7 by the new sq8 /
-# span-dedup / bpe-merge / pagerank / doc-chunking / keep-decision
-# queries) and
-# the r5 block.  All stay pytest-oracle-green every round.
+# Still in the oldest-first backlog for r9 (last row r5, rotated out only
+# because the window is 50): events_tumbling_5min, high_value_orders,
+# pricing_summary, revenue_by_region, shipping_priority,
+# status_price_position, streaming_click_purchase_join,
+# streaming_dedup_events, streaming_session_windows,
+# streaming_stateful_sessions, streaming_tumbling_counts,
+# top_orders_per_customer, user_sessions — then the r6 block.  All stay
+# pytest-oracle-green every round.
 
 
 def _ordered(pick) -> dict:
