@@ -1,10 +1,12 @@
 """Multimodal-column operators (LLM-pipeline extension, driver spec).
 
-Images/audio/video are opaque ``binary`` payloads with typed metadata.  The
-container has no decode libraries (PIL/ffmpeg), so the *decode* step is a
-deterministic fake behind ``mapInPandas`` — but the Spark-side plumbing is
-real and oracle-checked: binary column handling, Arrow batch iteration, UDF
-signatures, output schemas.  Real decoders drop into ``_decode_payload``.
+Images/audio/video are opaque ``binary`` payloads with typed metadata.
+Decoder selection is an EXPLICIT parameter (``decoder="fixture"`` default,
+``decoder="pil"`` for real PIL decoding) — never inferred from what happens
+to be importable, so installing Pillow into the environment cannot change
+query behavior.  The fixture decoder is a deterministic fake behind
+``mapInPandas`` with real, oracle-checked Spark plumbing: binary column
+handling, Arrow batch iteration, UDF signatures, output schemas.
 
 The ``documents.text`` column stands in for the payload (UTF-8 bytes);
 at 100 TB these are real image bytes and the same plan applies: narrow
@@ -54,57 +56,90 @@ FROM documents
 ORDER BY doc_id
 """
 
-# -- fake image decode via mapInPandas (the real-decoder slot) ----------------
+# -- image decode via mapInPandas (explicit decoder selection) ----------------
+
+#: Valid values for the ``decoder`` parameter.  "fixture" is the
+#: deterministic fake (default — works in any environment, matches the
+#: DuckDB oracle); "pil" decodes real image bytes with Pillow and is only
+#: valid when the caller explicitly asks for it AND Pillow is installed.
+#: Behavior NEVER depends on whether Pillow merely happens to be
+#: importable (that was an environment landmine, fixed in r8).
+DECODERS = ("fixture", "pil")
 
 
-def _decode_payload(payload: bytes) -> dict:
-    """Deterministic fake decode.  A real implementation would do
-    ``PIL.Image.open(io.BytesIO(payload))`` — gated on the import below."""
-    try:  # pragma: no cover - decoder libs absent in this container
-        import PIL.Image  # noqa: F401
+def _decode_payload(payload: bytes, decoder: str = "fixture") -> dict:
+    """Decode one payload into (width, height, fingerprint).
 
-        raise NotImplementedError(
-            "real image decoding not wired; replace _decode_payload"
-        )
-    except ImportError:
-        pass
-    n = len(payload)
-    return {
-        "width": (n % 64) + 1,
-        "height": ((n // 64) % 64) + 1,
-        "fingerprint": hashlib.md5(payload).hexdigest(),
-    }
+    ``decoder="fixture"``: deterministic fake from the byte length + md5.
+    ``decoder="pil"``: real ``PIL.Image.open`` — raises ImportError with a
+    clear message if Pillow is not installed (an explicit request for an
+    unavailable decoder should fail loudly, an *unrequested* library being
+    present must change nothing)."""
+    if decoder == "fixture":
+        n = len(payload)
+        return {
+            "width": (n % 64) + 1,
+            "height": ((n // 64) % 64) + 1,
+            "fingerprint": hashlib.md5(payload).hexdigest(),
+        }
+    if decoder == "pil":  # pragma: no cover - Pillow absent in CI container
+        import io
+
+        import PIL.Image
+
+        img = PIL.Image.open(io.BytesIO(payload))
+        return {
+            "width": img.width,
+            "height": img.height,
+            "fingerprint": hashlib.md5(payload).hexdigest(),
+        }
+    raise ValueError(f"unknown decoder {decoder!r}; expected one of {DECODERS}")
 
 
-def _decoded_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _decoded_frame(
+    spark: SparkSession, sf_dir: str, decoder: str = "fixture"
+) -> DataFrame:
     """Unordered (doc_id, width, height, fingerprint) decode output — the
-    shared upstream of the feature report and the pHash dedup."""
+    shared upstream of the feature report and the pHash dedup.  ``decoder``
+    selects the per-payload decode explicitly (see ``DECODERS``)."""
+    if decoder not in DECODERS:
+        raise ValueError(f"unknown decoder {decoder!r}; expected one of {DECODERS}")
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.col("text").cast("binary").alias("payload")
     )
 
     # Self-contained closure (no references to this package) so cloudpickle
     # ships it by value — Python workers don't have the repo on sys.path.
+    # ``decoder`` is captured as a plain string.
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
         import pandas as _pd
 
-        def _fake_decode(p: bytes) -> tuple[int, int, str]:
-            # real decoder slot: PIL.Image.open(io.BytesIO(p)) — see
-            # _decode_payload below for the gated stub
-            n = len(p)
-            return (
-                (n % 64) + 1,
-                ((n // 64) % 64) + 1,
-                hashlib.md5(p).hexdigest(),
-            )
+        if decoder == "pil":  # pragma: no cover - Pillow absent in CI
+            import io
+
+            import PIL.Image
+
+            def _decode_one(p: bytes) -> tuple[int, int, str]:
+                img = PIL.Image.open(io.BytesIO(p))
+                return (img.width, img.height, hashlib.md5(p).hexdigest())
+
+        else:
+
+            def _decode_one(p: bytes) -> tuple[int, int, str]:
+                n = len(p)
+                return (
+                    (n % 64) + 1,
+                    ((n // 64) % 64) + 1,
+                    hashlib.md5(p).hexdigest(),
+                )
 
         for pdf in batches:
             # one pass over the batch (the decode call is inherently
             # per-item — a real decoder opens one image at a time), then
             # zip straight into columns
-            feats = [_fake_decode(bytes(p)) for p in pdf["payload"]]
+            feats = [_decode_one(bytes(p)) for p in pdf["payload"]]
             width, height, fp = zip(*feats) if feats else ((), (), ())
             yield _pd.DataFrame(
                 {
