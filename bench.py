@@ -107,6 +107,16 @@ def main() -> None:
     n_runs = 7
     timings: dict[str, float] = {}
     duck_timings: dict[str, float] = {}
+    # Run spread, recorded so a noisy snapshot is self-identifying (r7
+    # showed builder-vs-driver ratio divergence of 1.39 vs 1.725 with
+    # identical code — entirely host contention at 70-300 ms/query).
+    # Per engine and query: [min, max] of the 7 runs; plus best-of-7
+    # totals and a contention-resistant companion ratio computed on them
+    # (best-of-N discards noise bursts symmetrically on both engines).
+    spark_spread: dict[str, list[float]] = {}
+    duck_spread: dict[str, list[float]] = {}
+    spark_best: dict[str, float] = {}
+    duck_best: dict[str, float] = {}
     for name in HEADLINE:
         s_runs, d_runs = [], []
         for _ in range(n_runs):
@@ -126,8 +136,12 @@ def main() -> None:
                     con = None
                     d_runs = []
         timings[name] = round(sorted(s_runs)[n_runs // 2], 3)
+        spark_spread[name] = [round(min(s_runs), 3), round(max(s_runs), 3)]
+        spark_best[name] = min(s_runs)
         if d_runs:
             duck_timings[name] = round(sorted(d_runs)[len(d_runs) // 2], 3)
+            duck_spread[name] = [round(min(d_runs), 3), round(max(d_runs), 3)]
+            duck_best[name] = min(d_runs)
 
     # Companion pass under PRODUCTION session defaults (AQE on — the one
     # conf plans/session.py ships differently from this bench posture),
@@ -180,11 +194,24 @@ def main() -> None:
         "sf": float(sf),
         # warmup + per-query median-of-3 under production session defaults
         "production_conf_value": round(prod_total, 3),
+        # per-query [min, max] of the 7 runs: when min<<max the median is
+        # contention-dominated and the headline ratio should be read
+        # against vs_duckdb_best below
+        "queries_spread": spark_spread,
+        "value_best": round(sum(spark_best.values()), 3),
     }
     if duckdb_value is not None:
         out["duckdb_value"] = duckdb_value
         out["duckdb_queries"] = duck_timings
         out["vs_duckdb"] = round(total / duckdb_value, 3)
+        out["duckdb_queries_spread"] = duck_spread
+        out["duckdb_value_best"] = round(sum(duck_best.values()), 3)
+        # companion ratio on best-of-7 totals: symmetric and
+        # contention-resistant (a noise burst inflates some runs but
+        # rarely ALL 7 of a query on one engine)
+        out["vs_duckdb_best"] = round(
+            sum(spark_best.values()) / sum(duck_best.values()), 3
+        )
     print(json.dumps(out))
     spark.stop()
 
