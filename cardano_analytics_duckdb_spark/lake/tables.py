@@ -110,6 +110,18 @@ def events_ts_encoding(path: str) -> str:
         if not parts:
             return "ntz"
         probe = os.path.join(path, parts[0])
+    # Physical type first: Spark's default writer emits INT96 timestamps,
+    # which pyarrow ALSO surfaces as timestamp[ns] — but Spark reads its
+    # own INT96 back as a plain (UTC-adjusted) TIMESTAMP, so classifying
+    # by the arrow type alone would mis-route any events table WE wrote
+    # (compacted/derived lakes) into the nanos workaround and break.
+    pf = pq.ParquetFile(probe)
+    for i in range(len(pf.schema)):
+        col = pf.schema.column(i)
+        if col.name == "ts":
+            if col.physical_type == "INT96":
+                return "utc"
+            break
     t = pq.read_schema(probe).field("ts").type
     if str(t).startswith("timestamp[ns"):
         return "nanos"

@@ -95,3 +95,23 @@ def test_streaming_events_handles_both_ts_encodings(spark, tmp_path, unit):
         for r in spark.sql(f"SELECT ts FROM {name} ORDER BY event_id").collect()
     ]
     assert got == _TS
+
+
+def test_spark_written_events_round_trip(spark, tmp_path):
+    """An events table written by Spark ITSELF (default writer = INT96
+    timestamps, which pyarrow surfaces as timestamp[ns]) must be probed as
+    "utc", not "nanos" — the r8 regression: the footer probe classified
+    Spark-written compacted/derived event lakes into the nanos-as-long
+    workaround, which then failed analysis on a real TIMESTAMP column."""
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    _write_events(src, "us")
+    out_dir = str(tmp_path / "derived")
+    os.makedirs(out_dir)
+    out = os.path.join(out_dir, "events.parquet")
+    load_table(spark, src, "events").write.parquet(out)
+    assert events_ts_encoding(out) == "utc"
+    df = load_table(spark, out_dir, "events")
+    assert df.schema["ts"].dataType.typeName() == "timestamp"
+    got = [r.ts for r in df.orderBy("event_id").select("ts").collect()]
+    assert got == _TS
