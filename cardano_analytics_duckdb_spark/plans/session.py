@@ -11,10 +11,12 @@ whole engine assumes:
   ``scale_probe.py`` (results in ``SCALE_PROBE.json``) times the same plans
   AQE on/off — at sf0.1 with core-count shuffle partitions AQE costs ~2.4x
   (pure per-stage driver latency on sub-second queries, why bench.py's
-  timed pass turns it off), while at 10x the data with production-sized
-  (200) shuffle partitions the total penalty is 1.10x and AQE already WINS
-  on the shuffle-heavy grouped-agg and fact-fact-join shapes it exists
-  for.  The crossover direction is the 100 TB argument.
+  timed pass turns it off), while at 10x the data the FULL 15-query
+  headline set under this production posture (AQE on, 200 shuffle
+  partitions, the bypass-writer fix below) runs at 0.965x of the bench
+  posture overall and wins on every shuffle-heavy query
+  (``headline_10x`` in SCALE_PROBE.json).  The crossover direction is
+  the 100 TB argument.
 - constraintPropagation off: constraint inference is quadratic in predicate
   count and none of this engine's plans benefit (no inferred-filter join
   elimination anywhere in the query library); it is an optimizer *inference*
@@ -56,6 +58,17 @@ def session_builder(
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.sql.constraintPropagation.enabled", "false")
+        # The bypass-merge shuffle writer opens one file writer PER REDUCE
+        # PARTITION per map task; its threshold defaults to 200, so a
+        # "production-sized" partition count of exactly <=200 silently hits
+        # the writer's worst case.  Measured (r8, 10x bench data, 32-way
+        # map stage): a one-shuffle hash agg at shuffle.partitions=200 took
+        # 2.1 s vs 0.27 s with the sort writer — 13x map-stage CPU doing
+        # nothing but opening/flushing 6400 tiny files.  16 keeps the
+        # bypass path for genuinely small fan-outs where it wins and lets
+        # every larger shuffle use the serialized sort writer, which is
+        # also the only regime a 1000-executor cluster ever runs in.
+        .config("spark.shuffle.sort.bypassMergeThreshold", "16")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))

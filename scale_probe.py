@@ -63,6 +63,103 @@ def build_scaled(spark, scratch: str) -> None:
     )
 
 
+def build_scaled_lake(spark, scratch: str) -> None:
+    """Replicate the FULL sf0.1 lake at REPLICAS x into ``scratch/{t}.parquet``
+    directories (the layout load_table expects), with FK-consistent key
+    offsets so join/group cardinalities scale too: every foreign key is
+    shifted by the same per-replica span as its dimension's primary key.
+    nation/region stay fixed (real dims don't grow with fact volume).
+    Document text gets a per-replica suffix so the duplicate-rate stays
+    realistic instead of every doc gaining 9 exact copies."""
+    if os.path.exists(scratch):
+        shutil.rmtree(scratch)
+    os.makedirs(scratch)
+    rep = spark.range(REPLICAS).select(F.col("id").alias("rep"))
+
+    from cardano_analytics_duckdb_spark.lake.tables import load_table
+
+    def read(t):
+        # load_table, not raw read: normalizes the events ts encoding
+        # (testdata has drifted NANOS/NTZ/UTC across regenerations)
+        return load_table(spark, SF_DIR, t)
+
+    def span(df, key):
+        return df.agg(F.max(key)).first()[0] + 1
+
+    def write(df, t, files=64):
+        df.drop("rep").repartition(files).write.parquet(
+            os.path.join(scratch, t + ".parquet")
+        )
+
+    orders, customer = read("orders"), read("customer")
+    part, supplier = read("part"), read("supplier")
+    ospan, cspan = span(orders, "o_orderkey"), span(customer, "c_custkey")
+    pspan, sspan = span(part, "p_partkey"), span(supplier, "s_suppkey")
+
+    for t in ("nation", "region"):
+        read(t).write.parquet(os.path.join(scratch, t + ".parquet"))
+    write(
+        customer.crossJoin(F.broadcast(rep)).withColumn(
+            "c_custkey", F.col("c_custkey") + F.col("rep") * cspan
+        ),
+        "customer", files=16,
+    )
+    write(
+        supplier.crossJoin(F.broadcast(rep)).withColumn(
+            "s_suppkey", F.col("s_suppkey") + F.col("rep") * sspan
+        ),
+        "supplier", files=8,
+    )
+    write(
+        part.crossJoin(F.broadcast(rep)).withColumn(
+            "p_partkey", F.col("p_partkey") + F.col("rep") * pspan
+        ),
+        "part", files=16,
+    )
+    write(
+        orders.crossJoin(F.broadcast(rep))
+        .withColumn("o_orderkey", F.col("o_orderkey") + F.col("rep") * ospan)
+        .withColumn("o_custkey", F.col("o_custkey") + F.col("rep") * cspan),
+        "orders",
+    )
+    write(
+        read("lineitem")
+        .crossJoin(F.broadcast(rep))
+        .withColumn("l_orderkey", F.col("l_orderkey") + F.col("rep") * ospan)
+        .withColumn("l_partkey", F.col("l_partkey") + F.col("rep") * pspan)
+        .withColumn("l_suppkey", F.col("l_suppkey") + F.col("rep") * sspan),
+        "lineitem",
+    )
+    events = read("events")
+    espan, uspan = span(events, "event_id"), span(events, "user_id")
+    write(
+        events.crossJoin(F.broadcast(rep))
+        .withColumn("event_id", F.col("event_id") + F.col("rep") * espan)
+        .withColumn("user_id", F.col("user_id") + F.col("rep") * uspan),
+        "events", files=32,
+    )
+    docs = read("documents")
+    dspan = span(docs, "doc_id")
+    suffix = F.concat(F.lit(" r"), F.col("rep").cast("string"))
+    write(
+        docs.crossJoin(F.broadcast(rep))
+        .withColumn("doc_id", F.col("doc_id") + F.col("rep") * dspan)
+        .withColumn(
+            "n_chars", F.col("n_chars") + F.length(suffix)
+        )
+        .withColumn("text", F.concat(F.col("text"), suffix)),
+        "documents", files=32,
+    )
+    emb = read("embeddings")
+    vspan = span(emb, "vec_id")
+    write(
+        emb.crossJoin(F.broadcast(rep)).withColumn(
+            "vec_id", F.col("vec_id") + F.col("rep") * vspan
+        ),
+        "embeddings", files=32,
+    )
+
+
 def probe_queries(spark, scratch: str) -> dict:
     li = spark.read.parquet(os.path.join(scratch, "lineitem"))
     orders = spark.read.parquet(os.path.join(scratch, "orders"))
@@ -95,6 +192,66 @@ def timed_pass(spark, scratch: str, n_runs: int = 3) -> dict[str, float]:
             df.write.format("noop").mode("overwrite").save()
             runs.append(time.perf_counter() - t0)
         out[name] = round(sorted(runs)[n_runs // 2], 3)
+    return out
+
+
+def headline_matrix(spark, lake_dir: str, n_runs: int = 3) -> dict:
+    """All 15 bench headline queries at REPLICAS x scale under the two conf
+    postures bench.py diverges on — bench (AQE off, core-count shuffle
+    partitions) vs production (AQE on, oversized partitions for AQE to
+    coalesce, as plans/session.py ships).  Per-query medians make the AQE
+    crossover per-shape evidence instead of a 3-shape extrapolation
+    (r7 verdict item #4): at sf0.1 the production posture costs ~2-4x in
+    driver latency; this records what it costs at 10x."""
+    from bench import HEADLINE
+
+    from cardano_analytics_duckdb_spark.operators import all_queries
+
+    queries = all_queries()
+    confs = {
+        "bench_conf": {
+            "spark.sql.adaptive.enabled": "false",
+            "spark.sql.shuffle.partitions": "8",
+        },
+        "production_conf": {
+            "spark.sql.adaptive.enabled": "true",
+            "spark.sql.shuffle.partitions": "200",
+        },
+    }
+    saved = {
+        k: spark.conf.get(k) for conf in confs.values() for k in conf
+    }
+    out: dict = {}
+    for label, conf in confs.items():
+        for k, v in conf.items():
+            spark.conf.set(k, v)
+        for name in HEADLINE:  # untimed warmup: fresh plans → fresh codegen
+            queries[name](spark, lake_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+        timings = {}
+        for name in HEADLINE:
+            runs = []
+            for _ in range(n_runs):
+                df = queries[name](spark, lake_dir)
+                t0 = time.perf_counter()
+                df.write.format("noop").mode("overwrite").save()
+                runs.append(time.perf_counter() - t0)
+            timings[name] = round(sorted(runs)[n_runs // 2], 3)
+        out[label] = timings
+    for k, v in saved.items():
+        spark.conf.set(k, v)
+    out["total_bench_conf"] = round(sum(out["bench_conf"].values()), 3)
+    out["total_production_conf"] = round(
+        sum(out["production_conf"].values()), 3
+    )
+    out["production_over_bench"] = round(
+        out["total_production_conf"] / out["total_bench_conf"], 3
+    )
+    out["per_query_production_over_bench"] = {
+        name: round(out["production_conf"][name] / out["bench_conf"][name], 2)
+        for name in out["bench_conf"]
+    }
     return out
 
 
@@ -172,6 +329,11 @@ def main() -> None:
         summary["total_aqe_on"] / summary["total_aqe_off"], 3
     )
     summary["manifest_skipping"] = manifest_probe(spark, scratch)
+    # Full 15-query headline set at 10x under both conf postures (verdict
+    # r7 item #4) — scaled FULL lake, separate dir from the 2-table probe.
+    lake_dir = os.path.join(scratch, "lake")
+    build_scaled_lake(spark, lake_dir)
+    summary["headline_10x"] = headline_matrix(spark, lake_dir)
     with open("SCALE_PROBE.json", "w") as f:
         json.dump(summary, f, indent=2)
     print(json.dumps(summary))
