@@ -625,7 +625,29 @@ ORDER BY score DESC, pair LIMIT 20
 _BPE_TRAIN_ROUNDS = 5
 
 
-def bpe_vocab_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+def bpe_vocab_merges(
+    spark: SparkSession,
+    sf_dir: str,
+    rounds: int = _BPE_TRAIN_ROUNDS,
+    batch: int = 1,
+) -> DataFrame:
+    """Train ``rounds`` BPE merges; emit the ranked merge list.
+
+    ``batch`` is the scale knob for the serial-round-trip cost: the loop
+    runs one Spark job (score-all-pairs + a 1-collect of the top
+    candidates) per BATCH of merges, greedily taking up to ``batch``
+    top-scoring pairs whose symbols are pairwise DISJOINT — disjointness
+    makes the in-batch replaces order-independent, so one narrow select
+    applies them all.  ``batch=1`` (the registered default) is exactly
+    the serial argmax the unrolled DuckDB oracle replays.  ``batch>1``
+    is the standard batched-BPE approximation: a merge in the batch may
+    create a new pair scoring above a later in-batch pick, which strict
+    serial training would have taken first — merge SETS converge, ranks
+    can differ.  Cost: a realistic 30k-merge tokenizer is ~30k
+    sequential Spark jobs at ~100 ms scheduling each (~1 h of pure
+    round-trip overhead) at batch=1; batch=m cuts driver round-trips
+    ~m-fold while driver state stays the merge list itself.
+    """
     docs = load_table(spark, sf_dir, "documents")
     vocab = (
         docs.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
@@ -641,7 +663,8 @@ def bpe_vocab_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     state = vocab
     merges: list[tuple] = []
     try:
-        for r in range(1, _BPE_TRAIN_ROUNDS + 1):
+        while len(merges) < rounds:
+            take = min(batch, rounds - len(merges))
             syms = state.filter(
                 F.expr("size(split(s, ' ')) >= 2")
             ).select("freq", F.split("s", " ").alias("ss"))
@@ -655,25 +678,42 @@ def bpe_vocab_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
                 ).alias("pat"),
             )
+            # Overfetch so conflicting candidates can be skipped without
+            # another job; 4x covers heavy symbol reuse in practice.
             top = (
                 pairs.groupBy("pat")
                 .agg(F.sum("freq").alias("score"))
                 .orderBy(F.col("score").desc(), "pat")
-                .limit(1)
+                .limit(take * 4)
                 .collect()
             )
             if not top:
                 break
-            pat, score = top[0]["pat"], top[0]["score"]
-            merged = pat.replace("> <", "")  # '<a> <b>' -> '<ab>'
-            left_m, right_m = pat.split(" ")
-            merges.append(
-                (r, left_m[1:-1], right_m[1:-1], merged[1:-1], score)
-            )
-            state = state.select(
-                "freq",
-                F.replace(F.col("s"), F.lit(pat), F.lit(merged)).alias("s"),
-            )
+            chosen: list[tuple[str, int]] = []
+            used: set[str] = set()
+            for row in top:
+                if len(chosen) == take:
+                    break
+                left_m, right_m = row["pat"].split(" ")
+                if left_m in used or right_m in used:
+                    continue
+                chosen.append((row["pat"], row["score"]))
+                used.update((left_m, right_m))
+            col = F.col("s")
+            for pat, score in chosen:
+                merged = pat.replace("> <", "")  # '<a> <b>' -> '<ab>'
+                left_m, right_m = pat.split(" ")
+                merges.append(
+                    (
+                        len(merges) + 1,
+                        left_m[1:-1],
+                        right_m[1:-1],
+                        merged[1:-1],
+                        score,
+                    )
+                )
+                col = F.replace(col, F.lit(pat), F.lit(merged))
+            state = state.select("freq", col.alias("s"))
         return spark.createDataFrame(
             merges,
             "merge_rank int, left_sym string, right_sym string,"
