@@ -1,0 +1,277 @@
+"""Reader-atomic partition swaps via a generation pointer.
+
+Plain-parquet maintenance (compaction, rollback, upsert) rewrites a
+partition directory in place; the delete+rename swap is NOT atomic for
+concurrent readers — a query racing the swap silently misses a partition.
+This module adds the minimal transactional layer that fixes it, the same
+shape Delta/Iceberg use for their commit:
+
+- Rewrites land in HIDDEN generation directories
+  (``_gen__slot_group_5000__g00001`` — the ``_`` prefix keeps raw Spark
+  file indexes from ever seeing half-written data, and the ``=`` is
+  stripped so partition discovery can't parse it as a column).
+- A single pointer file (``_generations.v{N}.json``) records, per
+  partition entry, the current generation dir AND the exact hive-dir
+  files the swap superseded.  Publishing is one atomic create of a NEW
+  versioned name — readers take the highest version, so there is no
+  delete-then-replace window at all, and one flip commits ANY number of
+  partition swaps atomically together.
+- Superseded data stays at its original path until
+  :func:`vacuum_superseded` — in-flight readers keep a consistent
+  snapshot; vacuum is pure space reclaim (Delta's ``VACUUM`` contract),
+  not a correctness step.
+- APPENDS STAY SAFE with no coordination: supersession is per-FILE, and
+  appended part files (always fresh names) are never in any superseded
+  list, so generation-resolving readers see them immediately — before or
+  after vacuum.
+
+Readers resolve through :func:`read_table`: a table that has never been
+generation-managed (no pointer file) takes the plain ``spark.read.parquet``
+path — identical plan, one listing probe of overhead.  Once a pointer
+exists, raw reads of the table dir are WRONG by construction (they see
+superseded files and no generation dirs) — every reader in this package
+resolves; external readers (DuckDB lists) get :func:`current_data_paths`.
+
+Generation dir files carry their partition column IN THE DATA (the swap
+writers inject it) — the dir name can't provide it, and it is what lets
+the stats manifest (``lake/manifest.py``) prune generation files like any
+others.
+
+Replaces nothing in the reference (its maintenance is single-user
+end-of-run, ogmios_parquet.py:523-571); this is the 100 TB posture where
+readers, appenders, and maintenance overlap.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .fsutil import LakeFs
+
+_POINTER_RE = re.compile(r"^_generations\.v(\d+)\.json$")
+_GEN_RE = re.compile(r"^_gen__(.+)__g(\d+)$")
+
+
+def _pointer_versions(lfs: LakeFs, table_dir: str) -> list[tuple[int, str]]:
+    out = []
+    for f in lfs.list_files(table_dir):
+        name = f.rsplit("/", 1)[-1]
+        m = _POINTER_RE.match(name)
+        if m:
+            out.append((int(m.group(1)), f))
+    return sorted(out)
+
+
+def current_generations(lfs: LakeFs, table_dir: str) -> dict[str, dict]:
+    """{partition entry -> {"gen": dir name | None,
+    "superseded": [hive file names...]}}; {} when the table has never
+    been generation-managed (the plain-parquet fast path)."""
+    versions = _pointer_versions(lfs, table_dir)
+    if not versions:
+        return {}
+    return json.loads(lfs.read_text(versions[-1][1]))
+
+
+def _publish(lfs: LakeFs, table_dir: str, mapping: dict[str, dict]) -> None:
+    """Atomically publish ``mapping`` as the next pointer version.  The
+    write goes to a NEW name (``write_text`` is tmp+rename underneath), so
+    a reader resolving at any instant sees either the old or the new
+    complete mapping — never a gap."""
+    versions = _pointer_versions(lfs, table_dir)
+    nxt = (versions[-1][0] + 1) if versions else 1
+    lfs.write_text(
+        os.path.join(table_dir, f"_generations.v{nxt:06d}.json"),
+        json.dumps(mapping, sort_keys=True),
+    )
+
+
+def partition_entries(lfs: LakeFs, table_dir: str) -> list[str]:
+    """Logical partition entries: live hive dirs plus pointered entries
+    (whose hive dir may already be vacuumed)."""
+    gens = current_generations(lfs, table_dir)
+    live = {
+        d
+        for d in lfs.list_dirs(table_dir)
+        if "=" in d and not d.startswith(("_", "."))
+    }
+    return sorted(live | set(gens))
+
+
+def live_partition_files(
+    lfs: LakeFs, table_dir: str, entry: str, gens: dict | None = None
+) -> list[str]:
+    """Full URIs of the entry's hive-dir parquet files NOT superseded by
+    the current pointer — i.e. appends since the last swap (or all files
+    if never swapped)."""
+    if gens is None:
+        gens = current_generations(lfs, table_dir)
+    superseded = set((gens.get(entry) or {}).get("superseded", []))
+    return [
+        f
+        for f in lfs.list_files(os.path.join(table_dir, entry))
+        if f.endswith(".parquet")
+        and f.rsplit("/", 1)[-1] not in superseded
+    ]
+
+
+def generation_files(lfs: LakeFs, table_dir: str, gen: str) -> list[str]:
+    """Full URIs of a generation dir's parquet files (Spark must be handed
+    these explicitly — it ignores "_"-prefixed dirs even when named)."""
+    return [
+        f
+        for f in lfs.list_files(os.path.join(table_dir, gen))
+        if f.endswith(".parquet")
+    ]
+
+
+def next_generation_dir(lfs: LakeFs, table_dir: str, entry: str) -> str:
+    """Name (not full path) of the generation dir the next swap of
+    ``entry`` should write to.  Numbered past every existing dir for the
+    entry (committed or abandoned) so a crashed swap's leftover is never
+    written into again."""
+    slug = entry.replace("=", "_")
+    ks = [
+        int(m.group(2))
+        for d in lfs.list_dirs(table_dir)
+        if (m := _GEN_RE.match(d)) and m.group(1) == slug
+    ]
+    return f"_gen__{slug}__g{(max(ks) + 1 if ks else 1):05d}"
+
+
+def commit_swaps(
+    lfs: LakeFs, table_dir: str, swaps: dict[str, dict]
+) -> None:
+    """Register ``{entry -> {"gen": new dir | None, "superseded": [...]}}``
+    — ONE atomic pointer flip covering every entry in ``swaps`` (the
+    maintenance job composes each entry's new state, including carrying
+    forward not-yet-vacuumed supersede lists).  ``"gen": None`` drops the
+    partition's base data (rollback past its first slot).  Old data is
+    left in place for in-flight readers; reclaim with
+    :func:`vacuum_superseded` whenever convenient."""
+    gens = current_generations(lfs, table_dir)
+    gens.update(swaps)
+    _publish(lfs, table_dir, gens)
+
+
+def read_table(spark: SparkSession, table_dir: str) -> DataFrame:
+    """The generation-resolving read every consumer of a maintained lake
+    table must use.  No pointer file -> plain ``spark.read.parquet``
+    (identical plan).  With a pointer: per pointered entry, the current
+    generation dir (partition column in the data) unions with the
+    entry's NON-superseded hive files (appends since the swap, partition
+    column from the path); unpointered entries read path-partitioned as
+    usual.  Filters on the partition column still prune: pushed into
+    each branch, the literal comparison constant-folds and empty
+    branches collapse."""
+    lfs = LakeFs(spark, table_dir)
+    gens = current_generations(lfs, table_dir)
+    if not gens:
+        return spark.read.parquet(table_dir)
+    plain_dirs: list[str] = []
+    explicit_files: list[str] = []
+    gen_files: list[str] = []
+    for entry in partition_entries(lfs, table_dir):
+        st = gens.get(entry)
+        if st is None:
+            plain_dirs.append(os.path.join(table_dir, entry))
+            continue
+        if st.get("gen"):
+            gen_files.extend(
+                generation_files(lfs, table_dir, st["gen"])
+            )
+        explicit_files.extend(
+            live_partition_files(lfs, table_dir, entry, gens)
+        )
+    branches = []
+    hive_paths = plain_dirs + explicit_files
+    if hive_paths:
+        branches.append(
+            spark.read.option("basePath", table_dir).parquet(*hive_paths)
+        )
+    if gen_files:
+        # Explicit FILE paths: Spark's file index ignores "_"-prefixed
+        # directories even when named directly, but files handed to the
+        # reader one by one bypass the hidden-path filter.
+        branches.append(spark.read.parquet(*gen_files))
+    if not branches:
+        raise ValueError(
+            f"table {table_dir} has no live data (every partition dropped)"
+        )
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b)
+    return out
+
+
+def current_data_paths(lfs: LakeFs, table_dir: str) -> list[str]:
+    """Paths holding CURRENT data — whole hive dirs for unpointered
+    entries, explicit non-superseded files plus the generation dir for
+    pointered ones.  External readers (DuckDB ``read_parquet`` lists,
+    ad-hoc tools) should use these instead of globbing the table root
+    once a pointer exists."""
+    gens = current_generations(lfs, table_dir)
+    out: list[str] = []
+    for entry in partition_entries(lfs, table_dir):
+        st = gens.get(entry)
+        if st is None:
+            out.append(os.path.join(table_dir, entry))
+            continue
+        if st.get("gen"):
+            out.append(os.path.join(table_dir, st["gen"]))
+        out.extend(live_partition_files(lfs, table_dir, entry, gens))
+    return sorted(out)
+
+
+def superseded_paths(lfs: LakeFs, table_dir: str) -> list[str]:
+    """What vacuum would delete: superseded hive files, generation dirs
+    other than the current one per entry, and old pointer versions."""
+    gens = current_generations(lfs, table_dir)
+    if not gens:
+        return []
+    stale: list[str] = []
+    current = {st["gen"] for st in gens.values() if st.get("gen")}
+    for d in lfs.list_dirs(table_dir):
+        m = _GEN_RE.match(d)
+        if m and d not in current:
+            stale.append(os.path.join(table_dir, d))
+    for entry, st in gens.items():
+        superseded = set(st.get("superseded", []))
+        if not superseded:
+            continue
+        for f in lfs.list_files(os.path.join(table_dir, entry)):
+            if f.rsplit("/", 1)[-1] in superseded:
+                stale.append(f)
+    for _, f in _pointer_versions(lfs, table_dir)[:-1]:
+        stale.append(f)
+    return sorted(stale)
+
+
+def vacuum_superseded(spark: SparkSession, table_dir: str) -> list[str]:
+    """Space reclaim (correctness never depends on it): delete superseded
+    hive files, non-current generation dirs, and old pointer versions,
+    then republish the pointer with emptied supersede lists.  Run when no
+    reader is mid-query over the OLD snapshot — the one residual
+    non-transactional window, confined to an explicit step exactly like
+    Delta's VACUUM."""
+    lfs = LakeFs(spark, table_dir)
+    stale = superseded_paths(lfs, table_dir)
+    for p in stale:
+        lfs.delete_recursive(p)
+    gens = current_generations(lfs, table_dir)
+    cleaned = {
+        e: {"gen": st.get("gen"), "superseded": []}
+        for e, st in gens.items()
+    }
+    if cleaned != gens:
+        _publish(lfs, table_dir, cleaned)
+        # the pre-clean version is now itself superseded; readers resolve
+        # the newest, so dropping it immediately is safe
+        for _, f in _pointer_versions(lfs, table_dir)[:-1]:
+            lfs.delete(f)
+            stale.append(f)
+    return stale

@@ -53,11 +53,16 @@ def find_orphans(spark: SparkSession, root: str) -> dict[str, list[str]]:
 
 
 def vacuum_lake(spark: SparkSession, root: str) -> dict[str, list[str]]:
-    """Remove every orphan :func:`find_orphans` reports; returns what was
-    removed.  Holds the maintenance lock for the scan AND the deletes —
-    a held lock (live job, or crashed job not yet inspected) makes this
-    refuse rather than delete a tmp dir that is about to be renamed into
-    place."""
+    """Remove every orphan :func:`find_orphans` reports, plus superseded
+    generation data left by deferred-vacuum maintenance swaps
+    (``lake/generations.py``); returns what was removed.  Holds the
+    maintenance lock for the scan AND the deletes — a held lock (live
+    job, or crashed job not yet inspected) makes this refuse rather than
+    delete a tmp dir that is about to be renamed into place.  Like any
+    generation vacuum, run when no reader is mid-query over the OLD
+    snapshot."""
+    from .generations import vacuum_superseded
+
     with maintenance_lock(spark, root, owner="vacuum_lake"):
         orphans = find_orphans(spark, root)
         lfs = LakeFs(spark, root)
@@ -65,4 +70,12 @@ def vacuum_lake(spark: SparkSession, root: str) -> dict[str, list[str]]:
             lfs.delete_recursive(os.path.join(root, d))
         for f in orphans["tmp_files"]:
             lfs.delete(os.path.join(root, f))
+        superseded: list[str] = []
+        for d in lfs.list_dirs(root):
+            if d.startswith(("_", ".")):
+                continue
+            superseded.extend(
+                vacuum_superseded(spark, os.path.join(root, d))
+            )
+        orphans["superseded"] = sorted(superseded)
     return orphans

@@ -39,8 +39,13 @@ _hex = lambda c: F.lower(F.hex(F.col(c)))  # noqa: E731
 
 
 def _lake(spark: SparkSession, table: str, root: str | None = None) -> DataFrame:
+    from ..lake.generations import read_table
+
     root = root or ensure_fixture_lake(spark)
-    return spark.read.parquet(f"{root}/{table}")
+    # Generation-resolving read (lake/generations.py): identical plain
+    # parquet scan for a never-maintained lake (the fixture case), and the
+    # only correct read once compaction/rollback has swapped partitions.
+    return read_table(spark, f"{root}/{table}")
 
 
 def _scan(table: str) -> str:

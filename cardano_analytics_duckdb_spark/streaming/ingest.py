@@ -525,7 +525,9 @@ def ingest_blocks_streaming(
     run_available_now(stream, os.path.join(dest, "_checkpoint"), write_epoch)
 
 
-def rollback_lake(spark: SparkSession, root: str, to_slot: int) -> dict[str, int]:
+def rollback_lake(
+    spark: SparkSession, root: str, to_slot: int, vacuum: str = "end"
+) -> dict[str, int]:
     """Chain-rollback reconciliation: drop every row with ``slot > to_slot``.
 
     The upgrade the reference explicitly lacks (T6 — it logs rollbacks and
@@ -539,12 +541,17 @@ def rollback_lake(spark: SparkSession, root: str, to_slot: int) -> dict[str, int
     rewrite files while a streaming epoch is uncommitted (its pending
     replay would roll back against stale file listings), and like it all
     filesystem traffic goes through ``LakeFs`` so the same code runs on
-    ``hdfs://``/``s3a://``.  Maintenance-window contract: the rewrite-
-    and-swap is NOT atomic for concurrent readers (a query racing the
-    swap can see a missing partition) and assumes the single writer —
-    run between committed ingest epochs with no readers on the touched
-    partitions.  The single-WRITER half of that contract is enforced:
-    the job holds the lake's ``_maintenance.lock``
+    ``hdfs://``/``s3a://``.  READER-ATOMIC since r8: rewrites land in
+    hidden generation dirs and commit per-table as one atomic pointer
+    flip (``lake/generations.py``) — a concurrent reader resolving via
+    ``generations.read_table`` sees the pre- or post-rollback state of
+    every touched partition, never a half-swapped table.
+    ``vacuum="end"`` (default) reclaims superseded files before
+    returning — safe when no reader overlaps the job; ``vacuum="defer"``
+    leaves them for an explicit ``vacuum_superseded`` after readers
+    drain (supersession is per-FILE, so re-ingestion after the rollback
+    is correct either way).  The single-WRITER half of the contract is
+    enforced: the job holds the lake's ``_maintenance.lock``
     (``lake/lock.py``) for its duration, so a second maintenance job
     fails fast instead of interleaving rewrites.
     """
@@ -555,13 +562,14 @@ def rollback_lake(spark: SparkSession, root: str, to_slot: int) -> dict[str, int
     # below still covers the preflight->lock race window).
     _require_no_uncommitted_epochs(spark, root)
     with maintenance_lock(spark, root, owner=f"rollback_lake(to_slot={to_slot})"):
-        return _rollback_lake_locked(spark, root, to_slot)
+        return _rollback_lake_locked(spark, root, to_slot, vacuum=vacuum)
 
 
 def _rollback_lake_locked(
-    spark: SparkSession, root: str, to_slot: int
+    spark: SparkSession, root: str, to_slot: int, vacuum: str = "end"
 ) -> dict[str, int]:
     from ..lake.fsutil import LakeFs
+    from ..lake.generations import commit_swaps, vacuum_superseded
 
     lfs = LakeFs(spark, root)
     _require_no_uncommitted_epochs(spark, root)
@@ -570,35 +578,91 @@ def _rollback_lake_locked(
     for t in LAKE_TABLES:
         src = os.path.join(root, t)
         n = 0
-        for entry in lfs.list_dirs(src):
-            if not entry.startswith("slot_group="):
-                continue
-            group = int(entry.split("=", 1)[1])
+        swaps: dict[str, dict] = {}
+        for entry, group, source, live, st in _partition_sources(
+            spark, lfs, src
+        ):
             if group < boundary_group:
                 continue  # partition ends before the rollback point
-            part_dir = os.path.join(src, entry)
-            df = spark.read.parquet(part_dir)
-            keep = df.filter(F.col("slot") <= to_slot)
-            n_before = df.count()
+            if source is None:
+                continue  # already fully dropped
+            keep = source.filter(F.col("slot") <= to_slot)
+            n_before = source.count()
             n_keep = keep.count()
             if n_keep == n_before:
                 continue
-            # "_"-prefixed sibling: Spark's file index skips _* paths, so
-            # a crashed swap's leftover can never poison a table read.
-            # The "=" must go — "_x=y" names are EXEMPT from that filter
-            # (partition-discovery special case) and would be parsed as a
-            # conflicting partition column.
-            tmp = os.path.join(src, "_rollback__" + entry.replace("=", "_"))
+            new_st = {
+                "gen": None,
+                "superseded": st.get("superseded", [])
+                + [f.rsplit("/", 1)[-1] for f in live],
+            }
             if n_keep > 0:
-                keep.write.mode("overwrite").parquet(tmp)
-                lfs.delete_recursive(part_dir)
-                lfs.rename(tmp, part_dir)
-            else:
-                lfs.delete_recursive(part_dir)
+                # Hidden generation dir, partition column injected into
+                # the data (the dir name can't carry it): readers resolve
+                # via the pointer, so the swap is invisible until the
+                # single atomic commit below.
+                from ..lake.generations import next_generation_dir
+
+                gen = next_generation_dir(lfs, src, entry)
+                (
+                    keep.withColumn(
+                        "slot_group", F.lit(group).cast("int")
+                    )
+                    .write.mode("overwrite")
+                    .parquet(os.path.join(src, gen))
+                )
+                new_st["gen"] = gen
+            swaps[entry] = new_st
             n += n_before - n_keep
+        if swaps:
+            # ONE pointer flip commits every touched partition of this
+            # table together — a reader sees all swaps or none.
+            commit_swaps(lfs, src, swaps)
+            if vacuum == "end":
+                vacuum_superseded(spark, src)
         if n:
             dropped[t] = n
     return dropped
+
+
+def _partition_sources(spark: SparkSession, lfs, table_dir: str):
+    """Yield ``(entry, group, source_df | None, live_files, state)`` per
+    logical partition — the current data a maintenance rewrite must read:
+    the generation dir (if any) plus non-superseded hive files (appends
+    since the last swap).  The partition column is dropped from the
+    source (generation files carry it in the data, hive files in the
+    path; the rewriter re-injects it uniformly)."""
+    from ..lake.generations import (
+        current_generations,
+        generation_files,
+        live_partition_files,
+        partition_entries,
+    )
+
+    gens = current_generations(lfs, table_dir)
+    for entry in partition_entries(lfs, table_dir):
+        group = int(entry.split("=", 1)[1])
+        st = gens.get(entry) or {}
+        live = live_partition_files(lfs, table_dir, entry, gens)
+        parts = []
+        gfiles = (
+            generation_files(lfs, table_dir, st["gen"])
+            if st.get("gen")
+            else []
+        )
+        if gfiles:
+            parts.append(
+                spark.read.parquet(*gfiles).drop("slot_group")
+            )
+        if live:
+            parts.append(spark.read.parquet(*live))
+        if not parts:
+            yield entry, group, None, live, st
+            continue
+        source = parts[0]
+        for p in parts[1:]:
+            source = source.unionByName(p)
+        yield entry, group, source, live, st
 
 
 def _require_no_uncommitted_epochs(spark: SparkSession, root: str) -> list[str]:
@@ -633,7 +697,10 @@ def _require_no_uncommitted_epochs(spark: SparkSession, root: str) -> list[str]:
 
 
 def compact_lake(
-    spark: SparkSession, root: str, tables: Iterable[str] = LAKE_TABLES
+    spark: SparkSession,
+    root: str,
+    tables: Iterable[str] = LAKE_TABLES,
+    vacuum: str = "end",
 ) -> None:
     """Rewrite fragmented partitions to one file per slot_group.
 
@@ -651,25 +718,40 @@ def compact_lake(
     bookkeeping is pruned here since their snapshots go stale.
 
     All filesystem traffic goes through ``LakeFs`` (scheme-agnostic).
-    Maintenance-window contract: the table-directory swap is NOT atomic
-    for concurrent readers (on S3A rename is copy-and-delete; even on
-    HDFS a reader can race the delete) — run with the ingestion stream
-    stopped and no readers, the same single-writer window every
-    non-transactional parquet rewrite assumes.  The single-WRITER half
-    is enforced via the lake's ``_maintenance.lock`` (``lake/lock.py``).
+    READER-ATOMIC since r8: rewrites land in hidden generation dirs and
+    commit per-table as one atomic pointer flip (``lake/generations.py``)
+    — a concurrent reader resolving via ``generations.read_table`` sees
+    the pre- or post-compaction state of the whole table, never a
+    half-swapped one.  ``vacuum="end"`` (default) reclaims superseded
+    files before returning (a reader mid-query over the OLD snapshot can
+    get a loud file-not-found, never silent partial data);
+    ``vacuum="defer"`` leaves old data in place for zero reader impact,
+    deferring reclaim to an explicit ``vacuum_superseded`` whenever
+    convenient — supersession is per-FILE, so appends stay visible and
+    correct either way.  The single-WRITER half is enforced via the
+    lake's ``_maintenance.lock`` (``lake/lock.py``).
     """
     from ..lake.lock import maintenance_lock
 
     # Preflight outside the lock — see rollback_lake
     _require_no_uncommitted_epochs(spark, root)
     with maintenance_lock(spark, root, owner="compact_lake"):
-        _compact_lake_locked(spark, root, tables)
+        _compact_lake_locked(spark, root, tables, vacuum=vacuum)
 
 
 def _compact_lake_locked(
-    spark: SparkSession, root: str, tables: Iterable[str], min_files: int = 2
+    spark: SparkSession,
+    root: str,
+    tables: Iterable[str],
+    min_files: int = 2,
+    vacuum: str = "end",
 ) -> None:
     from ..lake.fsutil import LakeFs
+    from ..lake.generations import (
+        commit_swaps,
+        next_generation_dir,
+        vacuum_superseded,
+    )
 
     lfs = LakeFs(spark, root)
     for snap in _require_no_uncommitted_epochs(spark, root):
@@ -678,34 +760,52 @@ def _compact_lake_locked(
     # rewritten, each scoped to its own directory — cost ∝ fragmented
     # partitions, never table size.  Steady state (append a few chunks to
     # the newest slot_group, compact, repeat) touches one partition per
-    # run where the old whole-table rewrite re-shuffled every byte.  The
-    # partition column lives in the directory name, so reading the leaf
-    # dir and renaming the rewrite into the same hive path preserves it
-    # (same layout contract rollback_lake relies on).  coalesce(1)
-    # mirrors the reference's one-file-per-partition output; partitions
-    # are slot_group-bounded, so a single file stays row-group sized.
+    # run where the old whole-table rewrite re-shuffled every byte.
+    # Rewrites land in hidden generation dirs (``lake/generations.py``)
+    # with the partition column injected into the data, and each table's
+    # swaps commit as ONE atomic pointer flip — a concurrent reader
+    # resolving through ``read_table`` sees the old or the new state of
+    # every partition, never a half-swapped table.  ``vacuum="end"``
+    # reclaims superseded dirs before returning (safe in a stop-the-world
+    # window); ``vacuum="defer"`` leaves them for an explicit
+    # ``vacuum_superseded`` after in-flight readers drain (zero reader
+    # impact; ingest refuses to append until the vacuum runs).
+    # coalesce(1) mirrors the reference's one-file-per-partition output;
+    # partitions are slot_group-bounded, so a single file stays
+    # row-group sized.
     for t in tables:
         src = os.path.join(root, t)
-        rewrote = False
-        for d in lfs.list_dirs(src):
-            if not d.startswith("slot_group="):
-                continue
-            part_dir = os.path.join(src, d)
-            n_parquet = sum(
-                f.endswith(".parquet") for f in lfs.list_files(part_dir)
+        swaps: dict[str, dict] = {}
+        for entry, group, source, live, st in _partition_sources(
+            spark, lfs, src
+        ):
+            n_parquet = len(live) + (
+                sum(
+                    f.endswith(".parquet")
+                    for f in lfs.list_files(os.path.join(src, st["gen"]))
+                )
+                if st.get("gen")
+                else 0
             )
             if n_parquet < min_files:
                 continue  # already compact (or empty-append _SUCCESS only)
-            tmp = os.path.join(src, "_compacting__" + d.replace("=", "_"))
+            gen = next_generation_dir(lfs, src, entry)
             (
-                spark.read.parquet(part_dir)
+                source.withColumn("slot_group", F.lit(group).cast("int"))
                 .coalesce(1)
                 .write.mode("overwrite")
-                .parquet(tmp)
+                .parquet(os.path.join(src, gen))
             )
-            lfs.delete_recursive(part_dir)
-            lfs.rename(tmp, part_dir)
-            rewrote = True
+            swaps[entry] = {
+                "gen": gen,
+                "superseded": st.get("superseded", [])
+                + [f.rsplit("/", 1)[-1] for f in live],
+            }
+        rewrote = bool(swaps)
+        if swaps:
+            commit_swaps(lfs, src, swaps)
+            if vacuum == "end":
+                vacuum_superseded(spark, src)
         # A rewrite invalidates manifest entries (old files gone, new
         # files unknown -> pruning degrades to keep-everything).  Refresh
         # an EXISTING manifest in the same maintenance window so data

@@ -106,6 +106,23 @@ def materialize_aggregate(
             "progress, or choose a fresh dest — starting a new checkpoint "
             "over the existing table would re-fold all history."
         )
+    from ..lake.generations import current_generations
+
+    if not lfs.exists(checkpoint) and current_generations(
+        LakeFs(spark, src_glob), src_glob
+    ):
+        # The file stream below only sees hive-layout files; a compacted
+        # (generation-managed) source keeps its base data in hidden
+        # generation dirs, so a BOOTSTRAP fold here would silently start
+        # from post-compaction appends only.  An established checkpoint is
+        # fine — it folded the superseded files before the swap, and the
+        # swap preserves their aggregate contribution by construction.
+        raise RuntimeError(
+            f"source {src_glob} is generation-managed (compacted) but no "
+            f"checkpoint exists at {checkpoint}: a fresh fold cannot see "
+            "generation dirs.  Materialize before the first compaction, "
+            "or bootstrap from a batch recompute."
+        )
     stream = spark.readStream.schema(schema).parquet(src_glob)
     aggs = agg_exprs()
     agg_cols = list(aggs)
@@ -219,8 +236,10 @@ def materialize_fees_by_slot_group(
     from .ingest import _require_no_uncommitted_epochs
 
     _require_no_uncommitted_epochs(spark, lake_dir)
+    from ..lake.generations import read_table
+
     tx_path = os.path.join(lake_dir, "tx")
-    schema = spark.read.parquet(tx_path).schema
+    schema = read_table(spark, tx_path).schema
     return materialize_aggregate(
         spark,
         tx_path,

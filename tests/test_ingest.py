@@ -97,16 +97,27 @@ def test_stop_slot_bounds_ingestion(spark, tmp_path):
 
 
 def test_compaction_preserves_rows_and_merges_files(spark, ingested):
+    from cardano_analytics_duckdb_spark.lake.fsutil import LakeFs
+    from cardano_analytics_duckdb_spark.lake.generations import (
+        partition_entries,
+        read_table,
+    )
+
     dest, _ = ingested
     before = _canon_rows(spark.read.parquet(f"{dest}/tx"))
     n_files_before = len(glob.glob(f"{dest}/tx/slot_group=*/*.parquet"))
     compact_lake(spark, dest)
-    after = _canon_rows(spark.read.parquet(f"{dest}/tx"))
-    n_files_after = len(glob.glob(f"{dest}/tx/slot_group=*/*.parquet"))
+    # Compacted data lives in generation dirs now — readers resolve the
+    # pointer via read_table (a raw table-dir read no longer sees it).
+    after = _canon_rows(read_table(spark, f"{dest}/tx"))
+    n_files_after = len(glob.glob(f"{dest}/tx/_gen__*/*.parquet"))
     assert after == before
-    n_groups = len(glob.glob(f"{dest}/tx/slot_group=*"))
+    lfs = LakeFs(spark, dest)
+    n_groups = len(partition_entries(lfs, f"{dest}/tx"))
     assert n_files_after == n_groups  # exactly one file per partition
     assert n_files_after < n_files_before
+    # default vacuum="end" reclaimed every superseded hive file
+    assert glob.glob(f"{dest}/tx/slot_group=*/*.parquet") == []
 
 
 def test_streaming_ingestion_matches_batch(spark, tmp_path):
@@ -148,7 +159,9 @@ def test_rollback_lake_reconciles(spark, tmp_path):
     expect_drop = tx.count() - expect_keep
     dropped = rollback_lake(spark, dest, to_slot)
     assert dropped["tx"] == expect_drop
-    after = spark.read.parquet(f"{dest}/tx")
+    from cardano_analytics_duckdb_spark.lake.generations import read_table
+
+    after = read_table(spark, f"{dest}/tx")
     assert after.count() == expect_keep
     assert after.agg(F.max("slot")).first()[0] <= to_slot
     # boundary-straddling partition group 0 was rewritten, not dropped
@@ -427,6 +440,12 @@ def test_compaction_is_incremental_per_partition(spark, tmp_path):
     at one file keeps the SAME part-file (identical path — no rewrite),
     while a fragmented partition collapses to one file."""
     from cardano_analytics_duckdb_spark.lake.fsutil import LakeFs
+    from cardano_analytics_duckdb_spark.lake.generations import (
+        current_generations,
+        live_partition_files,
+        partition_entries,
+        read_table,
+    )
 
     dest = str(tmp_path / "lake")
     blocks = fixture_blocks()[:6]
@@ -436,16 +455,22 @@ def test_compaction_is_incremental_per_partition(spark, tmp_path):
     lfs = LakeFs(spark, dest)
 
     def files_by_partition(table):
+        """Current files per logical partition: the generation dir's
+        files plus non-superseded hive files (post-swap appends)."""
         src = os.path.join(dest, table)
-        return {
-            d: [
-                f
-                for f in lfs.list_files(os.path.join(src, d))
-                if f.endswith(".parquet")
-            ]
-            for d in lfs.list_dirs(src)
-            if d.startswith("slot_group=")
-        }
+        gens = current_generations(lfs, src)
+        out = {}
+        for entry in partition_entries(lfs, src):
+            files = list(live_partition_files(lfs, src, entry, gens))
+            gen = (gens.get(entry) or {}).get("gen")
+            if gen:
+                files += [
+                    f
+                    for f in lfs.list_files(os.path.join(src, gen))
+                    if f.endswith(".parquet")
+                ]
+            out[entry] = sorted(files)
+        return out
 
     before = files_by_partition("tx")
     assert all(len(v) == 1 for v in before.values())
@@ -458,11 +483,11 @@ def test_compaction_is_incremental_per_partition(spark, tmp_path):
     fragmented = [d for d in mid if len(mid[d]) > 1]
     assert fragmented, "fixture waves must fragment at least one partition"
 
-    n_rows = spark.read.parquet(os.path.join(dest, "tx")).count()
+    n_rows = read_table(spark, os.path.join(dest, "tx")).count()
     compact_lake(spark, dest)
     after = files_by_partition("tx")
     # fragmented partitions collapsed; untouched ones kept their exact file
     assert all(len(after[d]) == 1 for d in fragmented)
     for d in untouched:
         assert after[d] == before[d]
-    assert spark.read.parquet(os.path.join(dest, "tx")).count() == n_rows
+    assert read_table(spark, os.path.join(dest, "tx")).count() == n_rows

@@ -45,7 +45,9 @@ def test_vacuum_reports_and_removes_orphans(spark, tmp_path):
     # jobs name them that way)
     n_tx = spark.read.parquet(os.path.join(dest, "tx")).count()
     removed = vacuum_lake(spark, dest)
-    assert removed == report
+    # vacuum additionally reclaims superseded generation data (none here —
+    # this lake was never compacted/rolled back through generations)
+    assert removed == {**report, "superseded": []}
     assert find_orphans(spark, dest) == {"tmp_dirs": [], "tmp_files": []}
     # committed data untouched, lock released
     assert spark.read.parquet(os.path.join(dest, "tx")).count() == n_tx
