@@ -328,6 +328,19 @@ def _batches(blocks: Iterable[dict], size: int) -> Iterator[list[dict]]:
         yield batch
 
 
+def _rollback_point_slot(event: dict) -> int:
+    """Slot of a backward event's rollback point.  Chain-sync events carry
+    ``point`` ("origin" or ``{"slot", "id"}``, chainsync.py:280); bare
+    ``{"slot": N}`` events (replay fixtures) are accepted too.  Origin
+    means everything rolls back -> -1 (``slot > -1`` drops all rows)."""
+    point = event.get("point")
+    if point == "origin":
+        return -1
+    if isinstance(point, dict) and "slot" in point:
+        return int(point["slot"])
+    return int(event.get("slot", -1))
+
+
 def ingest_blocks(
     spark: SparkSession,
     blocks: Iterable[dict],
@@ -335,46 +348,74 @@ def ingest_blocks(
     batch_size: int = 100,
     stop_slot: int | None = None,
     slot_group_size: int = SLOT_GROUP_SIZE,
+    reconcile_rollbacks: bool = False,
 ) -> dict[str, int]:
     """Micro-batch ingestion loop.  Returns counters (blocks, txs,
-    rollbacks) ≙ the reference's progress telemetry (T7)."""
+    rollbacks) ≙ the reference's progress telemetry (T7).
+
+    ``reconcile_rollbacks=False`` (default) is reference parity: backward
+    events are counted and skipped (T6, ogmios_parquet.py logs and keeps
+    appending).  ``True`` upgrades to live reconciliation: on a backward
+    event the blocks buffered so far flush, then :func:`rollback_lake`
+    drops every row above the rollback point — partition-scoped, under
+    the maintenance lock, epoch-guarded, and reader-atomic via the
+    generation-pointer swap (``lake/generations.py``).  Rows appended
+    after the event (the node re-sending the adopted fork) land normally,
+    so the lake converges to the honest chain."""
     stats = {"blocks": 0, "transactions": 0, "rollbacks": 0, "batches": 0}
+    if reconcile_rollbacks:
+        stats["reconciled_rows"] = 0
+
+    def _flush(forward: list[dict]) -> None:
+        bdf = blocks_to_dataframe(spark, forward)
+        tables = extract_tables(bdf)
+        for name, df in tables.items():
+            with_group = df.withColumn(
+                "slot_group",
+                (F.floor(F.col("slot") / slot_group_size)
+                 * slot_group_size).cast("long"),
+            )
+            sparse = name.startswith("cert") or name in (
+                "vote", "proposal", "redeemer"
+            )
+            if sparse and with_group.isEmpty():
+                continue  # avoid schemaless empty partition dirs
+            (
+                with_group.write.mode("append")
+                .partitionBy("slot_group")
+                .parquet(os.path.join(dest, name))
+            )
+        stats["blocks"] += len(forward)
+        stats["transactions"] += sum(
+            len(b["transactions"]) for b in forward
+        )
+        stats["batches"] += 1
+
     stopped = False
     for batch in _batches(blocks, batch_size):
-        forward = []
+        forward: list[dict] = []
         for b in batch:
             if b.get("direction") == "backward":
-                # T6: acknowledge, don't reconcile (append-only parity)
                 stats["rollbacks"] += 1
+                if reconcile_rollbacks:
+                    # Blocks received BEFORE the event belong to the
+                    # orphaned fork tip — they must be on disk so the
+                    # rewrite can drop them (and any earlier appends).
+                    if forward:
+                        _flush(forward)
+                        forward = []
+                    dropped = rollback_lake(
+                        spark, dest, _rollback_point_slot(b)
+                    )
+                    stats["reconciled_rows"] += sum(dropped.values())
+                # else: T6 reference parity — acknowledge, don't reconcile
                 continue
             if stop_slot is not None and b["slot"] > stop_slot:
                 stopped = True
                 continue
             forward.append(b)
         if forward:
-            bdf = blocks_to_dataframe(spark, forward)
-            tables = extract_tables(bdf)
-            for name, df in tables.items():
-                with_group = df.withColumn(
-                    "slot_group",
-                    (F.floor(F.col("slot") / slot_group_size)
-                     * slot_group_size).cast("long"),
-                )
-                sparse = name.startswith("cert") or name in (
-                    "vote", "proposal", "redeemer"
-                )
-                if sparse and with_group.isEmpty():
-                    continue  # avoid schemaless empty partition dirs
-                (
-                    with_group.write.mode("append")
-                    .partitionBy("slot_group")
-                    .parquet(os.path.join(dest, name))
-                )
-            stats["blocks"] += len(forward)
-            stats["transactions"] += sum(
-                len(b["transactions"]) for b in forward
-            )
-            stats["batches"] += 1
+            _flush(forward)
         if stopped:
             break
     return stats

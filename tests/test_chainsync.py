@@ -79,9 +79,20 @@ def _point(block: dict) -> dict:
 class FakeOgmios:
     """Single-session Ogmios chain-sync endpoint over real TCP."""
 
-    def __init__(self, blocks: list[dict], *, rollback_after: int | None = None):
+    def __init__(
+        self,
+        blocks: list[dict],
+        *,
+        rollback_after: int | None = None,
+        script: list[dict] | None = None,
+    ):
         self.blocks = blocks
         self.rollback_after = rollback_after
+        # scripted mode: after the protocol preamble, serve exactly these
+        # nextBlock results ({"direction": "forward", "block": ...} or
+        # {"direction": "backward", "point": ...}) — lets a test replay a
+        # FORK (orphaned blocks, then a rollback, then the adopted chain)
+        self.script = list(script) if script is not None else None
         self.tip = _point(blocks[-1])
         srv = socket.socket()
         srv.bind(("127.0.0.1", 0))
@@ -152,6 +163,16 @@ class FakeOgmios:
                         )
                         result = {"direction": "backward", "point": point,
                                   "tip": self.tip}
+                    elif self.script is not None:
+                        if self.script:
+                            item = self.script.pop(0)
+                            result = dict(item, tip=self.tip)
+                            if item.get("direction") != "backward":
+                                result["direction"] = "forward"
+                                served += 1
+                        else:
+                            result = {"direction": "backward",
+                                      "point": self.tip, "tip": self.tip}
                     elif (
                         self.rollback_after is not None
                         and served == self.rollback_after
@@ -294,6 +315,57 @@ def test_chain_sync_feeds_ingestion(spark, tmp_path):
     assert stats["transactions"] == sum(len(b["transactions"]) for b in blocks)
     got = spark.read.parquet(f"{dest}/tx")
     assert got.count() == stats["transactions"]
+
+
+def test_reconciled_live_rollback_converges_to_honest_chain(spark, tmp_path):
+    """ingest_blocks(reconcile_rollbacks=True) streaming past a fork:
+    orphaned rows are gone after the backward event's partition-scoped
+    rewrite, and the re-ingested (adopted-chain) rows survive — the lake
+    converges to exactly a direct full replay.  Default (False) stays
+    reference parity: count-and-skip (``test_chain_sync_feeds_ingestion``).
+    """
+    import copy
+
+    from pyspark.sql import functions as F
+
+    from cardano_analytics_duckdb_spark.lake.generations import read_table
+    from cardano_analytics_duckdb_spark.streaming.ingest import ingest_blocks
+
+    blocks = fixture_blocks()
+    orphans = copy.deepcopy(blocks[5:7])
+    orphan_id = "ff" * 20
+    for b in orphans:
+        for i, t in enumerate(b["transactions"]):
+            t["id"] = f"{i:02x}" + orphan_id[2:]
+    # the node serves 5 honest blocks, 2 orphans, rolls back to honest
+    # block 5's point, then serves the adopted chain to the tip
+    script = (
+        [{"direction": "forward", "block": b} for b in blocks[:5] + orphans]
+        + [{"direction": "backward", "point": _point(blocks[4])}]
+        + [{"direction": "forward", "block": b} for b in blocks[5:]]
+    )
+    node = FakeOgmios(blocks, script=script)
+    dest = str(tmp_path / "reconciled_lake")
+    with ChainSyncClient("127.0.0.1", node.port) as client:
+        client.find_intersection(["origin"])
+        stats = ingest_blocks(
+            spark,
+            client.stream(batch_size=3),
+            dest,
+            batch_size=4,  # the backward event lands mid-batch
+            reconcile_rollbacks=True,
+        )
+    assert stats["rollbacks"] == 2  # preamble (no-op on empty) + fork switch
+    n_orphan_txs = sum(len(b["transactions"]) for b in orphans)
+    assert stats["reconciled_rows"] >= n_orphan_txs
+    tx = read_table(spark, f"{dest}/tx")
+    # orphaned rows are gone (their tx ids exist nowhere on the honest chain)
+    orphan_rows = tx.filter(
+        F.hex(F.col("tx_id")).ilike("%" + orphan_id[2:])
+    ).count()
+    assert orphan_rows == 0
+    # re-ingested rows survive: the lake equals a direct full replay
+    assert tx.count() == sum(len(b["transactions"]) for b in blocks)
 
 
 def test_read_chain_sync_dataframe(spark):
