@@ -67,10 +67,7 @@ _MANIFEST_SCHEMA = T.StructType(
 )
 
 
-def _data_files(lfs: LakeFs, root: str) -> list[str]:
-    """Full URIs of every committed data file under ``root``, recursing
-    through partition dirs; control dirs/files ("_"/"." prefixes) are
-    skipped — the same visibility rule Hadoop readers apply."""
+def _walk_files(lfs: LakeFs, root: str) -> list[str]:
     out: list[str] = []
     stack = [root]
     while stack:
@@ -82,17 +79,60 @@ def _data_files(lfs: LakeFs, root: str) -> list[str]:
         for sub in lfs.list_dirs(d):
             if not sub.startswith(("_", ".")):
                 stack.append(os.path.join(d, sub))
-    return sorted(out)
+    return out
+
+
+def _data_files(lfs: LakeFs, root: str) -> list[str]:
+    """Full URIs of every CURRENT data file under ``root``.
+
+    Plain table: recurse through partition dirs, skipping control
+    dirs/files ("_"/"." prefixes) — the same visibility rule Hadoop
+    readers apply.  Generation-managed table (``lake/generations.py``
+    pointer present): resolve through the pointer instead — current
+    generation dirs (hidden, so the plain walk would miss them) plus
+    non-superseded hive files; superseded files are excluded so the
+    manifest stats and prune verdicts always describe the same snapshot
+    ``generations.read_table`` serves."""
+    from .generations import current_data_paths, current_generations
+
+    if current_generations(lfs, root):
+        out: list[str] = []
+        for p in current_data_paths(lfs, root):
+            if p.endswith(".parquet"):
+                out.append(p)
+            else:
+                out.extend(
+                    f for f in lfs.list_files(p) if f.endswith(".parquet")
+                )
+        return sorted(out)
+    return sorted(_walk_files(lfs, root))
+
+
+def _norm_uri(u: str) -> str:
+    """Canonical form for prefix matching: Hadoop renders local paths as
+    ``file:/tmp/x`` (Path.toString) but ``file:///tmp/x`` (URI.toString)
+    — strip the file scheme and authority slashes so both compare equal.
+    Non-file schemes render consistently on both paths and pass through."""
+    if u.startswith("file:"):
+        u = u[len("file:") :]
+        while u.startswith("//"):
+            u = u[1:]
+    return u
 
 
 def _relative(files: list[str], lfs: LakeFs, root: str) -> dict[str, str]:
     """{full URI -> path relative to the table root} so the manifest
-    survives a table move/copy."""
-    root_uri = lfs.uri(root)
+    survives a table move/copy, and so pruned reads can tell hive files
+    (``slot_group=N/...``) from hidden generation files (``_gen__...``)."""
+    root_norm = _norm_uri(lfs.uri(root)).rstrip("/")
     out = {}
     for f in files:
-        rel = f[len(root_uri) :].lstrip("/") if f.startswith(root_uri) else f
-        out[f] = rel
+        fn = _norm_uri(f)
+        out[f] = (
+            fn[len(root_norm) :].lstrip("/")
+            if fn.startswith(root_norm + "/")
+            else f
+        )
     return out
 
 
@@ -401,6 +441,32 @@ def prune_files_box(
     return sorted(kept or [])
 
 
+def _read_files(
+    spark: SparkSession, table_dir: str, files: list[str]
+) -> DataFrame:
+    """Read an explicit surviving-file list, generation-aware: hive files
+    take the ``basePath`` route (partition columns from the path), files
+    under hidden generation dirs read plainly (their partition column is
+    in the data — generations.py swap writers inject it), and the two
+    branches union by name.  A never-managed table has only the hive
+    branch — identical to the old single read."""
+    lfs = LakeFs(spark, table_dir)
+    rel = _relative(files, lfs, table_dir)
+    hive = [f for f, r in rel.items() if not r.split("/", 1)[0].startswith("_")]
+    hidden = [f for f, r in rel.items() if r.split("/", 1)[0].startswith("_")]
+    branches = []
+    if hive:
+        branches.append(
+            spark.read.option("basePath", table_dir).parquet(*sorted(hive))
+        )
+    if hidden:
+        branches.append(spark.read.parquet(*sorted(hidden)))
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b)
+    return out
+
+
 def read_pruned_box(
     spark: SparkSession,
     table_dir: str,
@@ -410,9 +476,11 @@ def read_pruned_box(
     row-level; equals ``full scan WHERE AND_i(lo_i <= col_i <= hi_i)``."""
     files = prune_files_box(spark, table_dir, preds)
     if not files:
-        df = spark.createDataFrame([], spark.read.parquet(table_dir).schema)
+        from .generations import read_table
+
+        df = spark.createDataFrame([], read_table(spark, table_dir).schema)
     else:
-        df = spark.read.option("basePath", table_dir).parquet(*files)
+        df = _read_files(spark, table_dir, files)
     for column, lo, hi in preds:
         if lo is not None:
             df = df.filter(F.col(column) >= F.lit(lo))
@@ -433,10 +501,11 @@ def read_pruned(
     result is exactly ``full scan WHERE lo <= column <= hi``."""
     files = prune_files(spark, table_dir, column, lo, hi)
     if not files:
-        schema = spark.read.parquet(table_dir).schema
-        df = spark.createDataFrame([], schema)
+        from .generations import read_table
+
+        df = spark.createDataFrame([], read_table(spark, table_dir).schema)
     else:
-        df = spark.read.option("basePath", table_dir).parquet(*files)
+        df = _read_files(spark, table_dir, files)
     if lo is not None:
         df = df.filter(F.col(column) >= F.lit(lo))
     if hi is not None:

@@ -420,7 +420,7 @@ def _scan(table: str) -> str:
     from ..lake.fixtures import DEFAULT_LAKE_ROOT
 
     return (
-        f"read_parquet('{DEFAULT_LAKE_ROOT}/{table}/*/*.parquet',"
+        f"read_parquet('{DEFAULT_LAKE_ROOT}/{table}/slot_group=*/*.parquet',"
         " hive_partitioning=1)"
     )
 
