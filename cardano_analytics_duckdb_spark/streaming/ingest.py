@@ -595,6 +595,11 @@ def rollback_lake(
     enforced: the job holds the lake's ``_maintenance.lock``
     (``lake/lock.py``) for its duration, so a second maintenance job
     fails fast instead of interleaving rewrites.
+
+    Maintained aggregates (``streaming/materialize.py``) fold source
+    files exactly once — they can never observe a row-CHANGING rewrite
+    like this one.  After a rollback, recompute any materialized
+    aggregate over the touched tables in batch.
     """
     from ..lake.lock import maintenance_lock
 

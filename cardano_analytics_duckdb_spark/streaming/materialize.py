@@ -115,8 +115,13 @@ def materialize_aggregate(
         # (generation-managed) source keeps its base data in hidden
         # generation dirs, so a BOOTSTRAP fold here would silently start
         # from post-compaction appends only.  An established checkpoint is
-        # fine — it folded the superseded files before the swap, and the
-        # swap preserves their aggregate contribution by construction.
+        # fine for COMPACTION — it folded the superseded files before the
+        # swap, and a compaction swap preserves their aggregate
+        # contribution row-for-row.  Row-CHANGING maintenance (rollback_
+        # lake, upsert_partitioned) is outside the maintained-aggregate
+        # contract entirely: a file-source fold can never observe rewritten
+        # rows, checkpoint or not — after those ops, recompute the
+        # aggregate in batch (their docstrings say the same).
         raise RuntimeError(
             f"source {src_glob} is generation-managed (compacted) but no "
             f"checkpoint exists at {checkpoint}: a fresh fold cannot see "

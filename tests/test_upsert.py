@@ -1,6 +1,8 @@
 """Partition-scoped MERGE: replaced keys vanish, inserts land, and files of
-untouched partitions are byte-for-byte left alone (the partition-atomicity
-contract that makes upsert safe on a plain-parquet lake)."""
+untouched partitions are byte-for-byte left alone.  Since r8 the merge
+commits through the generation pointer (one atomic flip across every
+touched partition), so readers resolve via ``generations.read_table`` and
+the merge is correct on already-compacted (pointered) tables too."""
 
 from __future__ import annotations
 
@@ -13,8 +15,10 @@ from cardano_analytics_duckdb_spark.lake.upsert import upsert_partitioned
 
 
 def _rows(spark, path):
+    from cardano_analytics_duckdb_spark.lake.generations import read_table
+
     return sorted(
-        map(tuple, spark.read.parquet(path).select("k", "v", "slot_group").collect())
+        map(tuple, read_table(spark, path).select("k", "v", "slot_group").collect())
     )
 
 
@@ -86,3 +90,77 @@ def test_upsert_rejects_duplicate_keys_in_batch(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="duplicate key"):
         upsert_partitioned(spark, root, "t", dup_updates, ["k"])
+
+
+def test_upsert_correct_on_generation_managed_table(spark, tmp_path):
+    """The r8 motivation: on a table compaction has already pointered, the
+    merge must fold the generation data (a raw-read merge would see
+    superseded files, miss generation dirs, and leave replaced rows alive
+    as duplicates)."""
+    from cardano_analytics_duckdb_spark.lake.generations import (
+        current_generations,
+        read_table,
+    )
+    from cardano_analytics_duckdb_spark.lake.fsutil import LakeFs
+
+    root = str(tmp_path)
+    t = os.path.join(root, "t")
+    base = spark.createDataFrame(
+        [(1, "a", 0), (2, "b", 0), (3, "c", 100)],
+        "k long, v string, slot_group long",
+    )
+    # fragmented appends, then compaction -> generation-managed table
+    for chunk in [base.filter("k = 1"), base.filter("k > 1")]:
+        chunk.coalesce(1).write.mode("append").partitionBy(
+            "slot_group"
+        ).parquet(t)
+    from cardano_analytics_duckdb_spark.streaming.ingest import (
+        _compact_lake_locked,
+    )
+    from cardano_analytics_duckdb_spark.lake.lock import maintenance_lock
+
+    with maintenance_lock(spark, root, owner="test-compact"):
+        _compact_lake_locked(spark, root, tables=["t"])
+    lfs = LakeFs(spark, t)
+    assert current_generations(lfs, t)  # pointered now
+
+    updates = spark.createDataFrame(
+        [(2, "B2", 0), (9, "i", 100)], "k long, v string, slot_group long"
+    )
+    stats = upsert_partitioned(spark, root, "t", updates, ["k"])
+    assert stats == {"replaced": 1, "inserted": 1, "partitions": 2}
+    assert _rows(spark, t) == sorted(
+        [(1, "a", 0), (2, "B2", 0), (3, "c", 100), (9, "i", 100)]
+    )
+    # no duplicate keys survived anywhere (the silent-corruption mode)
+    df = read_table(spark, t)
+    assert df.count() == df.select("k").distinct().count()
+
+
+def test_upsert_swap_is_atomic_for_readers(spark, tmp_path):
+    """vacuum="defer": a reader resolving during/after the merge sees the
+    whole pre- or post-merge table; superseded files remain until an
+    explicit vacuum, which changes nothing visible."""
+    from cardano_analytics_duckdb_spark.lake.generations import (
+        read_table,
+        superseded_paths,
+        vacuum_superseded,
+    )
+    from cardano_analytics_duckdb_spark.lake.fsutil import LakeFs
+
+    root = str(tmp_path)
+    t = os.path.join(root, "t")
+    spark.createDataFrame(
+        [(1, "a", 0), (2, "b", 100)], "k long, v string, slot_group long"
+    ).write.partitionBy("slot_group").parquet(t)
+    updates = spark.createDataFrame(
+        [(1, "A", 0), (3, "c", 100)], "k long, v string, slot_group long"
+    )
+    upsert_partitioned(spark, root, "t", updates, ["k"], vacuum="defer")
+    after = sorted([(1, "A", 0), (2, "b", 100), (3, "c", 100)])
+    assert _rows(spark, t) == after
+    # old files still on disk for in-flight readers; vacuum is pure reclaim
+    assert superseded_paths(LakeFs(spark, t), t)
+    vacuum_superseded(spark, t)
+    assert superseded_paths(LakeFs(spark, t), t) == []
+    assert _rows(spark, t) == after
