@@ -652,7 +652,7 @@ def _rollback_lake_locked(
                 gen = next_generation_dir(lfs, src, entry)
                 (
                     keep.withColumn(
-                        "slot_group", F.lit(group).cast("int")
+                        "slot_group", F.lit(group).cast("long")
                     )
                     .write.mode("overwrite")
                     .parquet(os.path.join(src, gen))
@@ -837,7 +837,7 @@ def _compact_lake_locked(
                 continue  # already compact (or empty-append _SUCCESS only)
             gen = next_generation_dir(lfs, src, entry)
             (
-                source.withColumn("slot_group", F.lit(group).cast("int"))
+                source.withColumn("slot_group", F.lit(group).cast("long"))
                 .coalesce(1)
                 .write.mode("overwrite")
                 .parquet(os.path.join(src, gen))

@@ -1,0 +1,107 @@
+"""Model-based consistency walk for the generation-pointer layer.
+
+A seeded random sequence of lake operations — append, compact (vacuum at
+end or deferred), upsert (both vacuum modes), explicit vacuum — runs
+against both the real table and a driver-side dict model.  After EVERY
+step, ``generations.read_table`` must equal the model exactly: no lost
+appends, no resurrected superseded rows, no duplicates from a
+half-applied merge, regardless of operation interleaving.  This is the
+invariant the per-op tests check pointwise; the walk checks it
+compositionally (the bug class where op A's leftover state breaks op B).
+"""
+
+from __future__ import annotations
+
+import os
+import random
+
+import pyspark.sql.functions as F
+
+from cardano_analytics_duckdb_spark.lake.fsutil import LakeFs
+from cardano_analytics_duckdb_spark.lake.generations import (
+    read_table,
+    vacuum_superseded,
+)
+from cardano_analytics_duckdb_spark.lake.lock import maintenance_lock
+from cardano_analytics_duckdb_spark.lake.upsert import upsert_partitioned
+from cardano_analytics_duckdb_spark.streaming.ingest import (
+    _compact_lake_locked,
+)
+
+SCHEMA = "k long, v string, slot_group long"
+N_STEPS = 14
+SEED = 20260814
+
+
+def _lake_rows(spark, t):
+    return sorted(
+        map(tuple, read_table(spark, t).select("k", "v", "slot_group").collect())
+    )
+
+
+def _model_rows(model):
+    return sorted((k, v, g) for k, (v, g) in model.items())
+
+
+def test_random_walk_matches_model(spark, tmp_path):
+    rng = random.Random(SEED)
+    root = str(tmp_path)
+    t = os.path.join(root, "t")
+    model: dict[int, tuple[str, int]] = {}
+    next_key = 0
+
+    def fresh_rows(n):
+        nonlocal next_key
+        out = []
+        for _ in range(n):
+            g = rng.choice([0, 100, 200])
+            out.append((next_key, f"v{next_key}", g))
+            model[next_key] = (f"v{next_key}", g)
+            next_key += 1
+        return out
+
+    # bootstrap with a plain append so every op has data to work on
+    spark.createDataFrame(fresh_rows(6), SCHEMA).write.mode(
+        "append"
+    ).partitionBy("slot_group").parquet(t)
+
+    ops = ["append", "compact", "compact_defer", "upsert", "upsert_defer",
+           "vacuum"]
+    history = []
+    for step in range(N_STEPS):
+        op = rng.choice(ops)
+        history.append(op)
+        if op == "append":
+            spark.createDataFrame(
+                fresh_rows(rng.randint(1, 4)), SCHEMA
+            ).write.mode("append").partitionBy("slot_group").parquet(t)
+        elif op in ("compact", "compact_defer"):
+            with maintenance_lock(spark, root, owner=f"walk-{step}"):
+                _compact_lake_locked(
+                    spark, root, tables=["t"],
+                    vacuum="end" if op == "compact" else "defer",
+                )
+        elif op in ("upsert", "upsert_defer"):
+            # replace a random existing key, insert a fresh one
+            victim = rng.choice(sorted(model))
+            g_old = model[victim][1]
+            model[victim] = (f"u{step}", g_old)
+            updates = [(victim, f"u{step}", g_old)] + fresh_rows(1)
+            upsert_partitioned(
+                spark, root, "t",
+                spark.createDataFrame(updates, SCHEMA), ["k"],
+                vacuum="end" if op == "upsert" else "defer",
+            )
+        elif op == "vacuum":
+            vacuum_superseded(spark, t)
+        got = _lake_rows(spark, t)
+        assert got == _model_rows(model), (
+            f"divergence after step {step} ({op}); history={history}"
+        )
+        # no duplicate keys ever survive any interleaving
+        assert len({k for k, _, _ in got}) == len(got)
+
+    # end state: a final vacuum reclaims everything stale, rows unchanged
+    vacuum_superseded(spark, t)
+    assert _lake_rows(spark, t) == _model_rows(model)
+    assert read_table(spark, t).filter(F.col("k").isNull()).count() == 0
