@@ -30,6 +30,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .fsutil import LakeFs
 from .generations import (
@@ -171,12 +172,20 @@ def _upsert_locked(
             merged = survivors.unionByName(updates_p)
         gen = next_generation_dir(lfs, path, entry)
         # The write never reads the dir it replaces (generation dirs are
-        # fresh names), so no self-overwrite lineage break is needed.  The
-        # re-injected partition column takes the updates schema's type so
-        # generation files and hive paths agree.  Entry naming uses the
-        # plain str() rendering — exact for the integral partition values
-        # this lake uses (Hive-escaped string values are out of scope).
+        # fresh names), so no self-overwrite lineage break is needed.
+        # EVERY generation writer (here, compaction, rollback) injects an
+        # integral partition column as LONG: generation files from
+        # different writers end up in one explicit-file read, where
+        # parquet footers must agree — an int32 file from one writer next
+        # to an int64 file from another fails the whole table read.
+        # Entry naming uses the plain str() rendering — exact for the
+        # integral partition values this lake uses (Hive-escaped string
+        # values are out of scope).
         ptype = updates.schema[partition_col].dataType
+        if isinstance(
+            ptype, (T.ByteType, T.ShortType, T.IntegerType)
+        ):
+            ptype = T.LongType()
         merged.withColumn(partition_col, F.lit(p).cast(ptype)).write.mode(
             "overwrite"
         ).parquet(os.path.join(path, gen))

@@ -164,3 +164,42 @@ def test_upsert_swap_is_atomic_for_readers(spark, tmp_path):
     vacuum_superseded(spark, t)
     assert superseded_paths(LakeFs(spark, t), t) == []
     assert _rows(spark, t) == after
+
+
+def test_upsert_int_updates_mix_with_compacted_generations(spark, tmp_path):
+    """Generation files from DIFFERENT writers land in one explicit-file
+    read, so their parquet footers must agree on the partition column's
+    physical type.  An int32-typed updates batch must not produce int32
+    generation files next to compaction's int64 ones — every generation
+    writer canonicalizes integral partition columns to LONG."""
+    from cardano_analytics_duckdb_spark.lake.lock import maintenance_lock
+    from cardano_analytics_duckdb_spark.streaming.ingest import (
+        _compact_lake_locked,
+    )
+
+    root = str(tmp_path)
+    t = os.path.join(root, "t")
+    spark.createDataFrame(
+        [(1, "a", 0), (2, "b", 0), (3, "c", 100)],
+        "k long, v string, slot_group long",
+    ).write.partitionBy("slot_group").parquet(t)
+    # compact first: partition 0 and 100 get int64 generation files
+    with maintenance_lock(spark, root, owner="test"):
+        _compact_lake_locked(spark, root, tables=["t"], vacuum="end")
+    # upsert with an INT-typed partition column, touching ONLY partition 0
+    # — partition 100 keeps its compaction-written (int64) generation, so
+    # the final read mixes generation files from both writers
+    updates = spark.createDataFrame(
+        [(2, "B", 0), (4, "d", 0)], "k long, v string, slot_group int"
+    )
+    upsert_partitioned(spark, root, "t", updates, ["k"])
+    got = _rows(spark, t)
+    assert got == sorted([(1, "a", 0), (2, "B", 0), (3, "c", 100), (4, "d", 0)])
+    # the partition column stays LONG through the mixed-writer read
+    assert dict(read_tbl(spark, t).dtypes)["slot_group"] == "bigint"
+
+
+def read_tbl(spark, path):
+    from cardano_analytics_duckdb_spark.lake.generations import read_table
+
+    return read_table(spark, path)
