@@ -164,7 +164,7 @@ def update_manifest(spark: SparkSession, table_dir: str) -> int:
     an append-heavy lake pays O(delta) per refresh instead of
     :func:`build_manifest`'s O(files) rebuild.  Entries for deleted
     files are left in place (pruning drops them against the live
-    listing); run a full rebuild after rewrites to shed them.
+    listing); :func:`refresh_manifest` sheds them once they dominate.
     """
     lfs = LakeFs(spark, table_dir)
     mpath = os.path.join(table_dir, MANIFEST_DIR)
@@ -178,6 +178,32 @@ def update_manifest(spark: SparkSession, table_dir: str) -> int:
     _write_stats(spark, table_dir, mode="append", skip_rel=covered)
     live = _relative(_data_files(lfs, table_dir), lfs, table_dir)
     return sum(1 for rel in live.values() if rel not in covered)
+
+
+def refresh_manifest(spark: SparkSession, table_dir: str) -> int:
+    """Post-rewrite manifest maintenance at O(delta): append entries for
+    the rewrite's new files via :func:`update_manifest` (stale entries
+    are harmless — pruning intersects verdicts with the live listing),
+    and only pay :func:`build_manifest`'s O(files) rebuild when dead
+    entries outnumber live ones (repeated rewrites would otherwise grow
+    the manifest without bound).  Returns files added (or re-scanned, on
+    the rebuild path)."""
+    lfs = LakeFs(spark, table_dir)
+    mpath = os.path.join(table_dir, MANIFEST_DIR)
+    if not lfs.exists(mpath):
+        build_manifest(spark, table_dir)
+        return len(_data_files(lfs, table_dir))
+    added = update_manifest(spark, table_dir)
+    covered = {
+        r["file"]
+        for r in spark.read.parquet(mpath).select("file").distinct().collect()
+    }
+    live = set(_relative(_data_files(lfs, table_dir), lfs, table_dir).values())
+    dead = len(covered - live)
+    if dead > len(live):
+        build_manifest(spark, table_dir)
+        return len(live)
+    return added
 
 
 def _write_stats(

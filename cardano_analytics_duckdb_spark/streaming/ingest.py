@@ -856,7 +856,11 @@ def _compact_lake_locked(
         # files unknown -> pruning degrades to keep-everything).  Refresh
         # an EXISTING manifest in the same maintenance window so data
         # skipping stays tight; tables that never built one pay nothing.
-        from ..lake.manifest import MANIFEST_DIR, build_manifest
+        # refresh_manifest is O(delta) — only the rewrite's new files get
+        # footer reads, keeping incremental compaction's cost ∝ the
+        # fragmented partitions (a full stats rebuild only fires when
+        # dead entries outnumber live ones).
+        from ..lake.manifest import MANIFEST_DIR, refresh_manifest
 
         if rewrote and lfs.exists(os.path.join(src, MANIFEST_DIR)):
-            build_manifest(spark, src)
+            refresh_manifest(spark, src)

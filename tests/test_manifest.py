@@ -366,3 +366,65 @@ def test_high_fee_query_builds_and_survives_fixture_manifest(spark, sf_dir):
         (s, h, f) for (s, h, f, *_rest) in duckdb.sql(_HIGH_FEE_SQL).fetchall()
     ]
     assert got == expect and len(got) > 0
+
+
+def test_refresh_after_partial_compaction_is_o_delta(spark, sf_dir, tmp_path):
+    """Steady-state compaction touches few partitions; the manifest
+    refresh must stat only the rewrite's new files (dead entries stay,
+    harmless to pruning) instead of rebuilding the whole table's stats.
+    The rebuild only fires once dead entries outnumber live ones."""
+    from cardano_analytics_duckdb_spark.lake.manifest import (
+        update_manifest,
+    )
+    from cardano_analytics_duckdb_spark.streaming.ingest import compact_lake
+
+    root = str(tmp_path / "lake")
+    tx = os.path.join(root, "tx")
+    src = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("tx_fee"),
+        (F.col("o_orderkey") % 3).alias("slot_group"),
+    )
+    # 3 partitions, one file each ...
+    src.coalesce(1).write.partitionBy("slot_group").parquet(tx)
+    # ... then fragment ONLY partition 0 with two more append chunks
+    frag = src.filter(F.col("slot_group") == 0)
+    for _ in range(2):
+        frag.coalesce(1).write.mode("append").partitionBy(
+            "slot_group"
+        ).parquet(tx)
+    build_manifest(spark, tx)
+    m0 = spark.read.parquet(os.path.join(tx, MANIFEST_DIR))
+    assert m0.select("file").distinct().count() == 5
+
+    compact_lake(spark, root, tables=["tx"])  # rewrites partition 0 only
+    m1 = spark.read.parquet(os.path.join(tx, MANIFEST_DIR))
+    files = {r["file"] for r in m1.select("file").distinct().collect()}
+    # incremental: 5 prior entries (3 now dead) + 1 new generation file,
+    # NOT a 4-file rebuild — dead (3) does not outnumber live (3)
+    assert len(files) == 6
+    assert sum(f.startswith("_gen__") for f in files) == 1
+    assert update_manifest(spark, tx) == 0  # everything live is covered
+
+    # pruning still exact over the mixed manifest
+    from cardano_analytics_duckdb_spark.lake.generations import read_table
+
+    resolved = read_table(spark, tx)
+    lo = resolved.agg(F.min("tx_fee")).first()[0]
+    got = sorted(
+        r["tx_fee"]
+        for r in read_pruned(spark, tx, "tx_fee", None, lo + 100).collect()
+    )
+    expect = sorted(
+        r["tx_fee"]
+        for r in resolved.filter(F.col("tx_fee") <= lo + 100).collect()
+    )
+    assert got == expect and len(got) > 0
+
+    # one more rewrite of partition 0: dead entries (4) now outnumber
+    # live ones (3) and the refresh sheds them with a rebuild
+    frag.coalesce(1).write.mode("append").partitionBy(
+        "slot_group"
+    ).parquet(tx)
+    compact_lake(spark, root, tables=["tx"])
+    mN = spark.read.parquet(os.path.join(tx, MANIFEST_DIR))
+    assert mN.select("file").distinct().count() == 3  # current files only
