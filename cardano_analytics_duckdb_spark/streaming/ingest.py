@@ -567,7 +567,11 @@ def ingest_blocks_streaming(
 
 
 def rollback_lake(
-    spark: SparkSession, root: str, to_slot: int, vacuum: str = "end"
+    spark: SparkSession,
+    root: str,
+    to_slot: int,
+    vacuum: str = "end",
+    tables: Iterable[str] = LAKE_TABLES,
 ) -> dict[str, int]:
     """Chain-rollback reconciliation: drop every row with ``slot > to_slot``.
 
@@ -608,11 +612,17 @@ def rollback_lake(
     # below still covers the preflight->lock race window).
     _require_no_uncommitted_epochs(spark, root)
     with maintenance_lock(spark, root, owner=f"rollback_lake(to_slot={to_slot})"):
-        return _rollback_lake_locked(spark, root, to_slot, vacuum=vacuum)
+        return _rollback_lake_locked(
+            spark, root, to_slot, vacuum=vacuum, tables=tables
+        )
 
 
 def _rollback_lake_locked(
-    spark: SparkSession, root: str, to_slot: int, vacuum: str = "end"
+    spark: SparkSession,
+    root: str,
+    to_slot: int,
+    vacuum: str = "end",
+    tables: Iterable[str] = LAKE_TABLES,
 ) -> dict[str, int]:
     from ..lake.fsutil import LakeFs
     from ..lake.generations import commit_swaps, vacuum_superseded
@@ -621,7 +631,7 @@ def _rollback_lake_locked(
     _require_no_uncommitted_epochs(spark, root)
     dropped: dict[str, int] = {}
     boundary_group = (to_slot // SLOT_GROUP_SIZE) * SLOT_GROUP_SIZE
-    for t in LAKE_TABLES:
+    for t in tables:
         src = os.path.join(root, t)
         n = 0
         swaps: dict[str, dict] = {}

@@ -1,13 +1,16 @@
 """Model-based consistency walk for the generation-pointer layer.
 
 A seeded random sequence of lake operations — append, compact (vacuum at
-end or deferred), upsert (both vacuum modes), explicit vacuum — runs
-against both the real table and a driver-side dict model.  After EVERY
-step, ``generations.read_table`` must equal the model exactly: no lost
-appends, no resurrected superseded rows, no duplicates from a
-half-applied merge, regardless of operation interleaving.  This is the
-invariant the per-op tests check pointwise; the walk checks it
-compositionally (the bug class where op A's leftover state breaks op B).
+end or deferred), upsert (both vacuum modes), rollback, explicit vacuum —
+runs against both the real table and a driver-side dict model.  After
+EVERY step, ``generations.read_table`` must equal the model exactly: no
+lost appends, no resurrected superseded rows, no duplicates from a
+half-applied merge, no rows surviving past a rollback point, regardless
+of operation interleaving.  This is the invariant the per-op tests check
+pointwise; the walk checks it compositionally (the bug class where op
+A's leftover state breaks op B — it caught the INT32-vs-INT64 partition
+column mismatch between compaction's and upsert's generation writers on
+its first run).
 """
 
 from __future__ import annotations
@@ -26,37 +29,44 @@ from cardano_analytics_duckdb_spark.lake.lock import maintenance_lock
 from cardano_analytics_duckdb_spark.lake.upsert import upsert_partitioned
 from cardano_analytics_duckdb_spark.streaming.ingest import (
     _compact_lake_locked,
+    _rollback_lake_locked,
 )
 
-SCHEMA = "k long, v string, slot_group long"
-N_STEPS = 14
+SCHEMA = "k long, v string, slot long, slot_group long"
+N_STEPS = 16
 SEED = 20260814
 
 
 def _lake_rows(spark, t):
     return sorted(
-        map(tuple, read_table(spark, t).select("k", "v", "slot_group").collect())
+        map(
+            tuple,
+            read_table(spark, t)
+            .select("k", "v", "slot", "slot_group")
+            .collect(),
+        )
     )
 
 
 def _model_rows(model):
-    return sorted((k, v, g) for k, (v, g) in model.items())
+    return sorted((k, v, s, g) for k, (v, s, g) in model.items())
 
 
 def test_random_walk_matches_model(spark, tmp_path):
     rng = random.Random(SEED)
     root = str(tmp_path)
     t = os.path.join(root, "t")
-    model: dict[int, tuple[str, int]] = {}
+    model: dict[int, tuple[str, int, int]] = {}
     next_key = 0
 
     def fresh_rows(n):
         nonlocal next_key
         out = []
         for _ in range(n):
-            g = rng.choice([0, 100, 200])
-            out.append((next_key, f"v{next_key}", g))
-            model[next_key] = (f"v{next_key}", g)
+            slot = rng.randrange(0, 300)
+            g = (slot // 100) * 100
+            out.append((next_key, f"v{next_key}", slot, g))
+            model[next_key] = (f"v{next_key}", slot, g)
             next_key += 1
         return out
 
@@ -66,7 +76,7 @@ def test_random_walk_matches_model(spark, tmp_path):
     ).partitionBy("slot_group").parquet(t)
 
     ops = ["append", "compact", "compact_defer", "upsert", "upsert_defer",
-           "vacuum"]
+           "rollback", "vacuum"]
     history = []
     for step in range(N_STEPS):
         op = rng.choice(ops)
@@ -82,24 +92,38 @@ def test_random_walk_matches_model(spark, tmp_path):
                     vacuum="end" if op == "compact" else "defer",
                 )
         elif op in ("upsert", "upsert_defer"):
-            # replace a random existing key, insert a fresh one
+            if not model:
+                continue
+            # replace a random existing key (slot/partition fixed by the
+            # key, per the upsert contract), insert a fresh one
             victim = rng.choice(sorted(model))
-            g_old = model[victim][1]
-            model[victim] = (f"u{step}", g_old)
-            updates = [(victim, f"u{step}", g_old)] + fresh_rows(1)
+            _, s_old, g_old = model[victim]
+            model[victim] = (f"u{step}", s_old, g_old)
+            updates = [(victim, f"u{step}", s_old, g_old)] + fresh_rows(1)
             upsert_partitioned(
                 spark, root, "t",
                 spark.createDataFrame(updates, SCHEMA), ["k"],
                 vacuum="end" if op == "upsert" else "defer",
             )
+        elif op == "rollback":
+            to_slot = rng.choice([60, 140, 230])
+            with maintenance_lock(spark, root, owner=f"walk-{step}"):
+                _rollback_lake_locked(
+                    spark, root, to_slot, tables=["t"],
+                    vacuum=rng.choice(["end", "defer"]),
+                )
+            for k in [k for k, (_, s, _) in model.items() if s > to_slot]:
+                del model[k]
         elif op == "vacuum":
             vacuum_superseded(spark, t)
+        if not model:
+            continue  # a rollback can empty the table; read would raise
         got = _lake_rows(spark, t)
         assert got == _model_rows(model), (
             f"divergence after step {step} ({op}); history={history}"
         )
         # no duplicate keys ever survive any interleaving
-        assert len({k for k, _, _ in got}) == len(got)
+        assert len({k for k, _, _, _ in got}) == len(got)
 
     # end state: a final vacuum reclaims everything stale, rows unchanged
     vacuum_superseded(spark, t)
