@@ -6,11 +6,15 @@ runs against both the real table and a driver-side dict model.  After
 EVERY step, ``generations.read_table`` must equal the model exactly: no
 lost appends, no resurrected superseded rows, no duplicates from a
 half-applied merge, no rows surviving past a rollback point, regardless
-of operation interleaving.  This is the invariant the per-op tests check
-pointwise; the walk checks it compositionally (the bug class where op
-A's leftover state breaks op B — it caught the INT32-vs-INT64 partition
-column mismatch between compaction's and upsert's generation writers on
-its first run).
+of operation interleaving.  A manifest-pruned range read is checked at
+every step too — the manifest is built once at bootstrap and then only
+refreshed when compaction happens to run, so the walk also proves data
+skipping fails OPEN (never drops a live file) across arbitrarily stale
+stats and every pointer state.  This is the invariant the per-op tests
+check pointwise; the walk checks it compositionally (the bug class where
+op A's leftover state breaks op B — it caught the INT32-vs-INT64
+partition column mismatch between compaction's and upsert's generation
+writers on its first run).
 """
 
 from __future__ import annotations
@@ -74,6 +78,24 @@ def test_random_walk_matches_model(spark, tmp_path):
     spark.createDataFrame(fresh_rows(6), SCHEMA).write.mode(
         "append"
     ).partitionBy("slot_group").parquet(t)
+    # build the stats manifest ONCE; compaction refreshes it in passing,
+    # every other op leaves it stale — pruned reads must stay exact anyway
+    from cardano_analytics_duckdb_spark.lake.manifest import (
+        build_manifest,
+        read_pruned,
+    )
+
+    build_manifest(spark, t)
+
+    def _pruned_rows(lo, hi):
+        return sorted(
+            map(
+                tuple,
+                read_pruned(spark, t, "slot", lo, hi)
+                .select("k", "v", "slot", "slot_group")
+                .collect(),
+            )
+        )
 
     ops = ["append", "compact", "compact_defer", "upsert", "upsert_defer",
            "rollback", "vacuum"]
@@ -124,6 +146,18 @@ def test_random_walk_matches_model(spark, tmp_path):
         )
         # no duplicate keys ever survive any interleaving
         assert len({k for k, _, _, _ in got}) == len(got)
+        # data skipping over the (possibly stale) manifest stays exact
+        lo = rng.randrange(0, 200)
+        hi = lo + rng.randrange(20, 120)
+        expect = sorted(
+            (k, v, s, g)
+            for k, (v, s, g) in model.items()
+            if lo <= s <= hi
+        )
+        assert _pruned_rows(lo, hi) == expect, (
+            f"pruned-read divergence after step {step} ({op}) on "
+            f"slot in [{lo}, {hi}]; history={history}"
+        )
 
     # end state: a final vacuum reclaims everything stale, rows unchanged
     vacuum_superseded(spark, t)
