@@ -275,6 +275,32 @@ def _cmd_vacuum(args, spark: SparkSession) -> int:
     return 0
 
 
+def _cmd_rollback(args, spark: SparkSession) -> int:
+    """Reconcile a chain rollback after the fact: drop every lake row
+    above the slot (the upgrade the reference's count-and-skip policy
+    leaves manual — its lake keeps orphaned rows, ogmios_parquet.py
+    logs rollbacks only).  Partition-scoped, maintenance-locked, and
+    reader-atomic via the generation pointer."""
+    from .streaming.ingest import rollback_lake
+
+    dropped = rollback_lake(
+        spark,
+        args.lake,
+        args.to_slot,
+        vacuum="defer" if args.defer_vacuum else "end",
+    )
+    print(
+        json.dumps(
+            {
+                "to_slot": args.to_slot,
+                "rows_dropped": sum(dropped.values()),
+                "tables": dropped,
+            }
+        )
+    )
+    return 0
+
+
 def _cmd_manifest(args, spark: SparkSession) -> int:
     from .lake.manifest import build_manifest, prune_files, update_manifest
 
@@ -374,6 +400,23 @@ def build_parser() -> argparse.ArgumentParser:
         " refuses while another maintenance job holds it)",
     )
     va.set_defaults(func=_cmd_vacuum)
+
+    rb = sub.add_parser(
+        "rollback",
+        help="drop every lake row above a slot (chain-rollback"
+        " reconciliation; maintenance-locked, reader-atomic)",
+    )
+    rb.add_argument("--lake", required=True, help="lake root")
+    rb.add_argument(
+        "--to-slot", type=int, required=True, help="last slot to keep"
+    )
+    rb.add_argument(
+        "--defer-vacuum",
+        action="store_true",
+        help="leave superseded files for in-flight readers; reclaim"
+        " later with an explicit vacuum",
+    )
+    rb.set_defaults(func=_cmd_rollback)
 
     ma = sub.add_parser(
         "manifest",

@@ -256,3 +256,27 @@ def test_manifest_cli_build_then_probe(spark, sf_dir, tmp_path, capsys):
     assert rc == 0
     probe = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert 0 < probe["kept_files"] < 4
+
+
+def test_rollback_cli_drops_rows_above_slot(spark, tmp_path, capsys):
+    import pyspark.sql.functions as F
+
+    from cardano_analytics_duckdb_spark.cli import main
+    from cardano_analytics_duckdb_spark.lake.generations import read_table
+
+    dest = str(tmp_path / "lake")
+    assert main(["extract", "--dest", dest], spark) == 0
+    capsys.readouterr()
+    tx = read_table(spark, os.path.join(dest, "tx"))
+    slots = sorted(r["slot"] for r in tx.select("slot").distinct().collect())
+    assert len(slots) >= 2
+    cut = slots[len(slots) // 2]
+
+    rc = main(["rollback", "--lake", dest, "--to-slot", str(cut)], spark)
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["to_slot"] == cut and out["rows_dropped"] > 0
+
+    after = read_table(spark, os.path.join(dest, "tx"))
+    assert after.filter(F.col("slot") > cut).count() == 0
+    assert after.filter(F.col("slot") <= cut).count() > 0
