@@ -172,14 +172,29 @@ def read_table(spark: SparkSession, table_dir: str) -> DataFrame:
     gens = current_generations(lfs, table_dir)
     if not gens:
         return spark.read.parquet(table_dir)
+    live_dirs = {
+        d
+        for d in lfs.list_dirs(table_dir)
+        if "=" in d and not d.startswith(("_", "."))
+    }
     plain_dirs: list[str] = []
     explicit_files: list[str] = []
     gen_files: list[str] = []
-    for entry in partition_entries(lfs, table_dir):
+    for entry in sorted(live_dirs | set(gens)):
         st = gens.get(entry)
         if st is None:
+            # never pointered, or dropped by vacuum (which also reclaims
+            # the hive dir when empty — so a plain dir here always has
+            # data and reads without a per-entry listing)
             plain_dirs.append(os.path.join(table_dir, entry))
             continue
+        # NOTE: a gen-less entry with an empty supersede list must STILL
+        # go through the explicit-file listing — writers publishing a
+        # partition drop with vacuum="end" leave exactly that state, and
+        # the hive dir may be empty (schema inference dies on a branch
+        # of only-empty dirs).  Only vacuum_superseded may promote an
+        # entry back to the plain path, because only it removes the
+        # empty dir first.
         if st.get("gen"):
             gen_files.extend(
                 generation_files(lfs, table_dir, st["gen"])
@@ -263,10 +278,31 @@ def vacuum_superseded(spark: SparkSession, table_dir: str) -> list[str]:
     for p in stale:
         lfs.delete_recursive(p)
     gens = current_generations(lfs, table_dir)
+    # A gen-less entry with its supersede list reclaimed is
+    # indistinguishable from an unpointered partition (its hive dir — if
+    # anything remains — IS the data), so drop it: readers stop paying
+    # the per-entry listing, and a table whose every swap has been
+    # vacuumed down to gen-less state publishes the EMPTY mapping and
+    # returns to the fully plain ``spark.read.parquet`` path.
     cleaned = {
-        e: {"gen": st.get("gen"), "superseded": []}
+        e: {"gen": st["gen"], "superseded": []}
         for e, st in gens.items()
+        if st.get("gen")
     }
+    # Before publishing the drop, reclaim each dropped entry's hive dir
+    # if the file deletions above emptied it — otherwise readers of the
+    # cleaned mapping would hand bare empty dirs to the parquet reader
+    # (schema inference fails when every plain branch is empty).  The
+    # NON-recursive delete is an atomic rmdir-if-empty: a racing
+    # uncoordinated append that just landed a file makes it fail, and a
+    # failed delete is correct (the dir has live data and reads plain).
+    for entry in gens.keys() - cleaned.keys():
+        d = os.path.join(table_dir, entry)
+        if not lfs.list_files(d) and not lfs.list_dirs(d):
+            try:
+                lfs.delete(d)
+            except Exception:
+                pass
     if cleaned != gens:
         _publish(lfs, table_dir, cleaned)
         # the pre-clean version is now itself superseded; readers resolve

@@ -181,3 +181,101 @@ def test_materializer_refuses_bootstrap_on_compacted_source(spark, lake):
         materialize_fees_by_slot_group(
             spark, lake, str(os.path.join(lake, "_mat"))
         )
+
+
+def test_dropped_partition_with_empty_hive_dir_reads(spark, lake):
+    """Regression: compact(vacuum="end") empties every hive dir, then a
+    rollback that DROPS a gen-resident partition publishes
+    ``{gen: None, superseded: []}`` while the empty hive dir remains.
+    The reader must route that entry through the explicit-file listing
+    (it contributes nothing), not hand a branch of only-empty dirs to
+    parquet schema inference (UNABLE_TO_INFER_SCHEMA — the bug the
+    r8 model walk hit)."""
+    root = str(lake) + "_twogroups"
+    tx = os.path.join(root, "tx")
+    # several appends per partition so compaction rewrites both
+    for i in range(3):
+        spark.createDataFrame(
+            [
+                (i * 10 + j, s, (s // 100) * 100)
+                for j, s in enumerate((10 + i, 40 + i, 120 + i, 150 + i))
+            ],
+            "tx_id long, slot long, slot_group long",
+        ).write.mode("append").partitionBy("slot_group").parquet(tx)
+    compact_lake(spark, root, vacuum="end", tables=["tx"])
+    rows = read_table(spark, tx).select("slot", "slot_group").collect()
+    groups = sorted({r.slot_group for r in rows})
+    assert len(groups) >= 2
+    to_slot = max(r.slot for r in rows if r.slot_group == groups[0])
+    expected = sorted(r.slot for r in rows if r.slot <= to_slot)
+
+    rollback_lake(spark, root, to_slot, vacuum="defer", tables=["tx"])
+    lfs = LakeFs(spark, tx)
+    gens = current_generations(lfs, tx)
+    dropped = [e for e, st in gens.items() if st.get("gen") is None]
+    assert dropped, "rollback must have fully dropped a partition"
+    assert all(not gens[e]["superseded"] for e in dropped), (
+        "gen-resident drop supersedes no hive files — the exact state"
+    )
+    # the crash state: empty hive dir alongside a mapping drop entry
+    assert any(
+        not lfs.list_files(os.path.join(tx, e)) for e in dropped
+    )
+    got = sorted(
+        r.slot for r in read_table(spark, tx).select("slot").collect()
+    )
+    assert got == expected
+
+    # vacuum drops the entries AND reclaims the empty dirs, so the
+    # plain-dir fast path stays safe afterwards too
+    vacuum_superseded(spark, tx)
+    gens = current_generations(lfs, tx)
+    assert all(st.get("gen") for st in gens.values())
+    for e in dropped:
+        assert not lfs.exists(os.path.join(tx, e))
+    got = sorted(
+        r.slot for r in read_table(spark, tx).select("slot").collect()
+    )
+    assert got == expected
+
+
+def test_vacuum_restores_plain_scan_after_full_drop(spark, tmp_path):
+    """A table whose every swap was a partition drop returns — after
+    vacuum — to the EMPTY pointer mapping and the plain
+    ``spark.read.parquet`` plan, so the generation layer's cost
+    vanishes once nothing is generation-resident anymore."""
+    import re
+
+    root = str(tmp_path / "plainlake")
+    t = os.path.join(root, "tx")
+    spark.createDataFrame(
+        [(i, i * 40, (i * 40 // 100) * 100) for i in range(10)],
+        "tx_id long, slot long, slot_group long",
+    ).write.partitionBy("slot_group").parquet(t)
+    plain_rows = sorted(
+        r.slot
+        for r in spark.read.parquet(t).collect()
+        if r.slot <= 90
+    )
+
+    # drops partitions >= 100 entirely; slot_group=0 has no row > 90,
+    # so it is never pointered
+    rollback_lake(spark, root, 90, vacuum="defer", tables=["tx"])
+    lfs = LakeFs(spark, t)
+    assert current_generations(lfs, t), "drop entries must exist"
+    vacuum_superseded(spark, t)
+    assert current_generations(lfs, t) == {}
+
+    resolved = read_table(spark, t)
+    assert sorted(r.slot for r in resolved.collect()) == plain_rows
+    strip = lambda s: re.sub(r"#\d+", "#", s)  # noqa: E731
+    resolved_plan = strip(
+        resolved._jdf.queryExecution().optimizedPlan().toString()
+    )
+    plain_plan = strip(
+        spark.read.parquet(t)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert resolved_plan == plain_plan
