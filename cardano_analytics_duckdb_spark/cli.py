@@ -288,6 +288,7 @@ def _cmd_rollback(args, spark: SparkSession) -> int:
         args.lake,
         args.to_slot,
         vacuum="defer" if args.defer_vacuum else "end",
+        allow_stale_materializations=args.allow_stale_materializations,
     )
     print(
         json.dumps(
@@ -415,6 +416,12 @@ def build_parser() -> argparse.ArgumentParser:
         action="store_true",
         help="leave superseded files for in-flight readers; reclaim"
         " later with an explicit vacuum",
+    )
+    rb.add_argument(
+        "--allow-stale-materializations",
+        action="store_true",
+        help="proceed even when maintained aggregates are registered"
+        " over a table (you will recompute them in batch afterwards)",
     )
     rb.set_defaults(func=_cmd_rollback)
 

@@ -81,6 +81,7 @@ def upsert_partitioned(
     key_cols: list[str],
     partition_col: str = "slot_group",
     vacuum: str = "end",
+    allow_stale_materializations: bool = False,
 ) -> dict[str, int]:
     """Merge ``updates`` (full-row schema including ``partition_col``) into
     ``root/table`` by ``key_cols``.  Returns counters
@@ -108,10 +109,17 @@ def upsert_partitioned(
 
     Maintained aggregates (``streaming/materialize.py``) fold source files
     exactly once — they can never observe a row-CHANGING rewrite like this
-    one.  After an upsert, recompute any materialized aggregate over the
-    table in batch.
+    one.  ENFORCED since r8: a table with a registered materialization
+    marker refuses the upsert unless ``allow_stale_materializations=True``
+    (the caller's statement that the aggregates will be recomputed in
+    batch) or the marker is removed via ``deregister_materialization``.
     """
     path = os.path.join(root, table)
+    from ..streaming.materialize import require_no_materializations
+
+    require_no_materializations(
+        spark, path, "upsert_partitioned", allow_stale_materializations
+    )
     # One aggregation pass for both counts (count vs count_distinct over a
     # key struct) — two separate .count() actions would materialize the
     # updates lineage twice more before the merge jobs run it again.

@@ -572,6 +572,7 @@ def rollback_lake(
     to_slot: int,
     vacuum: str = "end",
     tables: Iterable[str] = LAKE_TABLES,
+    allow_stale_materializations: bool = False,
 ) -> dict[str, int]:
     """Chain-rollback reconciliation: drop every row with ``slot > to_slot``.
 
@@ -602,8 +603,11 @@ def rollback_lake(
 
     Maintained aggregates (``streaming/materialize.py``) fold source
     files exactly once — they can never observe a row-CHANGING rewrite
-    like this one.  After a rollback, recompute any materialized
-    aggregate over the touched tables in batch.
+    like this one.  ENFORCED since r8: tables with a registered
+    materialization marker refuse the rollback unless
+    ``allow_stale_materializations=True`` (the caller's statement that
+    the aggregates will be recomputed in batch) or the marker is
+    removed via ``deregister_materialization``.
     """
     from ..lake.lock import maintenance_lock
 
@@ -611,6 +615,14 @@ def rollback_lake(
     # must not leave the keep-on-failure lock behind (the in-lock check
     # below still covers the preflight->lock race window).
     _require_no_uncommitted_epochs(spark, root)
+    from .materialize import require_no_materializations
+
+    tables = list(tables)
+    for t in tables:
+        require_no_materializations(
+            spark, os.path.join(root, t), "rollback_lake",
+            allow_stale_materializations,
+        )
     with maintenance_lock(spark, root, owner=f"rollback_lake(to_slot={to_slot})"):
         return _rollback_lake_locked(
             spark, root, to_slot, vacuum=vacuum, tables=tables

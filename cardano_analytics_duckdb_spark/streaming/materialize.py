@@ -196,8 +196,90 @@ def materialize_aggregate(
             .parquet(table)
         )
 
+    _register_materialization(spark, src_glob, table_name, dest)
     run_available_now(stream, checkpoint, upsert_epoch)
     return table
+
+
+MATERIALIZED_BY_DIR = "_materialized_by"
+
+
+def _register_materialization(
+    spark: SparkSession, src_glob: str, table_name: str, dest: str
+) -> None:
+    """Leave a marker AT THE SOURCE (``src/_materialized_by/<name>.json``)
+    so row-CHANGING maintenance over the source can fail loud instead of
+    silently diverging the fold (a file-source stream can never observe a
+    rewrite — see :func:`require_no_materializations`).  Registered just
+    before the first fold; idempotent (atomic overwrite of same content).
+    A wildcard source can't host a marker — those folds stay on the
+    documented-contract honor system."""
+    import json
+
+    lfs = LakeFs(spark, src_glob)
+    if any(ch in src_glob for ch in "*?[") or not lfs.exists(src_glob):
+        return
+    lfs.mkdirs(os.path.join(src_glob, MATERIALIZED_BY_DIR))
+    lfs.write_text(
+        os.path.join(src_glob, MATERIALIZED_BY_DIR, f"{table_name}.json"),
+        json.dumps({"table_name": table_name, "dest": dest}),
+    )
+
+
+def registered_materializations(
+    spark: SparkSession, table_dir: str
+) -> dict[str, dict]:
+    """``{table_name: marker}`` for every maintained aggregate registered
+    over ``table_dir``."""
+    import json
+
+    lfs = LakeFs(spark, table_dir)
+    out: dict[str, dict] = {}
+    for f in lfs.list_files(os.path.join(table_dir, MATERIALIZED_BY_DIR)):
+        name = f.rsplit("/", 1)[-1]
+        if name.endswith(".json"):
+            out[name[: -len(".json")]] = json.loads(lfs.read_text(f))
+    return out
+
+
+def deregister_materialization(
+    spark: SparkSession, table_dir: str, table_name: str
+) -> None:
+    """Remove a marker — the operator's statement that the aggregate was
+    (or will be) recomputed in batch, or decommissioned."""
+    lfs = LakeFs(spark, table_dir)
+    lfs.delete(
+        os.path.join(table_dir, MATERIALIZED_BY_DIR, f"{table_name}.json")
+    )
+
+
+def require_no_materializations(
+    spark: SparkSession, table_dir: str, op: str, override: bool
+) -> None:
+    """Fail-loud gate for row-CHANGING maintenance (rollback, upsert).
+
+    A maintained aggregate folds each source file exactly once; a rewrite
+    that drops or replaces rows is invisible to the file stream, so the
+    aggregate silently diverges from the table.  Compaction is exempt
+    (row-preserving: the swap keeps every row's contribution).  With
+    ``override`` the caller asserts the divergence is handled — recompute
+    the aggregate in batch afterwards, or ``deregister_materialization``
+    first."""
+    if override:
+        return
+    regs = registered_materializations(spark, table_dir)
+    if regs:
+        names = ", ".join(
+            f"{n} -> {m.get('dest', '?')}" for n, m in sorted(regs.items())
+        )
+        raise RuntimeError(
+            f"{op} on {table_dir} would silently diverge maintained "
+            f"aggregate(s) registered over it: {names}.  A file-source "
+            "fold can never observe rewritten rows.  Either recompute "
+            "those aggregates in batch afterwards and pass "
+            "allow_stale_materializations=True, or "
+            "deregister_materialization() first."
+        )
 
 
 def materialize_user_counts(

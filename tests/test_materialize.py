@@ -374,3 +374,57 @@ def test_materialized_hll_distinct_equals_batch_sketch(spark, split_events, tmp_
         assert n_rows == n
         assert approx == est  # sketch-exact: fold order cannot matter
         assert abs(approx - exact) <= max(1, 0.05 * exact)
+
+
+def test_row_changing_maintenance_refuses_registered_materialization(
+    spark, tmp_path
+):
+    """Fail-loud gate (r8): a maintained aggregate folds each source file
+    exactly once, so rollback/upsert rewrites silently diverge it.  The
+    materializer registers a marker at its source; rollback_lake and
+    upsert_partitioned refuse while it exists, proceed with the explicit
+    override or after deregistration.  Compaction (row-preserving) is
+    exempt."""
+    from cardano_analytics_duckdb_spark.lake.fixtures import fixture_blocks
+    from cardano_analytics_duckdb_spark.lake.upsert import upsert_partitioned
+    from cardano_analytics_duckdb_spark.streaming.ingest import (
+        compact_lake,
+        ingest_blocks,
+        rollback_lake,
+    )
+    from cardano_analytics_duckdb_spark.streaming.materialize import (
+        deregister_materialization,
+        materialize_fees_by_slot_group,
+        registered_materializations,
+    )
+
+    lake = str(tmp_path / "lake")
+    dest = str(tmp_path / "mv_fees")
+    ingest_blocks(spark, fixture_blocks()[:30], lake, batch_size=10)
+    materialize_fees_by_slot_group(spark, lake, dest, n_buckets=4)
+    tx = os.path.join(lake, "tx")
+    regs = registered_materializations(spark, tx)
+    assert "fees_by_slot_group" in regs
+    assert regs["fees_by_slot_group"]["dest"] == dest
+
+    max_slot = (
+        spark.read.parquet(tx).agg(F.max("slot")).first()[0]
+    )
+    with pytest.raises(RuntimeError, match="fees_by_slot_group"):
+        rollback_lake(spark, lake, max_slot - 1)
+    one = spark.read.parquet(tx).limit(1)
+    with pytest.raises(RuntimeError, match="fees_by_slot_group"):
+        upsert_partitioned(spark, lake, "tx", one, ["tx_hash"])
+
+    # row-preserving maintenance stays unguarded
+    compact_lake(spark, lake, tables=["tx"])
+    # the explicit override proceeds (caller recomputes in batch after)
+    dropped = rollback_lake(
+        spark, lake, max_slot - 1, allow_stale_materializations=True
+    )
+    assert dropped.get("tx", 0) >= 1
+
+    # deregistration also lifts the gate
+    deregister_materialization(spark, tx, "fees_by_slot_group")
+    assert registered_materializations(spark, tx) == {}
+    rollback_lake(spark, lake, max_slot - 2)
