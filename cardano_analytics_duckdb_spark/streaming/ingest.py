@@ -361,7 +361,13 @@ def ingest_blocks(
     the maintenance lock, epoch-guarded, and reader-atomic via the
     generation-pointer swap (``lake/generations.py``).  Rows appended
     after the event (the node re-sending the adopted fork) land normally,
-    so the lake converges to the honest chain."""
+    so the lake converges to the honest chain.
+
+    Reconciliation inherits rollback's maintained-aggregate gate: with a
+    materialization registered over a lake table, the in-stream
+    ``rollback_lake`` refuses (already-flushed appends stay committed —
+    nothing is lost; ``deregister_materialization`` or recompute the
+    aggregate in batch, then resume from the node's cursor)."""
     stats = {"blocks": 0, "transactions": 0, "rollbacks": 0, "batches": 0}
     if reconcile_rollbacks:
         stats["reconciled_rows"] = 0
