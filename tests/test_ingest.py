@@ -491,3 +491,33 @@ def test_compaction_is_incremental_per_partition(spark, tmp_path):
     for d in untouched:
         assert after[d] == before[d]
     assert read_table(spark, os.path.join(dest, "tx")).count() == n_rows
+
+
+def test_live_reconciliation_refuses_under_registered_materialization(
+    spark, tmp_path
+):
+    """reconcile_rollbacks=True inherits rollback's maintained-aggregate
+    gate: the in-stream rollback_lake refuses while a materialization
+    marker exists, and everything flushed BEFORE the backward event stays
+    committed (fail-loud, no loss)."""
+    from cardano_analytics_duckdb_spark.streaming.materialize import (
+        materialize_fees_by_slot_group,
+    )
+
+    dest = str(tmp_path / "lake_gate")
+    blocks = fixture_blocks()[:6]
+    ingest_blocks(spark, blocks[:3], dest, batch_size=10)
+    materialize_fees_by_slot_group(
+        spark, dest, str(tmp_path / "mv"), n_buckets=2
+    )
+    tail = blocks[3:]
+    tail.insert(1, {"direction": "backward", "slot": blocks[3]["slot"]})
+    with pytest.raises(RuntimeError, match="fees_by_slot_group"):
+        ingest_blocks(
+            spark, tail, dest, batch_size=1, reconcile_rollbacks=True
+        )
+    # the pre-event flush is committed: block 3's rows are on disk
+    slots = {
+        r.slot for r in spark.read.parquet(f"{dest}/tx").select("slot").collect()
+    }
+    assert blocks[3]["slot"] in slots
