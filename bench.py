@@ -186,6 +186,20 @@ def main() -> None:
         else None
     )
 
+    # The driver captures a bounded TAIL of stdout and parses the LAST
+    # JSON line it finds: r8's enriched single line (per-query spreads for
+    # both engines) outgrew that window and left BENCH_r08.json with
+    # "parsed": null.  So the printed line stays SHORT — headline totals,
+    # per-query medians, and the gate ratios only — and the bulky
+    # diagnostic payload (spreads, best-of-7 per query, DuckDB medians)
+    # goes to BENCH_DETAIL.json next to this script.
+    detail = {
+        # per-query [min, max] of the 7 runs: when min<<max the median is
+        # contention-dominated and the headline ratio should be read
+        # against vs_duckdb_best in the summary line
+        "queries_spread": spark_spread,
+        "queries_best": {k: round(v, 3) for k, v in spark_best.items()},
+    }
     out = {
         "metric": "headline_query_wall_time",
         "value": total,
@@ -194,17 +208,11 @@ def main() -> None:
         "sf": float(sf),
         # warmup + per-query median-of-3 under production session defaults
         "production_conf_value": round(prod_total, 3),
-        # per-query [min, max] of the 7 runs: when min<<max the median is
-        # contention-dominated and the headline ratio should be read
-        # against vs_duckdb_best below
-        "queries_spread": spark_spread,
         "value_best": round(sum(spark_best.values()), 3),
     }
     if duckdb_value is not None:
         out["duckdb_value"] = duckdb_value
-        out["duckdb_queries"] = duck_timings
         out["vs_duckdb"] = round(total / duckdb_value, 3)
-        out["duckdb_queries_spread"] = duck_spread
         out["duckdb_value_best"] = round(sum(duck_best.values()), 3)
         # companion ratio on best-of-7 totals: symmetric and
         # contention-resistant (a noise burst inflates some runs but
@@ -212,6 +220,20 @@ def main() -> None:
         out["vs_duckdb_best"] = round(
             sum(spark_best.values()) / sum(duck_best.values()), 3
         )
+        detail["duckdb_queries"] = duck_timings
+        detail["duckdb_queries_spread"] = duck_spread
+        detail["duckdb_queries_best"] = {
+            k: round(v, 3) for k, v in duck_best.items()
+        }
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    try:
+        with open(detail_path, "w") as fh:
+            json.dump({**out, **detail}, fh, indent=1)
+        out["detail"] = "BENCH_DETAIL.json"
+    except OSError:
+        pass  # read-only checkout: the summary line still carries the gate
     print(json.dumps(out))
     spark.stop()
 
