@@ -129,11 +129,28 @@ def generation_files(lfs: LakeFs, table_dir: str, gen: str) -> list[str]:
     ]
 
 
+_ENTRY_RE = re.compile(r"^[A-Za-z0-9_]+=-?\d+$")
+
+
 def next_generation_dir(lfs: LakeFs, table_dir: str, entry: str) -> str:
     """Name (not full path) of the generation dir the next swap of
     ``entry`` should write to.  Numbered past every existing dir for the
     entry (committed or abandoned) so a crashed swap's leftover is never
-    written into again."""
+    written into again.
+
+    Generation management supports SINGLE INTEGRAL partition columns only
+    (``col=N`` entries, the lake's ``slot_group`` layout): the dir-name
+    slug replaces "=" with "_", which is non-injective on arbitrary
+    strings (``a=b_c`` and ``a_b=c`` would collide), and the maintenance
+    scanners parse ``int(entry.split("=")[1])``.  Enforced here — the one
+    chokepoint every swap passes through — rather than documented-only."""
+    if not _ENTRY_RE.match(entry):
+        raise ValueError(
+            f"generation management supports only single integral "
+            f"partition entries matching [A-Za-z0-9_]+=<int>; got "
+            f"{entry!r} (string or multi-column partition layouts would "
+            "collide in the '=' -> '_' dir slug)"
+        )
     slug = entry.replace("=", "_")
     ks = [
         int(m.group(2))

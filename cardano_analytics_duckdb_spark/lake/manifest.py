@@ -63,6 +63,14 @@ _MANIFEST_SCHEMA = T.StructType(
         T.StructField("max_num", T.DoubleType()),
         T.StructField("min_str", T.StringType()),
         T.StructField("max_str", T.StringType()),
+        # BINARY column bounds, lowercase-hex encoded.  Hex maps each
+        # byte to a fixed-width pair, so lexicographic order on the hex
+        # strings EQUALS bytewise order on the raw values — prune
+        # comparisons run as plain string comparisons.  Length-capped at
+        # the kernel (64 bytes) so spec-permitted writer truncation of
+        # long binary stats can never produce an unsafe max bound.
+        T.StructField("min_bin", T.StringType()),
+        T.StructField("max_bin", T.StringType()),
     ]
 )
 
@@ -171,9 +179,15 @@ def update_manifest(spark: SparkSession, table_dir: str) -> int:
     if not lfs.exists(mpath):
         build_manifest(spark, table_dir)
         return len(_data_files(lfs, table_dir))
+    existing = spark.read.parquet(mpath)
+    if "min_bin" not in existing.columns:
+        # pre-binary-stats manifest: appending the widened schema would
+        # leave mixed footers (reads silently drop the new columns), so
+        # migrate with a one-time full rebuild
+        build_manifest(spark, table_dir)
+        return len(_data_files(lfs, table_dir))
     covered = {
-        r["file"]
-        for r in spark.read.parquet(mpath).select("file").distinct().collect()
+        r["file"] for r in existing.select("file").distinct().collect()
     }
     _write_stats(spark, table_dir, mode="append", skip_rel=covered)
     live = _relative(_data_files(lfs, table_dir), lfs, table_dir)
@@ -277,6 +291,17 @@ def _write_stats(
                 pf = open_file(uri)
                 md = pf.metadata
                 n_rows = md.num_rows
+                # Top-level BINARY columns (arrow schema is authoritative:
+                # physical BYTE_ARRAY alone can't tell string from binary)
+                import pyarrow as _pa
+
+                bin_cols = {
+                    fld.name
+                    for fld in pf.schema_arrow
+                    if _pa.types.is_binary(fld.type)
+                    or _pa.types.is_large_binary(fld.type)
+                    or _pa.types.is_fixed_size_binary(fld.type)
+                }
                 agg: dict[str, dict] = {}
                 for rg in range(md.num_row_groups):
                     rg_rows = md.row_group(rg).num_rows
@@ -294,6 +319,8 @@ def _write_stats(
                                 "max_num": None,
                                 "min_str": None,
                                 "max_str": None,
+                                "min_bin": None,
+                                "max_bin": None,
                                 "has_stats": True,
                             },
                         )
@@ -311,6 +338,26 @@ def _write_stats(
                             continue
                         a["null_count"] += st.null_count or 0
                         mn, mx = st.min, st.max
+                        if name in bin_cols and isinstance(mn, bytes):
+                            # 64-byte cap: parquet writers MAY truncate
+                            # long byte-array stats (a truncated max is an
+                            # UNSAFE upper bound); chain hashes/ids are
+                            # 28-32 B, far under any writer's threshold
+                            if len(mn) > 64 or len(mx) > 64:
+                                a["has_stats"] = False
+                                continue
+                            hmn, hmx = mn.hex(), mx.hex()
+                            a["min_bin"] = (
+                                hmn
+                                if a["min_bin"] is None
+                                else min(a["min_bin"], hmn)
+                            )
+                            a["max_bin"] = (
+                                hmx
+                                if a["max_bin"] is None
+                                else max(a["max_bin"], hmx)
+                            )
+                            continue
                         if isinstance(mn, bytes):
                             try:
                                 mn = mn.decode("utf-8")
@@ -356,6 +403,8 @@ def _write_stats(
                             max_num=None,
                             min_str=None,
                             max_str=None,
+                            min_bin=None,
+                            max_bin=None,
                             null_count=-1,
                         )
                     out.append(
@@ -368,6 +417,8 @@ def _write_stats(
                             "max_num": a["max_num"],
                             "min_str": a["min_str"],
                             "max_str": a["max_str"],
+                            "min_bin": a["min_bin"],
+                            "max_bin": a["max_bin"],
                         }
                     )
             yield pd.DataFrame(
@@ -381,6 +432,8 @@ def _write_stats(
                     "max_num",
                     "min_str",
                     "max_str",
+                    "min_bin",
+                    "max_bin",
                 ],
             )
 
@@ -398,22 +451,54 @@ def _write_stats(
     return dest
 
 
+#: Accepted bound types: numeric/temporal-as-number (float/int), string,
+#: or raw bytes (binary columns — compared via the order-preserving hex
+#: encoding the manifest stores).
+Bound = float | int | str | bytes | None
+
+
+def _bound_cols(lo, hi) -> tuple[str, str]:
+    """(min_col, max_col) of the manifest stat pair a bound type prunes
+    against; both bounds must agree in kind."""
+    probe = lo if lo is not None else hi
+    if isinstance(probe, (bytes, bytearray)):
+        return "min_bin", "max_bin"
+    if isinstance(probe, str):
+        return "min_str", "max_str"
+    return "min_num", "max_num"
+
+
+def _bound_lit(v):
+    if isinstance(v, (bytes, bytearray)):
+        return F.lit(bytes(v).hex())
+    if isinstance(v, str):
+        return F.lit(v)
+    return F.lit(float(v))
+
+
 def prune_files(
     spark: SparkSession,
     table_dir: str,
     column: str,
-    lo: float | None = None,
-    hi: float | None = None,
+    lo: Bound = None,
+    hi: Bound = None,
 ) -> list[str]:
     """Full URIs of the data files that may contain rows with
     ``lo <= column <= hi`` (either bound optional).
+
+    Bounds may be numeric (numeric/temporal columns), ``str`` (string
+    columns), or ``bytes`` (binary columns — equality is the common case:
+    pass ``lo=hi=value``).  Binary/string comparisons run on the
+    manifest's order-preserving encodings, so skipping stays a plain
+    column comparison.
 
     Skip only on proof: a manifest row skips its file iff the file's
     [min, max] for ``column`` lies entirely outside [lo, hi], or the
     column is all-null there (range predicates reject NULL).  Files with
     no manifest entry (post-build appends) and files whose stats are
     incomplete (null_count = -1 sentinel) are always kept; manifest
-    entries whose file no longer exists are dropped.
+    entries whose file no longer exists are dropped.  A pre-r9 manifest
+    (no ``min_bin`` columns) keeps every file for bytes bounds.
     """
     lfs = LakeFs(spark, table_dir)
     live = _data_files(lfs, table_dir)
@@ -423,21 +508,26 @@ def prune_files(
     if not lfs.exists(mpath):
         return live
     m = spark.read.parquet(mpath).filter(F.col("column") == column)
+    min_col, max_col = _bound_cols(lo, hi)
+    if min_col not in m.columns:  # pre-binary-stats manifest + bytes bound
+        return live
+    has_bin = "min_bin" in m.columns
     cond = F.lit(False)
     # provably-no-match: interval disjoint from [lo, hi] ...
     if lo is not None:
-        cond = cond | (F.col("max_num") < F.lit(float(lo)))
+        cond = cond | (F.col(max_col) < _bound_lit(lo))
     if hi is not None:
-        cond = cond | (F.col("min_num") > F.lit(float(hi)))
+        cond = cond | (F.col(min_col) > _bound_lit(hi))
     # ... or every value NULL (min/max absent, yet stats were complete)
     all_null = (
         F.col("min_num").isNull()
         & F.col("min_str").isNull()
+        & (F.col("min_bin").isNull() if has_bin else F.lit(True))
         & (F.col("null_count") >= F.lit(0))
     )
     verdicts = m.select(
         "file",
-        ((cond & F.col("min_num").isNotNull()) | all_null).alias("skip"),
+        ((cond & F.col(min_col).isNotNull()) | all_null).alias("skip"),
     ).collect()  # one bounded collect: (file name, skip verdict) pairs
     skipped = {r["file"] for r in verdicts if r["skip"]}
     return [
@@ -450,7 +540,7 @@ def prune_files(
 def prune_files_box(
     spark: SparkSession,
     table_dir: str,
-    preds: list[tuple[str, float | None, float | None]],
+    preds: list[tuple[str, Bound, Bound]],
 ) -> list[str]:
     """Conjunctive (box) pruning: files that may contain rows satisfying
     EVERY ``(column, lo, hi)`` predicate — a file is skipped as soon as
@@ -496,7 +586,7 @@ def _read_files(
 def read_pruned_box(
     spark: SparkSession,
     table_dir: str,
-    preds: list[tuple[str, float | None, float | None]],
+    preds: list[tuple[str, Bound, Bound]],
 ) -> DataFrame:
     """The box query itself over surviving files, predicates re-applied
     row-level; equals ``full scan WHERE AND_i(lo_i <= col_i <= hi_i)``."""
@@ -519,8 +609,8 @@ def read_pruned(
     spark: SparkSession,
     table_dir: str,
     column: str,
-    lo: float | None = None,
-    hi: float | None = None,
+    lo: Bound = None,
+    hi: Bound = None,
 ) -> DataFrame:
     """The range query itself, reading only surviving files.  The same
     predicate is re-applied row-level (file skipping is coarse); the

@@ -138,13 +138,32 @@ def upsert_partitioned(
     )
     if any(p is None for p in parts):
         raise ValueError(f"NULL {partition_col} in updates is not supported")
+    gate_err: RuntimeError | None = None
+    result: dict[str, int] = {}
     with maintenance_lock(
         spark, root, owner=f"upsert_partitioned({table})"
     ):
-        return _upsert_locked(
-            spark, path, updates, key_cols, partition_col, parts,
-            n_updates, vacuum,
-        )
+        # Re-check inside the lock: a materialization registered in the
+        # preflight->lock window must not bypass the divergence gate
+        # (registration takes no lock, so only an in-lock check makes the
+        # gate atomic with the rewrite).  A refusal touched nothing, so it
+        # exits the with-body normally — keep-on-raise lock forensics are
+        # for failed rewrites — and re-raises after release.
+        try:
+            require_no_materializations(
+                spark, path, "upsert_partitioned",
+                allow_stale_materializations,
+            )
+        except RuntimeError as e:
+            gate_err = e
+        if gate_err is None:
+            result = _upsert_locked(
+                spark, path, updates, key_cols, partition_col, parts,
+                n_updates, vacuum,
+            )
+    if gate_err is not None:
+        raise gate_err
+    return result
 
 
 def _upsert_locked(

@@ -82,7 +82,7 @@ def _decode_payload(payload: bytes, decoder: str = "fixture") -> dict:
             "height": ((n // 64) % 64) + 1,
             "fingerprint": hashlib.md5(payload).hexdigest(),
         }
-    if decoder == "pil":  # pragma: no cover - Pillow absent in CI container
+    if decoder == "pil":  # executed by the stub-PIL + real-Pillow tests
         import io
 
         import PIL.Image

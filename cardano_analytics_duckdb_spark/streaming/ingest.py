@@ -332,13 +332,25 @@ def _rollback_point_slot(event: dict) -> int:
     """Slot of a backward event's rollback point.  Chain-sync events carry
     ``point`` ("origin" or ``{"slot", "id"}``, chainsync.py:280); bare
     ``{"slot": N}`` events (replay fixtures) are accepted too.  Origin
-    means everything rolls back -> -1 (``slot > -1`` drops all rows)."""
+    means everything rolls back -> -1 (``slot > -1`` drops all rows).
+
+    -1 is reserved for an EXPLICIT ``point == "origin"``: a rollback to -1
+    drops every row in the lake, so defaulting to it on a malformed event
+    would turn a node/decoder bug into a silent full-lake wipe under
+    ``reconcile_rollbacks=True``.  Any backward event that is neither
+    origin nor slot-carrying raises instead."""
     point = event.get("point")
     if point == "origin":
         return -1
     if isinstance(point, dict) and "slot" in point:
         return int(point["slot"])
-    return int(event.get("slot", -1))
+    if point is None and "slot" in event:
+        return int(event["slot"])
+    raise ValueError(
+        "backward event has no recognizable rollback point (expected "
+        "point='origin', point={'slot': N, ...}, or a bare 'slot' key); "
+        f"refusing to default to a full-lake rollback: {event!r}"
+    )
 
 
 def ingest_blocks(
@@ -629,10 +641,31 @@ def rollback_lake(
             spark, os.path.join(root, t), "rollback_lake",
             allow_stale_materializations,
         )
+    gate_err: RuntimeError | None = None
+    result: dict[str, int] = {}
     with maintenance_lock(spark, root, owner=f"rollback_lake(to_slot={to_slot})"):
-        return _rollback_lake_locked(
-            spark, root, to_slot, vacuum=vacuum, tables=tables
-        )
+        # Re-check INSIDE the lock: _register_materialization takes no
+        # lock, so a marker registered in the preflight->lock window would
+        # otherwise bypass the fail-loud divergence gate.  Holding
+        # _maintenance.lock makes the gate and the rewrite atomic with
+        # respect to marker registration.  A refusal here touched nothing,
+        # so it must exit the with-body NORMALLY (the lock's keep-on-raise
+        # forensics are for failed rewrites) and re-raise after release.
+        try:
+            for t in tables:
+                require_no_materializations(
+                    spark, os.path.join(root, t), "rollback_lake",
+                    allow_stale_materializations,
+                )
+        except RuntimeError as e:
+            gate_err = e
+        if gate_err is None:
+            result = _rollback_lake_locked(
+                spark, root, to_slot, vacuum=vacuum, tables=tables
+            )
+    if gate_err is not None:
+        raise gate_err
+    return result
 
 
 def _rollback_lake_locked(

@@ -63,18 +63,22 @@ def build_scaled(spark, scratch: str) -> None:
     )
 
 
-def build_scaled_lake(spark, scratch: str) -> None:
-    """Replicate the FULL sf0.1 lake at REPLICAS x into ``scratch/{t}.parquet``
-    directories (the layout load_table expects), with FK-consistent key
-    offsets so join/group cardinalities scale too: every foreign key is
-    shifted by the same per-replica span as its dimension's primary key.
-    nation/region stay fixed (real dims don't grow with fact volume).
-    Document text gets a per-replica suffix so the duplicate-rate stays
-    realistic instead of every doc gaining 9 exact copies."""
+def build_scaled_lake(
+    spark, scratch: str, replicas: int = REPLICAS, file_scale: int = 1
+) -> None:
+    """Replicate the FULL sf0.1 lake at ``replicas`` x into
+    ``scratch/{t}.parquet`` directories (the layout load_table expects),
+    with FK-consistent key offsets so join/group cardinalities scale too:
+    every foreign key is shifted by the same per-replica span as its
+    dimension's primary key.  nation/region stay fixed (real dims don't
+    grow with fact volume).  Document text gets a per-replica suffix so
+    the duplicate-rate stays realistic instead of every doc gaining
+    replicas-1 exact copies.  ``file_scale`` multiplies per-table file
+    counts so per-file size stays constant as replicas grow."""
     if os.path.exists(scratch):
         shutil.rmtree(scratch)
     os.makedirs(scratch)
-    rep = spark.range(REPLICAS).select(F.col("id").alias("rep"))
+    rep = spark.range(replicas).select(F.col("id").alias("rep"))
 
     from cardano_analytics_duckdb_spark.lake.tables import load_table
 
@@ -87,7 +91,7 @@ def build_scaled_lake(spark, scratch: str) -> None:
         return df.agg(F.max(key)).first()[0] + 1
 
     def write(df, t, files=64):
-        df.drop("rep").repartition(files).write.parquet(
+        df.drop("rep").repartition(files * file_scale).write.parquet(
             os.path.join(scratch, t + ".parquet")
         )
 
@@ -294,10 +298,104 @@ def duckdb_headline(lake_dir: str, n_runs: int = 3) -> dict:
     return {"queries": timings, "total": round(sum(timings.values()), 3)}
 
 
-def manifest_probe(spark, scratch: str, n_runs: int = 3) -> dict:
+#: The data-heavy end of the headline set (every one ≤1x DuckDB at 10x) —
+#: the five whose cost is dominated by scans/shuffles over fact tables,
+#: i.e. the regime that predicts 100 TB behavior.
+HEADLINE_HEAVY = [
+    "cross_nation_orders",
+    "order_brand_sets",
+    "minhash_band_buckets",
+    "user_sessions",
+    "simhash_fingerprints",
+]
+
+
+def headline_100x(spark, lake_dir: str, n_runs: int = 3) -> dict:
+    """The next decade (r8 verdict #7): the 5 most data-heavy headline
+    queries at 100x bench data (~60 M lineitems), production conf only
+    (the posture that wins the shuffle-heavy shapes at 10x), with the
+    DuckDB companion on the same lake — does the 10x crossover (0.856x
+    overall, every data-heavy query <1x) widen another decade up?"""
+    import duckdb
+
+    from cardano_analytics_duckdb_spark.operators import (
+        all_oracles,
+        all_queries,
+    )
+
+    queries, oracles = all_queries(), all_oracles()
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.adaptive.enabled",
+            "spark.sql.shuffle.partitions",
+        )
+    }
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.shuffle.partitions", "200")
+    for name in HEADLINE_HEAVY:  # untimed warmup
+        queries[name](spark, lake_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+    spark_t: dict[str, float] = {}
+    for name in HEADLINE_HEAVY:
+        runs = []
+        for _ in range(n_runs):
+            df = queries[name](spark, lake_dir)
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            runs.append(time.perf_counter() - t0)
+        spark_t[name] = round(sorted(runs)[n_runs // 2], 3)
+    for k, v in saved.items():
+        spark.conf.set(k, v)
+
+    con = duckdb.connect()
+    for t in (
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ):
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{os.path.join(lake_dir, t + '.parquet')}/*.parquet')"
+        )
+    for name in HEADLINE_HEAVY:  # untimed warmup
+        con.execute(oracles[name]).fetchall()
+    duck_t: dict[str, float] = {}
+    for name in HEADLINE_HEAVY:
+        runs = []
+        for _ in range(n_runs):
+            t0 = time.perf_counter()
+            con.execute(oracles[name]).fetchall()
+            runs.append(time.perf_counter() - t0)
+        duck_t[name] = round(sorted(runs)[n_runs // 2], 3)
+    con.close()
+    return {
+        "replicas": REPLICAS_100X,
+        "production_conf": spark_t,
+        "duckdb": duck_t,
+        "total_production_conf": round(sum(spark_t.values()), 3),
+        "total_duckdb": round(sum(duck_t.values()), 3),
+        "vs_duckdb": round(
+            sum(spark_t.values()) / sum(duck_t.values()), 3
+        ),
+        "per_query_spark_over_duckdb": {
+            n: round(spark_t[n] / duck_t[n], 2)
+            for n in HEADLINE_HEAVY
+            if duck_t[n] > 0
+        },
+    }
+
+
+def manifest_probe(
+    spark,
+    scratch: str,
+    n_runs: int = 3,
+    lineitem_dir: str | None = None,
+    out_files: int = 64,
+) -> dict:
     """Data-skipping evidence: the SAME range query on the SAME rows under
-    two layouts — as-written (random 64-file) vs z-ordered — each with a
-    stats manifest.  Records files kept and wall time of the pruned read
+    two layouts — as-written (random multi-file) vs z-ordered — each with
+    a stats manifest.  Records files kept and wall time of the pruned read
     vs the full-scan filter; the point being measured: skipping quality
     is a property of LAYOUT (zorder tightens per-file spans), and the
     manifest is what converts that into files never opened."""
@@ -308,11 +406,11 @@ def manifest_probe(spark, scratch: str, n_runs: int = 3) -> dict:
     )
     from cardano_analytics_duckdb_spark.lake.zorder import zorder_write
 
-    linear = os.path.join(scratch, "lineitem")
+    linear = lineitem_dir or os.path.join(scratch, "lineitem")
     li = spark.read.parquet(linear)
     zpath = os.path.join(scratch, "lineitem_z")
     zorder_write(
-        li, zpath, ["l_orderkey", "l_partkey"], out_files=64
+        li, zpath, ["l_orderkey", "l_partkey"], out_files=out_files
     )
     lo, hi = li.agg(F.min("l_partkey"), F.max("l_partkey")).first()
     qlo, qhi = float(lo), float(lo) + (float(hi) - float(lo)) / 16.0
@@ -342,8 +440,43 @@ def manifest_probe(spark, scratch: str, n_runs: int = 3) -> dict:
     return out
 
 
+REPLICAS_100X = 100
+
+
+def main_100x(scratch: str) -> None:
+    """The --100x mode: build the 100x lake (~60 M lineitems — fits the
+    sandbox), run the heavy-5 + DuckDB companion and the 640-file
+    manifest/z-order probe, and MERGE the results into the existing
+    SCALE_PROBE.json (the 10x sections are expensive and unchanged)."""
+    spark = get_session(app_name="scale-probe-100x", shuffle_partitions=200)
+    lake_dir = os.path.join(scratch, "lake100")
+    build_scaled_lake(
+        spark, lake_dir, replicas=REPLICAS_100X, file_scale=10
+    )
+    summary = {}
+    if os.path.exists("SCALE_PROBE.json"):
+        with open("SCALE_PROBE.json") as f:
+            summary = json.load(f)
+    summary["headline_100x"] = headline_100x(spark, lake_dir)
+    summary["manifest_100x"] = manifest_probe(
+        spark,
+        lake_dir,
+        lineitem_dir=os.path.join(lake_dir, "lineitem.parquet"),
+        out_files=640,
+    )
+    with open("SCALE_PROBE.json", "w") as f:
+        json.dump(summary, f, indent=2)
+    print(json.dumps({k: summary[k] for k in ("headline_100x", "manifest_100x")}))
+    shutil.rmtree(scratch, ignore_errors=True)
+    spark.stop()
+
+
 def main() -> None:
-    scratch = sys.argv[1] if len(sys.argv) > 1 else "/tmp/spark_scale_probe"
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    scratch = args[0] if args else "/tmp/spark_scale_probe"
+    if "--100x" in sys.argv:
+        main_100x(scratch)
+        return
     # Production shuffle sizing posture: oversized partition count, AQE
     # coalesces down (plans/session.py docstring) — the probe must compare
     # AQE against the same static setting a cluster job would carry.

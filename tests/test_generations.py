@@ -279,3 +279,23 @@ def test_vacuum_restores_plain_scan_after_full_drop(spark, tmp_path):
         .toString()
     )
     assert resolved_plan == plain_plan
+
+
+def test_next_generation_dir_rejects_non_integral_entries(spark, tmp_path):
+    """ADVICE r8: the '=' -> '_' dir slug is non-injective on arbitrary
+    strings (a=b_c vs a_b=c), and the maintenance scanners parse
+    int(entry.split('=')[1]) — so generation management enforces the
+    single-integral-partition contract at its one chokepoint."""
+    from cardano_analytics_duckdb_spark.lake.fsutil import LakeFs
+    from cardano_analytics_duckdb_spark.lake.generations import (
+        next_generation_dir,
+    )
+
+    lfs = LakeFs(spark, str(tmp_path))
+    ok = next_generation_dir(lfs, str(tmp_path), "slot_group=4000")
+    assert ok.startswith("_gen__slot_group_4000__g")
+    # negative partition values are integral too (pre-origin sentinel)
+    next_generation_dir(lfs, str(tmp_path), "slot_group=-1")
+    for bad in ("a=b_c", "a_b=c", "country=US", "a=1/b=2", "slot_group=", "x"):
+        with pytest.raises(ValueError, match="single integral"):
+            next_generation_dir(lfs, str(tmp_path), bad)

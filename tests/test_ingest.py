@@ -521,3 +521,83 @@ def test_live_reconciliation_refuses_under_registered_materialization(
         r.slot for r in spark.read.parquet(f"{dest}/tx").select("slot").collect()
     }
     assert blocks[3]["slot"] in slots
+
+
+def test_malformed_backward_event_refuses_full_lake_default(spark):
+    """ADVICE r8 (medium): -1 is reserved for an EXPLICIT point='origin';
+    a backward event with no recognizable rollback point raises instead of
+    silently defaulting to a full-lake rollback."""
+    from cardano_analytics_duckdb_spark.streaming.ingest import (
+        _rollback_point_slot,
+    )
+
+    assert _rollback_point_slot({"point": "origin"}) == -1
+    assert _rollback_point_slot({"point": {"slot": 7, "id": "ab"}}) == 7
+    assert _rollback_point_slot({"slot": 9}) == 9  # replay-fixture shape
+    for ev in (
+        {},
+        {"direction": "backward"},
+        {"point": {}},
+        {"point": {"id": "ab"}},  # point dict missing its slot
+        {"point": 3.5},
+    ):
+        with pytest.raises(ValueError, match="full-lake"):
+            _rollback_point_slot(ev)
+
+
+def test_malformed_backward_event_does_not_wipe_lake(spark, tmp_path):
+    """Integration of the same guard under reconcile_rollbacks=True: the
+    stream fails loud at the malformed event and every previously-flushed
+    row stays on disk (previously: rollback_lake(root, -1) == wipe)."""
+    dest = str(tmp_path / "lake_malformed")
+    blocks = fixture_blocks()[:4]
+    ingest_blocks(spark, blocks[:3], dest, batch_size=10)
+    n_before = spark.read.parquet(f"{dest}/tx").count()
+    assert n_before > 0
+    tail = [{"direction": "backward", "point": {"id": "deadbeef"}}]
+    tail += blocks[3:]
+    with pytest.raises(ValueError, match="rollback point"):
+        ingest_blocks(
+            spark, tail, dest, batch_size=1, reconcile_rollbacks=True
+        )
+    assert spark.read.parquet(f"{dest}/tx").count() == n_before
+    # the refusal happened before the lock was taken: lake not wedged
+    assert not os.path.exists(os.path.join(dest, "_maintenance.lock"))
+
+
+def test_materialization_registered_in_check_to_lock_window_is_caught(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r8: the divergence gate re-runs INSIDE the maintenance lock,
+    so a marker registered between the preflight check and lock
+    acquisition still refuses the rollback — and the refusal releases the
+    lock (nothing was rewritten)."""
+    from cardano_analytics_duckdb_spark.streaming import materialize as mat
+    from cardano_analytics_duckdb_spark.streaming.ingest import rollback_lake
+
+    dest = str(tmp_path / "lake_race")
+    blocks = fixture_blocks()[:3]
+    ingest_blocks(spark, blocks, dest, batch_size=10)
+    n_before = spark.read.parquet(f"{dest}/tx").count()
+
+    real = mat.require_no_materializations
+    state = {"preflight": True}
+
+    def racy(spark_, table_dir, op, override):
+        if state["preflight"]:
+            # concurrent session registers its marker AFTER the preflight
+            # saw a clean table but BEFORE the lock was acquired
+            state["preflight"] = False
+            mat._register_materialization(
+                spark_, table_dir, "racy_agg", str(tmp_path / "mv")
+            )
+            return
+        return real(spark_, table_dir, op, override)
+
+    monkeypatch.setattr(mat, "require_no_materializations", racy)
+    with pytest.raises(RuntimeError, match="racy_agg"):
+        rollback_lake(spark, dest, blocks[0]["slot"], tables=["tx"])
+    assert spark.read.parquet(f"{dest}/tx").count() == n_before
+    # gate refusal (nothing touched) released the lock; keep-on-raise is
+    # reserved for failed rewrites
+    assert not os.path.exists(os.path.join(dest, "_maintenance.lock"))

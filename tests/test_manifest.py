@@ -18,7 +18,9 @@ from cardano_analytics_duckdb_spark.lake.manifest import (
     MANIFEST_DIR,
     build_manifest,
     prune_files,
+    prune_files_box,
     read_pruned,
+    read_pruned_box,
 )
 from cardano_analytics_duckdb_spark.lake.tables import load_table
 
@@ -428,3 +430,224 @@ def test_refresh_after_partial_compaction_is_o_delta(spark, sf_dir, tmp_path):
     compact_lake(spark, root, tables=["tx"])
     mN = spark.read.parquet(os.path.join(tx, MANIFEST_DIR))
     assert mN.select("file").distinct().count() == 3  # current files only
+
+
+def test_lazy_manifest_build_is_lock_protected(spark, tmp_path):
+    """r8 verdict #3: the lazy first-use build in _lake_range runs under
+    the lake's _maintenance.lock with an in-lock double-check.  While
+    another maintenance job holds the lock, the read query writes NOTHING
+    and falls back to the plain exact scan; once the lock frees, the next
+    read builds the manifest and prunes."""
+    from cardano_analytics_duckdb_spark.lake.fixtures import (
+        ensure_fixture_lake,
+    )
+    from cardano_analytics_duckdb_spark.lake.lock import LOCK_NAME
+    from cardano_analytics_duckdb_spark.operators.cardano import _lake_range
+
+    src_root = ensure_fixture_lake(spark)
+    root = str(tmp_path / "locked_lake")
+    tx = spark.read.parquet(f"{src_root}/tx")
+    tx.repartitionByRange(8, "tx_fee").write.parquet(os.path.join(root, "tx"))
+
+    expect = sorted(
+        (r["tx_fee"], bytes(r["tx_id"]).hex())
+        for r in tx.filter(F.col("tx_fee") >= 2_000_001).collect()
+    )
+
+    # another maintenance job holds the lake lock
+    with open(os.path.join(root, LOCK_NAME), "w") as f:
+        f.write('{"owner": "other-session-compaction"}')
+    got = sorted(
+        (r["tx_fee"], bytes(r["tx_id"]).hex())
+        for r in _lake_range(
+            spark, "tx", "tx_fee", lo=2_000_001, root=root
+        ).collect()
+    )
+    assert got == expect and len(got) > 0
+    # no write side-effect happened under a held lock
+    assert not os.path.exists(os.path.join(root, "tx", MANIFEST_DIR))
+
+    # lock freed -> next first-use read builds and prunes
+    os.remove(os.path.join(root, LOCK_NAME))
+    got2 = sorted(
+        (r["tx_fee"], bytes(r["tx_id"]).hex())
+        for r in _lake_range(
+            spark, "tx", "tx_fee", lo=2_000_001, root=root
+        ).collect()
+    )
+    assert got2 == expect
+    assert os.path.isdir(os.path.join(root, "tx", MANIFEST_DIR))
+    # and the build released the lake lock on its way out
+    assert not os.path.exists(os.path.join(root, LOCK_NAME))
+
+
+def test_lazy_manifest_double_check_skips_rebuild(spark, tmp_path):
+    """Second session entering the lock after a first session's build must
+    NOT rebuild (overwrite-mode churn): the manifest files are bit-stable
+    across a repeat _lake_range call."""
+    from cardano_analytics_duckdb_spark.lake.fixtures import (
+        ensure_fixture_lake,
+    )
+    from cardano_analytics_duckdb_spark.operators.cardano import _lake_range
+
+    src_root = ensure_fixture_lake(spark)
+    root = str(tmp_path / "dc_lake")
+    tx = spark.read.parquet(f"{src_root}/tx")
+    tx.repartitionByRange(4, "tx_fee").write.parquet(os.path.join(root, "tx"))
+
+    _lake_range(spark, "tx", "tx_fee", lo=2_000_001, root=root).count()
+    mdir = os.path.join(root, "tx", MANIFEST_DIR)
+
+    def snapshot():
+        out = {}
+        for dirpath, _dirs, files in os.walk(mdir):
+            for fn in files:
+                p = os.path.join(dirpath, fn)
+                out[p] = (os.path.getmtime(p), os.path.getsize(p))
+        return out
+
+    before = snapshot()
+    assert before
+    _lake_range(spark, "tx", "tx_fee", lo=2_000_001, root=root).count()
+    assert snapshot() == before
+
+
+def test_binary_policy_equality_skips_files_on_policy_clustered_layout(
+    spark, tmp_path
+):
+    """r8 verdict #4: BINARY column bounds (hex-encoded, order-preserving)
+    let the flagship token filter (policy_id == bytes) skip files on a
+    policy-clustered asset layout — kept < total, rows identical to the
+    resolved full-scan filter."""
+    from cardano_analytics_duckdb_spark.lake.fixtures import (
+        TOKEN_NAME,
+        TOKEN_POLICY,
+        ensure_fixture_lake,
+    )
+
+    src_root = ensure_fixture_lake(spark)
+    root = str(tmp_path / "policy_lake")
+    asset = spark.read.parquet(f"{src_root}/asset")
+    # the layout a policy-clustering maintenance pass produces: each file
+    # covers exactly one policy (deterministic here: one write per policy,
+    # 2 files each, so files NOT holding the queried policy must exist)
+    is_target = F.col("policy_id") == F.lit(TOKEN_POLICY)
+    for part in (asset.filter(is_target), asset.filter(~is_target)):
+        (
+            part.repartition(2)
+            .write.mode("append")
+            .parquet(os.path.join(root, "asset"))
+        )
+    build_manifest(spark, os.path.join(root, "asset"))
+    kept = prune_files(
+        spark, os.path.join(root, "asset"), "policy_id",
+        TOKEN_POLICY, TOKEN_POLICY,
+    )
+    total = len(
+        [f for f in os.listdir(os.path.join(root, "asset"))
+         if f.endswith(".parquet")]
+    )
+    assert 0 < len(kept) < total
+    got = sorted(
+        (r["slot"], bytes(r["tx_id"]).hex(), r["output_index"])
+        for r in read_pruned(
+            spark, os.path.join(root, "asset"), "policy_id",
+            TOKEN_POLICY, TOKEN_POLICY,
+        ).collect()
+    )
+    expect = sorted(
+        (r["slot"], bytes(r["tx_id"]).hex(), r["output_index"])
+        for r in asset.filter(
+            F.col("policy_id") == F.lit(TOKEN_POLICY)
+        ).collect()
+    )
+    assert got == expect and len(got) > 0
+
+    # conjunctive box: policy equality AND a slot window skips at least
+    # as much as either predicate alone, rows still exact
+    box_kept = prune_files_box(
+        spark, os.path.join(root, "asset"),
+        [("policy_id", TOKEN_POLICY, TOKEN_POLICY),
+         ("asset_name", TOKEN_NAME, TOKEN_NAME),
+         ("slot", 100_000, 199_999)],
+    )
+    assert len(box_kept) <= len(kept)
+    got_box = sorted(
+        (r["slot"], bytes(r["tx_id"]).hex())
+        for r in read_pruned_box(
+            spark, os.path.join(root, "asset"),
+            [("policy_id", TOKEN_POLICY, TOKEN_POLICY),
+             ("asset_name", TOKEN_NAME, TOKEN_NAME),
+             ("slot", 100_000, 199_999)],
+        ).collect()
+    )
+    expect_box = sorted(
+        (r["slot"], bytes(r["tx_id"]).hex())
+        for r in asset.filter(
+            (F.col("policy_id") == F.lit(TOKEN_POLICY))
+            & (F.col("asset_name") == F.lit(TOKEN_NAME))
+            & F.col("slot").between(100_000, 199_999)
+        ).collect()
+    )
+    assert got_box == expect_box and len(got_box) > 0
+
+
+def test_concurrent_first_reads_race_one_build(spark, tmp_path):
+    """Two sessions issuing their FIRST range read concurrently: the lock
+    serializes the lazy build — exactly one manifest results (or one
+    session falls back to the plain exact read), and both get identical,
+    correct rows."""
+    import threading
+
+    from cardano_analytics_duckdb_spark.lake.fixtures import (
+        ensure_fixture_lake,
+    )
+    from cardano_analytics_duckdb_spark.operators.cardano import _lake_range
+
+    src_root = ensure_fixture_lake(spark)
+    root = str(tmp_path / "race_lake")
+    tx = spark.read.parquet(f"{src_root}/tx")
+    tx.repartitionByRange(4, "tx_fee").write.parquet(os.path.join(root, "tx"))
+
+    expect = sorted(
+        (r["tx_fee"], bytes(r["tx_id"]).hex())
+        for r in tx.filter(F.col("tx_fee") >= 2_000_001).collect()
+    )
+    results: dict[int, list] = {}
+    errors: list = []
+
+    def first_read(i: int) -> None:
+        try:
+            results[i] = sorted(
+                (r["tx_fee"], bytes(r["tx_id"]).hex())
+                for r in _lake_range(
+                    spark, "tx", "tx_fee", lo=2_000_001, root=root
+                ).collect()
+            )
+        except Exception as ex:  # pragma: no cover - diagnostic path
+            errors.append(ex)
+
+    threads = [
+        threading.Thread(target=first_read, args=(i,)) for i in range(2)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    assert results[0] == results[1] == expect and len(expect) > 0
+    # the loser of the create_exclusive race either double-checked inside
+    # the lock or fell back — never a torn/overwritten manifest: if it
+    # exists it must prune correctly right now
+    mdir = os.path.join(root, "tx", MANIFEST_DIR)
+    if os.path.isdir(mdir):
+        kept = prune_files(spark, os.path.join(root, "tx"), "tx_fee", 2_000_001)
+        got = sorted(
+            (r["tx_fee"], bytes(r["tx_id"]).hex())
+            for r in read_pruned(
+                spark, os.path.join(root, "tx"), "tx_fee", 2_000_001
+            ).collect()
+        )
+        assert got == expect and len(kept) >= 1
+    # and no lock is left behind either way
+    assert not os.path.exists(os.path.join(root, "_maintenance.lock"))

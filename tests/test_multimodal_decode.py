@@ -119,3 +119,59 @@ def test_no_import_time_pil_sniffing():
                 "try/except import-sniffing of PIL is banned "
                 f"(line {node.lineno})"
             )
+
+
+def _png_1x1_red() -> bytes:
+    """A valid 1x1 RGB PNG built from the stdlib (no Pillow needed to
+    CONSTRUCT it — only to decode it)."""
+    import struct
+    import zlib
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 2, 0, 0, 0)
+    raw = b"\x00\xff\x00\x00"  # scanline: filter 0, one RGB pixel
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_pil_decoder_decodes_real_png_when_pillow_present():
+    """r8 verdict #6: the decoder="pil" branch executes against REAL
+    Pillow wherever it is installed (skipped only where it genuinely
+    isn't) — driver-side kernel, known 1x1 PNG, exact dimensions."""
+    pytest.importorskip("PIL")
+    import hashlib
+
+    png = _png_1x1_red()
+    out = multimodal._decode_payload(png, decoder="pil")
+    assert (out["width"], out["height"]) == (1, 1)
+    assert out["fingerprint"] == hashlib.md5(png).hexdigest()
+
+
+def test_pil_decoder_end_to_end_when_pillow_present(spark, monkeypatch):
+    """Same branch through the real mapInPandas kernel: Python workers
+    import Pillow and decode the PNG payload shipped as a binary column."""
+    pytest.importorskip("PIL")
+    import hashlib
+
+    png = _png_1x1_red()
+
+    def fake_load(spark_, sf_dir_, name_):
+        return spark_.createDataFrame(
+            [(1, bytearray(png))], "doc_id long, text binary"
+        )
+
+    monkeypatch.setattr(multimodal, "load_table", fake_load)
+    rows = multimodal._decoded_frame(spark, "ignored", decoder="pil").collect()
+    assert [(r.doc_id, r.width, r.height) for r in rows] == [(1, 1, 1)]
+    assert rows[0].fingerprint == hashlib.md5(png).hexdigest()
