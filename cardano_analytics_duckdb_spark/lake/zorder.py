@@ -48,6 +48,27 @@ def morton_interleave(cols: list[Column], bits: int) -> Column:
     return z
 
 
+#: Bytes of binary prefix folded into the numeric z-order coordinate.
+#: 7 bytes = 56 bits < 63, so the fixed-width-hex -> conv(16, 10) path
+#: always fits a signed long.
+_BIN_PREFIX_BYTES = 7
+
+
+def _binary_coord(c: str) -> Column:
+    """Order-preserving numeric coordinate of a BINARY column: the
+    left-justified first ``_BIN_PREFIX_BYTES`` bytes via fixed-width hex.
+    hex() preserves bytewise order (2 chars per byte), right-padding with
+    '0' (the lowest hex digit) left-justifies shorter values, and conv()
+    of a fixed-width hex string is monotone — so numeric order on the
+    coordinate equals bytewise order on the prefix.  Values that share a
+    prefix land on the same grid cell, which costs skipping precision,
+    never correctness (the manifest prunes on real footer stats)."""
+    w = 2 * _BIN_PREFIX_BYTES
+    return F.conv(
+        F.rpad(F.substring(F.hex(F.col(c)), 1, w), w, "0"), 16, 10
+    ).cast("long")
+
+
 def zorder_key(
     df: DataFrame, cols: list[str], bits: int = 12
 ) -> Column:
@@ -58,10 +79,25 @@ def zorder_key(
     auto-reduced so the key always fits a signed long; an empty (or
     all-NULL-column) frame degenerates to a constant key, which writes the
     same empty/unordered output a sort would.
+
+    BINARY columns cluster too (r9): their coordinate is the
+    order-preserving numeric prefix of :func:`_binary_coord`, so a
+    policy/asset-id dimension can share the curve with a numeric slot
+    dimension — the layout the flagship's conjunctive box prune
+    (``lake/manifest.py::prune_files_box`` over hex bounds) skips on.
     """
+    from pyspark.sql import types as T
+
     bits = min(bits, 63 // max(len(cols), 1))
-    aggs = [F.min(c).alias(f"lo_{c}") for c in cols] + [
-        F.max(c).alias(f"hi_{c}") for c in cols
+    is_bin = {
+        c: isinstance(df.schema[c].dataType, T.BinaryType) for c in cols
+    }
+    coord = {
+        c: (_binary_coord(c) if is_bin[c] else F.col(c).cast("double"))
+        for c in cols
+    }
+    aggs = [F.min(coord[c]).alias(f"lo_{c}") for c in cols] + [
+        F.max(coord[c]).alias(f"hi_{c}") for c in cols
     ]
     stats = df.agg(*aggs).first()
     if any(stats[f"lo_{c}"] is None or stats[f"hi_{c}"] is None for c in cols):
@@ -69,12 +105,12 @@ def zorder_key(
     grid = (1 << bits) - 1
     scaled = []
     for c in cols:
-        lo = stats[f"lo_{c}"]
-        hi = stats[f"hi_{c}"]
-        span = float(max(hi - lo, 1))
+        lo = float(stats[f"lo_{c}"])
+        hi = float(stats[f"hi_{c}"])
+        span = max(hi - lo, 1.0)
         scaled.append(
             F.floor(
-                (F.col(c).cast("double") - float(lo)) / span * grid
+                (coord[c].cast("double") - lo) / span * grid
             ).cast("long")
         )
     return morton_interleave(scaled, bits)

@@ -120,3 +120,61 @@ def test_zorder_key_autoreduces_bits_for_many_columns(spark, sf_dir):
     key = zorder_key(li, cols, bits=20)
     got = li.select(key.alias("z")).agg(F.min("z"), F.max("z")).first()
     assert got[0] >= 0  # keys stay non-negative signed longs
+
+
+def test_binary_column_zorder_enables_box_pruning(spark, tmp_path):
+    """r9: BINARY columns cluster on the Morton curve via an
+    order-preserving hex-prefix coordinate, so a (policy_id, slot)
+    z-order plus the binary-stats manifest turns the flagship's
+    policy-equality x slot-window box into skipped files — produced
+    end-to-end by our own tooling (zorder_write -> build_manifest ->
+    prune_files_box), rows identical to the full-scan filter."""
+    import os
+
+    from cardano_analytics_duckdb_spark.lake.manifest import (
+        build_manifest,
+        prune_files_box,
+        read_pruned_box,
+    )
+
+    # 4096 rows, 8 distinct 32-byte policies DIFFERING IN THEIR LEADING
+    # BYTE (like real hash-valued ids — entropy up front, where the
+    # 7-byte prefix coordinate sees it), slot = row id
+    df = (
+        spark.range(4096)
+        .withColumn(
+            "policy_id",
+            F.unhex(F.rpad(F.hex(F.col("id") % 8 + 1), 64, "0")),
+        )
+        .withColumn("slot", F.col("id"))
+        .select("policy_id", "slot")
+    )
+    path = str(tmp_path / "asset_z")
+    zorder_write(df, path, ["policy_id", "slot"], out_files=8)
+    build_manifest(spark, path)
+
+    target = bytes.fromhex("3" + "0" * 63)  # policy 3
+    total = len(
+        [f for f in os.listdir(path) if f.endswith(".parquet")]
+    )
+    # the binary DIMENSION ALONE must prune (the coordinate saw the
+    # policies — not just the numeric slot axis doing all the work)
+    kept_policy = prune_files_box(
+        spark, path, [("policy_id", target, target)]
+    )
+    assert 0 < len(kept_policy) < total
+    box = [("policy_id", target, target), ("slot", 1000, 3000)]
+    kept = prune_files_box(spark, path, box)
+    assert 0 < len(kept) <= len(kept_policy)
+    got = sorted(
+        r["slot"]
+        for r in read_pruned_box(spark, path, box).collect()
+    )
+    expect = sorted(
+        r["slot"]
+        for r in df.filter(
+            (F.col("policy_id") == F.lit(target))
+            & F.col("slot").between(1000, 3000)
+        ).collect()
+    )
+    assert got == expect and len(got) > 0
