@@ -59,8 +59,9 @@ _WINDOW = (
     "top_orders_per_customer",
     "user_sessions",
     # last driver row r6 — oldest 22 (alphabetical within equal vintage);
-    # kmeans_cluster_profile's trainer gained round-batching this round,
-    # so its presence here doubles as the changed-code re-attestation
+    # kmeans_cluster_profile's trainer changed this round (train-loop
+    # input persistence + documented round-trip cost model), so its
+    # presence here doubles as the changed-code re-attestation
     "alpha_token_stats",
     "brand_shipment_stats",
     "cardano_address_cluster_summary",
