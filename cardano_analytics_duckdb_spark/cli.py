@@ -314,12 +314,32 @@ def _cmd_manifest(args, spark: SparkSession) -> int:
         n = spark.read.parquet(dest).select("file").distinct().count()
         print(json.dumps({"manifest": dest, "n_files": n}))
         return 0
-    kept = prune_files(
-        spark, args.table, args.probe_column, args.lo, args.hi
-    )
+    lo, hi = args.lo, args.hi
+    if args.eq_hex is not None:
+        lo = hi = bytes.fromhex(args.eq_hex)
+    kept = prune_files(spark, args.table, args.probe_column, lo, hi)
     print(
         json.dumps(
             {"probe_column": args.probe_column, "kept_files": len(kept)}
+        )
+    )
+    return 0
+
+
+def _cmd_cluster(args, spark: SparkSession) -> int:
+    from .lake.generations import read_table
+    from .lake.manifest import build_manifest
+    from .lake.zorder import zorder_write
+
+    cols = [c.strip() for c in args.by.split(",") if c.strip()]
+    df = read_table(spark, args.table)
+    zorder_write(df, args.out, cols, out_files=args.files)
+    dest = build_manifest(spark, args.out)
+    n = spark.read.parquet(dest).select("file").distinct().count()
+    print(
+        json.dumps(
+            {"clustered": args.out, "by": cols, "n_files": n,
+             "manifest": dest}
         )
     )
     return 0
@@ -440,12 +460,33 @@ def build_parser() -> argparse.ArgumentParser:
     ma.add_argument("--lo", type=float, default=None)
     ma.add_argument("--hi", type=float, default=None)
     ma.add_argument(
+        "--eq-hex",
+        default=None,
+        help="probe a BINARY equality instead: hex-encoded value"
+        " (e.g. a policy id); overrides --lo/--hi",
+    )
+    ma.add_argument(
         "--update",
         action="store_true",
         help="incremental: stat only files without a manifest entry"
         " (O(new files) instead of a full rebuild)",
     )
     ma.set_defaults(func=_cmd_manifest)
+
+    cl = sub.add_parser(
+        "cluster",
+        help="write a z-order-clustered copy of a table (numeric AND"
+        " binary cluster columns) and build its stats manifest — the"
+        " maintenance job that turns selective predicates into skipped"
+        " files",
+    )
+    cl.add_argument("--table", required=True, help="source table dir")
+    cl.add_argument("--out", required=True, help="clustered output dir")
+    cl.add_argument(
+        "--by", required=True, help="comma-separated cluster columns"
+    )
+    cl.add_argument("--files", type=int, default=64)
+    cl.set_defaults(func=_cmd_cluster)
     return p
 
 

@@ -280,3 +280,54 @@ def test_rollback_cli_drops_rows_above_slot(spark, tmp_path, capsys):
     after = read_table(spark, os.path.join(dest, "tx"))
     assert after.filter(F.col("slot") > cut).count() == 0
     assert after.filter(F.col("slot") <= cut).count() > 0
+
+
+def test_cluster_cli_zorders_and_probes_binary_equality(
+    spark, tmp_path, capsys
+):
+    """r9: the `cluster` maintenance command z-orders a table copy on
+    (binary, numeric) columns and builds its manifest; `manifest
+    --probe-column --eq-hex` then reports the skipped-file count for a
+    policy-equality probe — the deployable loop behind the flagship's
+    box pruning."""
+    import pyspark.sql.functions as F
+
+    src_dir = str(tmp_path / "asset_src")
+    (
+        spark.range(2048)
+        .withColumn(
+            "policy_id",
+            F.unhex(F.rpad(F.hex(F.col("id") % 8 + 1), 64, "0")),
+        )
+        .withColumn("slot", F.col("id"))
+        .select("policy_id", "slot")
+        .write.parquet(src_dir)
+    )
+    out_dir = str(tmp_path / "asset_z")
+    rc = main(
+        [
+            "cluster", "--table", src_dir, "--out", out_dir,
+            "--by", "policy_id,slot", "--files", "8",
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["by"] == ["policy_id", "slot"] and res["n_files"] == 8
+
+    target_hex = "3" + "0" * 63
+    rc = main(
+        [
+            "manifest", "--table", out_dir,
+            "--probe-column", "policy_id", "--eq-hex", target_hex,
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    probe = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert 0 < probe["kept_files"] < 8
+    # the clustered copy holds every source row
+    assert (
+        spark.read.parquet(out_dir).count()
+        == spark.read.parquet(src_dir).count()
+    )
