@@ -629,3 +629,33 @@ def test_silhouette_is_bounded_and_cluster_consistent(spark, sf_dir):
     for c, r in sil.items():
         assert 0.0 <= r["mean_silhouette"] <= 1.0
         assert r["n_points"] == prof[c]["n_points"]
+
+
+@settings(max_examples=500, deadline=None)
+@given(st.binary(min_size=0, max_size=80), st.binary(min_size=0, max_size=80))
+def test_hex_bound_encoding_preserves_byte_order(a: bytes, b: bytes):
+    """The binary manifest bounds' correctness hinges on one invariant:
+    lowercase hex is ORDER-PRESERVING for bytes (fixed 2 chars per byte,
+    digits < lowercase letters in ASCII), so prune_files' string
+    comparison over min_bin/max_bin decides exactly what a bytewise
+    comparison over the raw values would."""
+    assert (a <= b) == (a.hex() <= b.hex())
+    assert (a < b) == (a.hex() < b.hex())
+
+
+@settings(max_examples=500, deadline=None)
+@given(st.binary(min_size=0, max_size=40), st.binary(min_size=0, max_size=40))
+def test_zorder_binary_prefix_coordinate_is_monotone(a: bytes, b: bytes):
+    """lake/zorder.py::_binary_coord maps a binary value to
+    conv(rpad(substr(hex(v), 1, 14), 14, '0'), 16, 10) — mirrored here in
+    pure Python.  Correct clustering needs WEAK monotonicity: bytewise
+    order never inverts on the coordinate (ties allowed — values sharing
+    a 7-byte prefix cost skipping precision, not correctness)."""
+
+    def coord(v: bytes) -> int:
+        return int(v.hex()[:14].ljust(14, "0") or "0", 16)
+
+    if a <= b:
+        assert coord(a) <= coord(b)
+    else:
+        assert coord(a) >= coord(b)

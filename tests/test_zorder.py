@@ -178,3 +178,35 @@ def test_binary_column_zorder_enables_box_pruning(spark, tmp_path):
         ).collect()
     )
     assert got == expect and len(got) > 0
+
+
+def test_binary_coord_sql_matches_python_mirror(spark):
+    """The hypothesis property test (test_properties.py) reasons over a
+    pure-Python mirror of _binary_coord; this pins the mirror to the
+    actual Catalyst expression on edge-shaped values (empty, short, long,
+    high bytes, shared prefixes)."""
+    from cardano_analytics_duckdb_spark.lake.zorder import _binary_coord
+
+    vals = [
+        b"",
+        b"\x00",
+        b"\xff",
+        b"\x01" * 7,
+        b"\x01" * 8,
+        b"\xab\xcd",
+        bytes(range(32)),
+        b"\xff" * 7,
+        b"\x7f\xff\xff\xff\xff\xff\xff",
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "v binary")
+    got = [
+        r["c"]
+        for r in df.select(
+            _binary_coord("v").alias("c")
+        ).collect()
+    ]
+
+    def mirror(v: bytes) -> int:
+        return int(v.hex()[:14].ljust(14, "0") or "0", 16)
+
+    assert got == [mirror(v) for v in vals]
