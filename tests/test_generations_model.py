@@ -163,3 +163,142 @@ def test_random_walk_matches_model(spark, tmp_path):
     vacuum_superseded(spark, t)
     assert _lake_rows(spark, t) == _model_rows(model)
     assert read_table(spark, t).filter(F.col("k").isNull()).count() == 0
+
+
+def test_random_walk_binary_pruning_stays_exact(spark, tmp_path):
+    """r9 sibling walk for the binary-stats manifest: a seeded random
+    interleaving of append / compact / upsert / rollback / vacuum /
+    update_manifest / refresh_manifest, with a BINARY policy column in
+    the data.  After every step, a policy-equality pruned read and a
+    (policy x slot) box read must equal the model exactly — data
+    skipping over hex-encoded binary bounds fails OPEN across
+    arbitrarily stale stats, generation rewrites, and the O(delta)
+    incremental refresh paths."""
+    from cardano_analytics_duckdb_spark.lake.manifest import (
+        build_manifest,
+        read_pruned,
+        read_pruned_box,
+        refresh_manifest,
+        update_manifest,
+    )
+
+    rng = random.Random(20260815)
+    root = str(tmp_path)
+    t = os.path.join(root, "t")
+    policies = [bytes([p]) * 28 for p in (1, 2, 3, 4)]
+    schema = "k long, v string, pid binary, slot long, slot_group long"
+    model: dict[int, tuple[str, bytes, int, int]] = {}
+    next_key = 0
+
+    def fresh_rows(n):
+        nonlocal next_key
+        out = []
+        for _ in range(n):
+            slot = rng.randrange(0, 300)
+            g = (slot // 100) * 100
+            pid = rng.choice(policies)
+            out.append((next_key, f"v{next_key}", bytearray(pid), slot, g))
+            model[next_key] = (f"v{next_key}", pid, slot, g)
+            next_key += 1
+        return out
+
+    def lake_rows():
+        return sorted(
+            (r["k"], r["v"], bytes(r["pid"]), r["slot"], r["slot_group"])
+            for r in read_table(spark, t).collect()
+        )
+
+    def model_rows():
+        return sorted(
+            (k, v, p, s, g) for k, (v, p, s, g) in model.items()
+        )
+
+    spark.createDataFrame(fresh_rows(8), schema).write.mode(
+        "append"
+    ).partitionBy("slot_group").parquet(t)
+    build_manifest(spark, t)
+
+    ops = ["append", "compact", "upsert", "rollback", "vacuum",
+           "update_manifest", "refresh_manifest"]
+    history = []
+    for step in range(14):
+        op = rng.choice(ops)
+        history.append(op)
+        if op == "append":
+            spark.createDataFrame(
+                fresh_rows(rng.randint(1, 4)), schema
+            ).write.mode("append").partitionBy("slot_group").parquet(t)
+        elif op == "compact":
+            with maintenance_lock(spark, root, owner=f"bwalk-{step}"):
+                _compact_lake_locked(
+                    spark, root, tables=["t"],
+                    vacuum=rng.choice(["end", "defer"]),
+                )
+        elif op == "upsert":
+            if not model:
+                continue
+            victim = rng.choice(sorted(model))
+            _, p_old, s_old, g_old = model[victim]
+            model[victim] = (f"u{step}", p_old, s_old, g_old)
+            updates = [
+                (victim, f"u{step}", bytearray(p_old), s_old, g_old)
+            ] + fresh_rows(1)
+            upsert_partitioned(
+                spark, root, "t",
+                spark.createDataFrame(updates, schema), ["k"],
+                vacuum=rng.choice(["end", "defer"]),
+            )
+        elif op == "rollback":
+            to_slot = rng.choice([60, 140, 230])
+            with maintenance_lock(spark, root, owner=f"bwalk-{step}"):
+                _rollback_lake_locked(
+                    spark, root, to_slot, tables=["t"],
+                    vacuum=rng.choice(["end", "defer"]),
+                )
+            for k in [
+                k for k, (_, _, s, _) in model.items() if s > to_slot
+            ]:
+                del model[k]
+        elif op == "vacuum":
+            vacuum_superseded(spark, t)
+        elif op == "update_manifest":
+            update_manifest(spark, t)
+        elif op == "refresh_manifest":
+            refresh_manifest(spark, t)
+        if not model:
+            continue
+        assert lake_rows() == model_rows(), (
+            f"divergence after step {step} ({op}); history={history}"
+        )
+        # binary-equality pruned read stays exact under any staleness
+        target = rng.choice(policies)
+        got_eq = sorted(
+            (r["k"], bytes(r["pid"]))
+            for r in read_pruned(spark, t, "pid", target, target)
+            .select("k", "pid").collect()
+        )
+        expect_eq = sorted(
+            (k, p) for k, (_, p, _, _) in model.items() if p == target
+        )
+        assert got_eq == expect_eq, (
+            f"binary pruned-read divergence after step {step} ({op})"
+            f" on pid={target.hex()[:8]}...; history={history}"
+        )
+        # conjunctive (policy x slot) box read
+        lo = rng.randrange(0, 200)
+        hi = lo + rng.randrange(20, 120)
+        got_box = sorted(
+            (r["k"],)
+            for r in read_pruned_box(
+                spark, t, [("pid", target, target), ("slot", lo, hi)]
+            ).select("k").collect()
+        )
+        expect_box = sorted(
+            (k,)
+            for k, (_, p, s, _) in model.items()
+            if p == target and lo <= s <= hi
+        )
+        assert got_box == expect_box, (
+            f"box pruned-read divergence after step {step} ({op});"
+            f" history={history}"
+        )
