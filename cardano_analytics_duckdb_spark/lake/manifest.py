@@ -285,6 +285,8 @@ def _write_stats(
                 return float(v.toordinal())
             return None
 
+        import pyarrow as _pa
+
         for pdf in batches:
             out: list[dict] = []
             for uri, relpath in zip(pdf["uri"], pdf["rel"]):
@@ -293,8 +295,6 @@ def _write_stats(
                 n_rows = md.num_rows
                 # Top-level BINARY columns (arrow schema is authoritative:
                 # physical BYTE_ARRAY alone can't tell string from binary)
-                import pyarrow as _pa
-
                 bin_cols = {
                     fld.name
                     for fld in pf.schema_arrow
