@@ -644,14 +644,14 @@ def rollback_lake(
     gate_err: RuntimeError | None = None
     result: dict[str, int] = {}
     with maintenance_lock(spark, root, owner=f"rollback_lake(to_slot={to_slot})"):
-        # Re-check INSIDE the lock: _register_materialization takes no
-        # lock, so a marker registered in the preflight->lock window would
-        # otherwise bypass the fail-loud divergence gate.  Holding
-        # _maintenance.lock makes the gate and the rewrite atomic with
-        # respect to marker registration.  A refusal here touched nothing,
-        # so it must exit the with-body NORMALLY (the lock's keep-on-raise
+        # Re-check the gates INSIDE the lock: _register_materialization
+        # takes no lock (and a streaming epoch can begin) in the
+        # preflight->lock window, so only an in-lock check makes the gates
+        # atomic with the rewrite.  A refusal here touched nothing, so it
+        # must exit the with-body NORMALLY (the lock's keep-on-raise
         # forensics are for failed rewrites) and re-raise after release.
         try:
+            _require_no_uncommitted_epochs(spark, root)
             for t in tables:
                 require_no_materializations(
                     spark, os.path.join(root, t), "rollback_lake",
@@ -842,8 +842,19 @@ def compact_lake(
 
     # Preflight outside the lock — see rollback_lake
     _require_no_uncommitted_epochs(spark, root)
+    gate_err: RuntimeError | None = None
     with maintenance_lock(spark, root, owner="compact_lake"):
-        _compact_lake_locked(spark, root, tables, vacuum=vacuum)
+        # In-lock re-check with refusal-releases-the-lock semantics, same
+        # as rollback_lake: an epoch that began in the preflight->lock
+        # window refuses cleanly instead of wedging the lake lock.
+        try:
+            _require_no_uncommitted_epochs(spark, root)
+        except RuntimeError as e:
+            gate_err = e
+        if gate_err is None:
+            _compact_lake_locked(spark, root, tables, vacuum=vacuum)
+    if gate_err is not None:
+        raise gate_err
 
 
 def _compact_lake_locked(
