@@ -440,6 +440,125 @@ def manifest_probe(
     return out
 
 
+def skew_probe(spark, scratch: str, n_runs: int = 3) -> dict:
+    """Skew-join evidence: `plans/skew.py` was parity- and plan-tested but
+    its claims were never timed.  At 100 TB a hot join key sends all its
+    rows to ONE reducer; wall-clock becomes that straggler.
+
+    Setup: the 10x lineitem with 40% of rows remapped to a single hot
+    ``l_orderkey``, joined to the 10x orders (both sides fact-sized;
+    broadcast disabled so a shuffle join is the only strategy — the 100 TB
+    situation).  Four postures over the identical result:
+
+    - ``plain_aqe_off``    — static sort-merge join: the straggler baseline.
+    - ``salted_aqe_off``   — blanket salted_join(n_salts=16): hot probe
+      rows spread over 16 reducers at the cost of replicating the ENTIRE
+      build side 16x.
+    - ``isolated_aqe_off`` — isolated_skew_join: hot keys detected (one
+      count pass, charged separately as ``isolated_detect``), their probe
+      rows broadcast-joined, the tail shuffle-joined.
+    - ``plain_aqe_skew``   — AQE skew-join splitting, thresholds lowered
+      to fire at probe scale (the 256 MB default is cluster-sized; the
+      mechanism, not the default tuning, is what's being measured).
+
+    Runs are INTERLEAVED round-robin across postures (confs are runtime-
+    settable) so a host-contention burst can't land on a single posture —
+    the first, sequential version of this probe recorded AQE at 6.5 s
+    purely because it ran last, behind salted's GC debris.  Row-count
+    parity of all four is asserted (a mitigation must never change the
+    result), so the probe doubles as an at-scale correctness check."""
+    from cardano_analytics_duckdb_spark.plans.skew import (
+        isolated_skew_join,
+        salted_join,
+    )
+
+    li = spark.read.parquet(os.path.join(scratch, "lineitem"))
+    orders = spark.read.parquet(os.path.join(scratch, "orders"))
+    hot = orders.agg(F.min("o_orderkey")).first()[0]
+    skewed_dir = os.path.join(scratch, "lineitem_skewed")
+    (
+        li.withColumn(
+            "l_orderkey",
+            F.when(F.rand(7) < F.lit(0.4), F.lit(hot)).otherwise(
+                F.col("l_orderkey")
+            ),
+        )
+        .repartition(64)
+        .write.mode("overwrite")
+        .parquet(skewed_dir)
+    )
+    fact = spark.read.parquet(skewed_dir).withColumnRenamed(
+        "l_orderkey", "o_orderkey"
+    )
+
+    def agg(joined):
+        # ungrouped agg after the join: cheap reduce, so wall-clock is the
+        # join stage itself (where the skew lives)
+        return joined.agg(
+            F.sum(F.col("l_extendedprice") * F.col("o_totalprice")),
+            F.count("*").alias("n"),
+        )
+
+    aqe_off = {"spark.sql.adaptive.enabled": "false"}
+    aqe_skew = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        # fire at probe scale: the hot partition is ~40% of a ~200 MB
+        # shuffle, far under the 256 MB cluster default; factor 2 (not
+        # the default 5) because the 200-partition median is itself tiny
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8m",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "4m",
+    }
+    saved = {k: spark.conf.get(k, None) for k in aqe_skew}
+    saved["spark.sql.autoBroadcastJoinThreshold"] = spark.conf.get(
+        "spark.sql.autoBroadcastJoinThreshold"
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    out = {"probe": "40% of 10x lineitem on one hot orderkey, join 10x orders"}
+    try:
+        plain = agg(fact.join(orders, on=["o_orderkey"]))
+        salted = agg(salted_join(fact, orders, ["o_orderkey"], n_salts=16))
+        # hot-key detection is eager driver work: time it once, separately
+        # (the recurring cost of the returned plan is what the matrix
+        # compares; a real pipeline detects once and reuses the plan)
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        t0 = time.perf_counter()
+        isolated = agg(isolated_skew_join(fact, orders, ["o_orderkey"]))
+        out["isolated_detect"] = round(time.perf_counter() - t0, 3)
+        postures = {
+            "plain_aqe_off": (plain, aqe_off),
+            "salted_aqe_off": (salted, aqe_off),
+            "isolated_aqe_off": (isolated, aqe_off),
+            "plain_aqe_skew": (plain, aqe_skew),
+        }
+        n_plain = None
+        runs: dict[str, list[float]] = {name: [] for name in postures}
+        for name, (df, conf) in postures.items():  # warmup + parity pass
+            for k, v in conf.items():
+                spark.conf.set(k, v)
+            rows = df.first()["n"]
+            n_plain = rows if n_plain is None else n_plain
+            assert rows == n_plain, f"{name}: {rows} != {n_plain}"
+        for _ in range(n_runs):
+            for name, (df, conf) in postures.items():
+                for k, v in conf.items():
+                    spark.conf.set(k, v)
+                t0 = time.perf_counter()
+                df.write.format("noop").mode("overwrite").save()
+                runs[name].append(time.perf_counter() - t0)
+        for name, r in runs.items():
+            out[name] = round(sorted(r)[n_runs // 2], 3)
+    finally:
+        for k, v in saved.items():
+            if v is not None:
+                spark.conf.set(k, v)
+    out["joined_rows"] = n_plain
+    for name in ("salted_aqe_off", "isolated_aqe_off", "plain_aqe_skew"):
+        out[f"{name}_speedup"] = round(out["plain_aqe_off"] / out[name], 2)
+    return out
+
+
 REPLICAS_100X = 100
 
 
@@ -471,11 +590,31 @@ def main_100x(scratch: str) -> None:
     spark.stop()
 
 
+def main_skew(scratch: str) -> None:
+    """The --skew mode: 10x two-table build + the skew-join posture matrix,
+    merged into SCALE_PROBE.json (other sections unchanged)."""
+    spark = get_session(app_name="scale-probe-skew", shuffle_partitions=200)
+    build_scaled(spark, scratch)
+    summary = {}
+    if os.path.exists("SCALE_PROBE.json"):
+        with open("SCALE_PROBE.json") as f:
+            summary = json.load(f)
+    summary["skew_probe"] = skew_probe(spark, scratch)
+    with open("SCALE_PROBE.json", "w") as f:
+        json.dump(summary, f, indent=2)
+    print(json.dumps(summary["skew_probe"]))
+    shutil.rmtree(scratch, ignore_errors=True)
+    spark.stop()
+
+
 def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     scratch = args[0] if args else "/tmp/spark_scale_probe"
     if "--100x" in sys.argv:
         main_100x(scratch)
+        return
+    if "--skew" in sys.argv:
+        main_skew(scratch)
         return
     # Production shuffle sizing posture: oversized partition count, AQE
     # coalesces down (plans/session.py docstring) — the probe must compare

@@ -165,6 +165,60 @@ def test_salted_join_parity_and_distribution(spark, sf_dir):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
 
 
+def test_isolated_skew_join_parity_and_plan(spark, sf_dir):
+    """Hot-key isolation must not change results (inner AND left, with a
+    NULL probe key in the left case), must broadcast the hot branch, and
+    must refuse an unbounded hot set."""
+    import pytest
+
+    from cardano_analytics_duckdb_spark.plans.skew import isolated_skew_join
+
+    events = load_table(spark, sf_dir, "events").select("event_type", "value")
+    dim = spark.createDataFrame(
+        [("click", 2.0), ("purchase", 10.0), ("view", 1.0),
+         ("signup", 5.0), ("error", 0.0)],
+        ["event_type", "weight"],
+    )
+    # a probe row with a NULL key and one with an unmatched key: the left
+    # join must keep both (the NULL-handling coalesce in the tail filter)
+    extra = spark.createDataFrame(
+        [(None, 1.0), ("nosuch", 2.0)], ["event_type", "value"]
+    )
+    probe = events.unionByName(extra)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for how in ("inner", "left"):
+            plain = probe.join(dim, on=["event_type"], how=how).agg(
+                F.sum(F.col("value") * F.col("weight")).alias("s"),
+                F.count("*").alias("n"),
+            ).first()
+            iso_df = isolated_skew_join(
+                probe, dim, ["event_type"], how=how, hot_row_threshold=10
+            )
+            iso = iso_df.agg(
+                F.sum(F.col("value") * F.col("weight")).alias("s"),
+                F.count("*").alias("n"),
+            ).first()
+            assert iso["n"] == plain["n"], how
+            assert abs(iso["s"] - plain["s"]) < 1e-6 * abs(plain["s"]), how
+        plan = _plan(
+            isolated_skew_join(probe, dim, ["event_type"], hot_row_threshold=10)
+        )
+        assert "BroadcastHashJoin" in plan  # the isolated hot branch
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan  # tail
+        with pytest.raises(ValueError, match="max_hot_keys"):
+            isolated_skew_join(
+                probe, dim, ["event_type"], hot_row_threshold=10, max_hot_keys=1
+            )
+        # no hot keys at all -> falls back to the plain join
+        cold = isolated_skew_join(
+            probe, dim, ["event_type"], hot_row_threshold=10**9
+        )
+        assert cold.count() == probe.join(dim, on=["event_type"]).count()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
 def test_bucketed_join_elides_both_exchanges(spark, sf_dir, tmp_path):
     """Co-bucketed fact tables join with NO shuffle on either side — the
     stored-partitioning property that makes repeated fact-fact joins viable
