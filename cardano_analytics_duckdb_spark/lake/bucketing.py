@@ -34,8 +34,30 @@ def write_bucketed(
     """
     name = name or f"{table}_by_{'_'.join(bucket_cols)}"
     df = load_table(spark, sf_dir, table)
+    return write_bucketed_df(df, name, bucket_cols, n_buckets)
+
+
+def write_bucketed_df(
+    df: DataFrame,
+    name: str,
+    bucket_cols: list[str],
+    n_buckets: int = 8,
+) -> str:
+    """Materialize an arbitrary DataFrame bucketed (and sorted) by
+    ``bucket_cols`` — the primitive behind :func:`write_bucketed`, exposed
+    for sources that aren't testdata tables (scaled probes, derived
+    frames).
+
+    The pre-write ``repartition(n_buckets, cols)`` matters: bucketBy makes
+    EVERY writer task emit one file per bucket it holds rows for, so an
+    N-partition input yields up to N x n_buckets files — tiny files AND a
+    scan whose per-bucket sortedness Spark can't trust (multi-file buckets
+    need a merge).  Hash-repartitioning on the bucket columns first gives
+    exactly one file per bucket: fewer files, and the stored sort order
+    survives to elide the join's Sort as well as its Exchange."""
     (
-        df.write.mode("overwrite")
+        df.repartition(n_buckets, *[df[c] for c in bucket_cols])
+        .write.mode("overwrite")
         .bucketBy(n_buckets, *bucket_cols)
         .sortBy(*bucket_cols)
         .saveAsTable(name)

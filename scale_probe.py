@@ -559,6 +559,98 @@ def skew_probe(spark, scratch: str, n_runs: int = 3) -> dict:
     return out
 
 
+def bucket_probe(spark, scratch: str, n_runs: int = 5) -> dict:
+    """Bucketed-join evidence: `lake/bucketing.py` proves the Exchange
+    elision on the physical plan (tests/test_plans.py) but never TIMES it.
+    This measures the write-once-shuffle / read-many-times-free trade on
+    the fact-fact join shape at 10x bench data.
+
+    - ``shuffle_join``  — plain parquet reads: both sides exchange on the
+      key every run (the recurring cost bucketing removes).
+    - ``bucketed_join`` — both tables pre-bucketed by o_orderkey into the
+      same bucket count: Catalyst drops both Exchanges (asserted on the
+      plan here too, not just in the test suite).
+
+    ``bucket_write`` charges the one-time double shuffle-write honestly,
+    and ``breakeven_joins`` = bucket_write / per-join saving — the number
+    of repeated joins after which bucketing is ahead.  Runs interleaved;
+    row parity asserted.  AQE off on both sides (static plans isolate the
+    exchange cost; AQE cannot elide a shuffle that co-location avoids
+    entirely)."""
+    from cardano_analytics_duckdb_spark.lake.bucketing import (
+        bucketed_join,
+        write_bucketed_df,
+    )
+
+    li = spark.read.parquet(os.path.join(scratch, "lineitem"))
+    orders = spark.read.parquet(os.path.join(scratch, "orders"))
+    saved = {
+        "spark.sql.adaptive.enabled": spark.conf.get(
+            "spark.sql.adaptive.enabled"
+        ),
+        "spark.sql.autoBroadcastJoinThreshold": spark.conf.get(
+            "spark.sql.autoBroadcastJoinThreshold"
+        ),
+    }
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    out = {"probe": "10x lineitem JOIN 10x orders on orderkey, 32 buckets"}
+    try:
+        t0 = time.perf_counter()
+        lname = write_bucketed_df(
+            li.withColumnRenamed("l_orderkey", "o_orderkey"),
+            "probe_li_bucketed", ["o_orderkey"], n_buckets=32,
+        )
+        oname = write_bucketed_df(
+            orders, "probe_o_bucketed", ["o_orderkey"], n_buckets=32
+        )
+        out["bucket_write"] = round(time.perf_counter() - t0, 3)
+
+        def agg(joined):
+            return joined.groupBy("o_orderpriority").agg(
+                F.sum("l_extendedprice").alias("rev"),
+                F.count("*").alias("n"),
+            )
+
+        shuffled = agg(
+            li.withColumnRenamed("l_orderkey", "o_orderkey").join(
+                orders, on=["o_orderkey"]
+            )
+        )
+        bucketed = agg(bucketed_join(spark, lname, oname, ["o_orderkey"]))
+        plan = bucketed._jdf.queryExecution().executedPlan().toString()
+        # children print BELOW the join node in the plan tree: everything
+        # after "SortMergeJoin" is the two scan sides, where no Exchange
+        # may appear (the one above it — the groupBy's — is legitimate)
+        below_join = plan.split("SortMergeJoin", 1)[1]
+        assert "Exchange" not in below_join, "bucketed join still exchanges"
+        a = {r["o_orderpriority"]: r["n"] for r in shuffled.collect()}
+        b = {r["o_orderpriority"]: r["n"] for r in bucketed.collect()}
+        assert a == b, "bucketed join changed the result"
+        runs: dict[str, list[float]] = {"shuffle_join": [], "bucketed_join": []}
+        frames = {"shuffle_join": shuffled, "bucketed_join": bucketed}
+        for _ in range(n_runs):
+            for name, df in frames.items():
+                t0 = time.perf_counter()
+                df.write.format("noop").mode("overwrite").save()
+                runs[name].append(time.perf_counter() - t0)
+        for name, r in runs.items():
+            out[name] = round(sorted(r)[n_runs // 2], 3)
+        saving = out["shuffle_join"] - out["bucketed_join"]
+        out["join_speedup"] = round(
+            out["shuffle_join"] / out["bucketed_join"], 2
+        )
+        out["breakeven_joins"] = (
+            round(out["bucket_write"] / saving, 1) if saving > 0 else None
+        )
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+        for t in ("probe_li_bucketed", "probe_o_bucketed"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+    return out
+
+
 REPLICAS_100X = 100
 
 
@@ -607,6 +699,23 @@ def main_skew(scratch: str) -> None:
     spark.stop()
 
 
+def main_bucket(scratch: str) -> None:
+    """The --bucket mode: 10x two-table build + the bucketed-join trade
+    measurement, merged into SCALE_PROBE.json (other sections unchanged)."""
+    spark = get_session(app_name="scale-probe-bucket", shuffle_partitions=200)
+    build_scaled(spark, scratch)
+    summary = {}
+    if os.path.exists("SCALE_PROBE.json"):
+        with open("SCALE_PROBE.json") as f:
+            summary = json.load(f)
+    summary["bucket_probe"] = bucket_probe(spark, scratch)
+    with open("SCALE_PROBE.json", "w") as f:
+        json.dump(summary, f, indent=2)
+    print(json.dumps(summary["bucket_probe"]))
+    shutil.rmtree(scratch, ignore_errors=True)
+    spark.stop()
+
+
 def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     scratch = args[0] if args else "/tmp/spark_scale_probe"
@@ -615,6 +724,9 @@ def main() -> None:
         return
     if "--skew" in sys.argv:
         main_skew(scratch)
+        return
+    if "--bucket" in sys.argv:
+        main_bucket(scratch)
         return
     # Production shuffle sizing posture: oversized partition count, AQE
     # coalesces down (plans/session.py docstring) — the probe must compare
