@@ -39,11 +39,11 @@ REPLICAS = 10
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-def build_scaled(spark, scratch: str) -> None:
+def build_scaled(spark, scratch: str, replicas: int = REPLICAS) -> None:
     """Replicate lineitem/orders with per-replica key offsets."""
     if os.path.exists(scratch):
         shutil.rmtree(scratch)
-    rep = spark.range(REPLICAS).select(F.col("id").alias("rep"))
+    rep = spark.range(replicas).select(F.col("id").alias("rep"))
     li = spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet"))
     orders = spark.read.parquet(os.path.join(SF_DIR, "orders.parquet"))
     okey_span = orders.agg(F.max("o_orderkey")).first()[0] + 1
@@ -51,14 +51,14 @@ def build_scaled(spark, scratch: str) -> None:
         li.crossJoin(F.broadcast(rep))
         .withColumn("l_orderkey", F.col("l_orderkey") + F.col("rep") * okey_span)
         .drop("rep")
-        .repartition(64)
+        .repartition(64 * max(1, replicas // REPLICAS))
         .write.parquet(os.path.join(scratch, "lineitem"))
     )
     (
         orders.crossJoin(F.broadcast(rep))
         .withColumn("o_orderkey", F.col("o_orderkey") + F.col("rep") * okey_span)
         .drop("rep")
-        .repartition(64)
+        .repartition(64 * max(1, replicas // REPLICAS))
         .write.parquet(os.path.join(scratch, "orders"))
     )
 
@@ -440,7 +440,9 @@ def manifest_probe(
     return out
 
 
-def skew_probe(spark, scratch: str, n_runs: int = 3) -> dict:
+def skew_probe(
+    spark, scratch: str, n_runs: int = 3, replicas: int = REPLICAS
+) -> dict:
     """Skew-join evidence: `plans/skew.py` was parity- and plan-tested but
     its claims were never timed.  At 100 TB a hot join key sends all its
     rows to ONE reducer; wall-clock becomes that straggler.
@@ -483,7 +485,7 @@ def skew_probe(spark, scratch: str, n_runs: int = 3) -> dict:
                 F.col("l_orderkey")
             ),
         )
-        .repartition(64)
+        .repartition(64 * max(1, replicas // REPLICAS))
         .write.mode("overwrite")
         .parquet(skewed_dir)
     )
@@ -515,7 +517,10 @@ def skew_probe(spark, scratch: str, n_runs: int = 3) -> dict:
         "spark.sql.autoBroadcastJoinThreshold"
     )
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    out = {"probe": "40% of 10x lineitem on one hot orderkey, join 10x orders"}
+    out = {
+        "probe": f"40% of {replicas}x lineitem on one hot orderkey,"
+        f" join {replicas}x orders"
+    }
     try:
         plain = agg(fact.join(orders, on=["o_orderkey"]))
         salted = agg(salted_join(fact, orders, ["o_orderkey"], n_salts=16))
@@ -559,7 +564,9 @@ def skew_probe(spark, scratch: str, n_runs: int = 3) -> dict:
     return out
 
 
-def bucket_probe(spark, scratch: str, n_runs: int = 5) -> dict:
+def bucket_probe(
+    spark, scratch: str, n_runs: int = 5, replicas: int = REPLICAS
+) -> dict:
     """Bucketed-join evidence: `lake/bucketing.py` proves the Exchange
     elision on the physical plan (tests/test_plans.py) but never TIMES it.
     This measures the write-once-shuffle / read-many-times-free trade on
@@ -594,7 +601,10 @@ def bucket_probe(spark, scratch: str, n_runs: int = 5) -> dict:
     }
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    out = {"probe": "10x lineitem JOIN 10x orders on orderkey, 32 buckets"}
+    out = {
+        "probe": f"{replicas}x lineitem JOIN {replicas}x orders on"
+        " orderkey, 32 buckets"
+    }
     try:
         t0 = time.perf_counter()
         lname = write_bucketed_df(
@@ -682,42 +692,64 @@ def main_100x(scratch: str) -> None:
     spark.stop()
 
 
-def main_skew(scratch: str) -> None:
-    """The --skew mode: 10x two-table build + the skew-join posture matrix,
-    merged into SCALE_PROBE.json (other sections unchanged)."""
-    spark = get_session(app_name="scale-probe-skew", shuffle_partitions=200)
-    build_scaled(spark, scratch)
+def _replicas_arg() -> int:
+    """--replicas N (default REPLICAS=10): scale multiplier for the
+    two-table probe modes, so the same probe measures whether a
+    mitigation's advantage widens or narrows a decade up."""
+    if "--replicas" in sys.argv:
+        return int(sys.argv[sys.argv.index("--replicas") + 1])
+    return REPLICAS
+
+
+def _merge_probe(section: str, payload: dict) -> None:
     summary = {}
     if os.path.exists("SCALE_PROBE.json"):
         with open("SCALE_PROBE.json") as f:
             summary = json.load(f)
-    summary["skew_probe"] = skew_probe(spark, scratch)
+    summary[section] = payload
     with open("SCALE_PROBE.json", "w") as f:
         json.dump(summary, f, indent=2)
-    print(json.dumps(summary["skew_probe"]))
+    print(json.dumps(payload))
+
+
+def main_skew(scratch: str) -> None:
+    """The --skew mode: two-table build at --replicas x + the skew-join
+    posture matrix, merged into SCALE_PROBE.json (other sections
+    unchanged)."""
+    replicas = _replicas_arg()
+    spark = get_session(app_name="scale-probe-skew", shuffle_partitions=200)
+    build_scaled(spark, scratch, replicas=replicas)
+    section = (
+        "skew_probe" if replicas == REPLICAS else f"skew_probe_{replicas}x"
+    )
+    _merge_probe(section, skew_probe(spark, scratch, replicas=replicas))
     shutil.rmtree(scratch, ignore_errors=True)
     spark.stop()
 
 
 def main_bucket(scratch: str) -> None:
-    """The --bucket mode: 10x two-table build + the bucketed-join trade
-    measurement, merged into SCALE_PROBE.json (other sections unchanged)."""
+    """The --bucket mode: two-table build at --replicas x + the
+    bucketed-join trade measurement, merged into SCALE_PROBE.json (other
+    sections unchanged)."""
+    replicas = _replicas_arg()
     spark = get_session(app_name="scale-probe-bucket", shuffle_partitions=200)
-    build_scaled(spark, scratch)
-    summary = {}
-    if os.path.exists("SCALE_PROBE.json"):
-        with open("SCALE_PROBE.json") as f:
-            summary = json.load(f)
-    summary["bucket_probe"] = bucket_probe(spark, scratch)
-    with open("SCALE_PROBE.json", "w") as f:
-        json.dump(summary, f, indent=2)
-    print(json.dumps(summary["bucket_probe"]))
+    build_scaled(spark, scratch, replicas=replicas)
+    section = (
+        "bucket_probe"
+        if replicas == REPLICAS
+        else f"bucket_probe_{replicas}x"
+    )
+    _merge_probe(section, bucket_probe(spark, scratch, replicas=replicas))
     shutil.rmtree(scratch, ignore_errors=True)
     spark.stop()
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    argv = sys.argv[1:]
+    if "--replicas" in argv:  # drop the flag AND its value from positionals
+        i = argv.index("--replicas")
+        argv = argv[:i] + argv[i + 2:]
+    args = [a for a in argv if not a.startswith("--")]
     scratch = args[0] if args else "/tmp/spark_scale_probe"
     if "--100x" in sys.argv:
         main_100x(scratch)

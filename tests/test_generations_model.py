@@ -23,6 +23,7 @@ import os
 import random
 
 import pyspark.sql.functions as F
+import pytest
 
 from cardano_analytics_duckdb_spark.lake.fsutil import LakeFs
 from cardano_analytics_duckdb_spark.lake.generations import (
@@ -57,8 +58,11 @@ def _model_rows(model):
 
 
 def test_random_walk_matches_model(spark, tmp_path):
-    rng = random.Random(SEED)
-    root = str(tmp_path)
+    _run_generation_walk(spark, str(tmp_path), SEED, N_STEPS)
+
+
+def _run_generation_walk(spark, root: str, seed: int, n_steps: int):
+    rng = random.Random(seed)
     t = os.path.join(root, "t")
     model: dict[int, tuple[str, int, int]] = {}
     next_key = 0
@@ -100,7 +104,7 @@ def test_random_walk_matches_model(spark, tmp_path):
     ops = ["append", "compact", "compact_defer", "upsert", "upsert_defer",
            "rollback", "vacuum"]
     history = []
-    for step in range(N_STEPS):
+    for step in range(n_steps):
         op = rng.choice(ops)
         history.append(op)
         if op == "append":
@@ -174,6 +178,10 @@ def test_random_walk_binary_pruning_stays_exact(spark, tmp_path):
     skipping over hex-encoded binary bounds fails OPEN across
     arbitrarily stale stats, generation rewrites, and the O(delta)
     incremental refresh paths."""
+    _run_binary_walk(spark, str(tmp_path), 20260815, 14)
+
+
+def _run_binary_walk(spark, root: str, seed: int, n_steps: int):
     from cardano_analytics_duckdb_spark.lake.manifest import (
         build_manifest,
         read_pruned,
@@ -182,8 +190,7 @@ def test_random_walk_binary_pruning_stays_exact(spark, tmp_path):
         update_manifest,
     )
 
-    rng = random.Random(20260815)
-    root = str(tmp_path)
+    rng = random.Random(seed)
     t = os.path.join(root, "t")
     policies = [bytes([p]) * 28 for p in (1, 2, 3, 4)]
     schema = "k long, v string, pid binary, slot long, slot_group long"
@@ -221,7 +228,7 @@ def test_random_walk_binary_pruning_stays_exact(spark, tmp_path):
     ops = ["append", "compact", "upsert", "rollback", "vacuum",
            "update_manifest", "refresh_manifest"]
     history = []
-    for step in range(14):
+    for step in range(n_steps):
         op = rng.choice(ops)
         history.append(op)
         if op == "append":
@@ -302,3 +309,24 @@ def test_random_walk_binary_pruning_stays_exact(spark, tmp_path):
             f"box pruned-read divergence after step {step} ({op});"
             f" history={history}"
         )
+
+
+# -- soak mode ----------------------------------------------------------------
+# The CI walks run ONE pinned seed each (deterministic, fast).  Set
+# SOAK_SEEDS=N to additionally sweep N fresh seeds per walk — the
+# exploration mode that hunts for interleavings the pinned seeds happen to
+# miss.  When a soak seed fails, pin it as a named regression test.
+
+_SOAK = int(os.environ.get("SOAK_SEEDS", "0"))
+
+
+@pytest.mark.skipif(not _SOAK, reason="soak: set SOAK_SEEDS=N to enable")
+@pytest.mark.parametrize("i", range(_SOAK))
+def test_soak_generation_walk(spark, tmp_path, i):
+    _run_generation_walk(spark, str(tmp_path), SEED + 1 + i, N_STEPS)
+
+
+@pytest.mark.skipif(not _SOAK, reason="soak: set SOAK_SEEDS=N to enable")
+@pytest.mark.parametrize("i", range(_SOAK))
+def test_soak_binary_walk(spark, tmp_path, i):
+    _run_binary_walk(spark, str(tmp_path), 20260815 + 1 + i, 14)
