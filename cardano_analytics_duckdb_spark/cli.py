@@ -179,7 +179,13 @@ def _cmd_extract(args: argparse.Namespace, spark: SparkSession) -> int:
         stop_slot=args.stop_slot,
     )
     if args.compact:
-        compact_lake(spark, args.dest)
+        compact_lake(
+            spark,
+            args.dest,
+            allow_stale_materializations=getattr(
+                args, "allow_stale_materializations", False
+            ),
+        )
         stats["compacted"] = 1
     print(json.dumps(stats))
     return 0
@@ -370,6 +376,12 @@ def build_parser() -> argparse.ArgumentParser:
         "--compact",
         action="store_true",
         help="merge chunk files per partition after ingest",
+    )
+    ex.add_argument(
+        "--allow-stale-materializations",
+        action="store_true",
+        help="let --compact hide not-yet-folded appends from registered"
+        " maintained aggregates (recompute them in batch afterwards)",
     )
     ex.set_defaults(func=_cmd_extract)
 

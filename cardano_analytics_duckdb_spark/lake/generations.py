@@ -48,6 +48,7 @@ import json
 import os
 import re
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -188,7 +189,21 @@ def read_table(spark: SparkSession, table_dir: str) -> DataFrame:
     lfs = LakeFs(spark, table_dir)
     gens = current_generations(lfs, table_dir)
     if not gens:
-        return spark.read.parquet(table_dir)
+        try:
+            return spark.read.parquet(table_dir)
+        except AnalysisException as e:
+            # Same contract as the pointered branch below: an emptied
+            # table (rollback to origin + vacuum, or a fresh dir holding
+            # only control files) raises a DOMAIN error, not Spark's
+            # schema-inference one.  Anything else re-raises untouched.
+            if getattr(e, "getErrorClass", lambda: None)() == (
+                "UNABLE_TO_INFER_SCHEMA"
+            ):
+                raise ValueError(
+                    f"table {table_dir} has no live data (every "
+                    "partition dropped)"
+                ) from e
+            raise
     live_dirs = {
         d
         for d in lfs.list_dirs(table_dir)

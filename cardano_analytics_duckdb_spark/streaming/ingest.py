@@ -808,6 +808,7 @@ def compact_lake(
     root: str,
     tables: Iterable[str] = LAKE_TABLES,
     vacuum: str = "end",
+    allow_stale_materializations: bool = False,
 ) -> None:
     """Rewrite fragmented partitions to one file per slot_group.
 
@@ -837,18 +838,39 @@ def compact_lake(
     convenient — supersession is per-FILE, so appends stay visible and
     correct either way.  The single-WRITER half is enforced via the
     lake's ``_maintenance.lock`` (``lake/lock.py``).
-    """
+
+    Under a MAINTAINED AGGREGATE (streaming/materialize.py) compaction
+    additionally refuses while the aggregate has NOT-YET-FOLDED source
+    files: the swap would hide them in generation dirs the file stream
+    can never list, silently losing their rows from the aggregate (found
+    by the seeded streaming walk).  Folded files are safe — the swap
+    preserves their already-counted contribution row-for-row.  The fix
+    the error names is one materializer run; ``allow_stale_
+    materializations=True`` overrides for callers recomputing in batch."""
     from ..lake.lock import maintenance_lock
+    from .materialize import require_folded_before_compaction
 
     # Preflight outside the lock — see rollback_lake
     _require_no_uncommitted_epochs(spark, root)
+    tables = list(tables)
+    for t in tables:
+        require_folded_before_compaction(
+            spark, os.path.join(root, t), allow_stale_materializations
+        )
     gate_err: RuntimeError | None = None
     with maintenance_lock(spark, root, owner="compact_lake"):
         # In-lock re-check with refusal-releases-the-lock semantics, same
-        # as rollback_lake: an epoch that began in the preflight->lock
-        # window refuses cleanly instead of wedging the lake lock.
+        # as rollback_lake: an epoch that began (or a fold that fell
+        # behind) in the preflight->lock window refuses cleanly instead
+        # of wedging the lake lock.
         try:
             _require_no_uncommitted_epochs(spark, root)
+            for t in tables:
+                require_folded_before_compaction(
+                    spark,
+                    os.path.join(root, t),
+                    allow_stale_materializations,
+                )
         except RuntimeError as e:
             gate_err = e
         if gate_err is None:

@@ -253,6 +253,83 @@ def deregister_materialization(
     )
 
 
+def unfolded_source_files(
+    spark: SparkSession, table_dir: str, marker: dict
+) -> list[str]:
+    """Hive-visible data files under ``table_dir`` that ``marker``'s
+    materializer has NOT folded yet — live files absent from its
+    checkpoint's FileStreamSource seen-files log.
+
+    Why this exists: compaction swaps hive files into hidden generation
+    dirs the file stream can never list.  Files the stream already SAW
+    are safe (their contribution is in the aggregate; the swap preserves
+    it row-for-row) — but an append the stream has not folded yet would
+    vanish into a generation dir unseen, silently losing its rows from
+    the aggregate forever.  ``compact_lake`` refuses while this list is
+    non-empty (the fix is one materializer run).
+
+    Fail-safe direction: a missing/unreadable checkpoint means NOTHING is
+    provably folded, so every live file counts as unfolded."""
+    import json
+
+    from ..lake.manifest import _norm_uri, _walk_files
+
+    lfs = LakeFs(spark, table_dir)
+    live = _walk_files(lfs, table_dir)
+    name = marker.get("table_name", "")
+    dest = marker.get("dest", "")
+    if not dest:
+        return sorted(live)
+    seen: set[str] = set()
+    src_log = os.path.join(dest, f"_checkpoint_{name}", "sources", "0")
+    for f in lfs.list_files(src_log):
+        if f.endswith((".tmp", ".crc")):
+            continue
+        for line in lfs.read_text(f).splitlines():
+            line = line.strip()
+            if not line.startswith("{"):
+                continue  # the "v1" version header
+            try:
+                entry = json.loads(line)
+            except ValueError:
+                continue
+            if "path" in entry:
+                seen.add(_norm_uri(entry["path"]))
+    return sorted(f for f in live if _norm_uri(f) not in seen)
+
+
+def require_folded_before_compaction(
+    spark: SparkSession, table_dir: str, override: bool
+) -> None:
+    """Fail-loud gate for COMPACTION under a maintained aggregate.
+
+    Compaction is row-preserving, so it is exempt from the row-changing
+    gate — but only files the stream has already folded are protected by
+    that argument.  An unfolded hive append swapped into a hidden
+    generation dir is invisible to the file stream forever: the aggregate
+    silently loses those rows (found by the seeded streaming walk,
+    tests/test_materialize.py).  The fix is cheap and stated in the
+    error: run the materializer (folds the backlog), then compact."""
+    if override:
+        return
+    for name, marker in sorted(
+        registered_materializations(spark, table_dir).items()
+    ):
+        missing = unfolded_source_files(spark, table_dir, marker)
+        if missing:
+            raise RuntimeError(
+                f"compact_lake on {table_dir} would hide {len(missing)} "
+                f"not-yet-folded file(s) from maintained aggregate "
+                f"{name!r} (-> {marker.get('dest', '?')}) inside "
+                "generation dirs its file stream can never list — the "
+                "aggregate would silently lose those rows.  Run the "
+                "materializer first (one fold drains the backlog), "
+                "deregister_materialization(), or pass "
+                "allow_stale_materializations=True and recompute in "
+                "batch afterwards."
+            )
+
+
 def require_no_materializations(
     spark: SparkSession, table_dir: str, op: str, override: bool
 ) -> None:
@@ -261,10 +338,11 @@ def require_no_materializations(
     A maintained aggregate folds each source file exactly once; a rewrite
     that drops or replaces rows is invisible to the file stream, so the
     aggregate silently diverges from the table.  Compaction is exempt
-    (row-preserving: the swap keeps every row's contribution).  With
-    ``override`` the caller asserts the divergence is handled — recompute
-    the aggregate in batch afterwards, or ``deregister_materialization``
-    first."""
+    from THIS gate (row-preserving: the swap keeps every folded row's
+    contribution) but carries its own weaker one —
+    :func:`require_folded_before_compaction`.  With ``override`` the
+    caller asserts the divergence is handled — recompute the aggregate in
+    batch afterwards, or ``deregister_materialization`` first."""
     if override:
         return
     regs = registered_materializations(spark, table_dir)

@@ -163,10 +163,18 @@ def _run_generation_walk(spark, root: str, seed: int, n_steps: int):
             f"slot in [{lo}, {hi}]; history={history}"
         )
 
-    # end state: a final vacuum reclaims everything stale, rows unchanged
+    # end state: a final vacuum reclaims everything stale, rows unchanged —
+    # unless the walk ended with an emptied table (rollback to origin),
+    # where the documented contract is a DOMAIN error from read_table
+    # (soak seed 20260828 ended exactly there and hit Spark's raw
+    # UNABLE_TO_INFER_SCHEMA before read_table translated it)
     vacuum_superseded(spark, t)
-    assert _lake_rows(spark, t) == _model_rows(model)
-    assert read_table(spark, t).filter(F.col("k").isNull()).count() == 0
+    if model:
+        assert _lake_rows(spark, t) == _model_rows(model)
+        assert read_table(spark, t).filter(F.col("k").isNull()).count() == 0
+    else:
+        with pytest.raises(ValueError, match="no live data"):
+            read_table(spark, t)
 
 
 def test_random_walk_binary_pruning_stays_exact(spark, tmp_path):
