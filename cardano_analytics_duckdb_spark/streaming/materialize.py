@@ -261,12 +261,21 @@ def unfolded_source_files(
     checkpoint's FileStreamSource seen-files log.
 
     Why this exists: compaction swaps hive files into hidden generation
-    dirs the file stream can never list.  Files the stream already SAW
+    dirs the file stream can never list.  Files whose fold is COMMITTED
     are safe (their contribution is in the aggregate; the swap preserves
     it row-for-row) — but an append the stream has not folded yet would
     vanish into a generation dir unseen, silently losing its rows from
     the aggregate forever.  ``compact_lake`` refuses while this list is
     non-empty (the fix is one materializer run).
+
+    "Folded" means the file's batch has a checkpoint COMMIT, not merely a
+    sources-log entry: a crash between the table commit and the
+    checkpoint commit leaves the newest batch's files seen-but-pending —
+    Structured Streaming will re-plan that batch and re-READ those exact
+    paths on resume, so compacting (and vacuuming) them away would wedge
+    the stream on FileNotFound forever.  The ``_applied_epoch`` guard
+    makes the replay a table-side no-op, but the replay still has to
+    physically run.
 
     Fail-safe direction: a missing/unreadable checkpoint means NOTHING is
     provably folded, so every live file counts as unfolded."""
@@ -280,9 +289,14 @@ def unfolded_source_files(
     dest = marker.get("dest", "")
     if not dest:
         return sorted(live)
+    checkpoint = os.path.join(dest, f"_checkpoint_{name}")
+    last_committed = -1
+    for f in lfs.list_files(os.path.join(checkpoint, "commits")):
+        base = f.rsplit("/", 1)[-1]
+        if base.isdigit():
+            last_committed = max(last_committed, int(base))
     seen: set[str] = set()
-    src_log = os.path.join(dest, f"_checkpoint_{name}", "sources", "0")
-    for f in lfs.list_files(src_log):
+    for f in lfs.list_files(os.path.join(checkpoint, "sources", "0")):
         if f.endswith((".tmp", ".crc")):
             continue
         for line in lfs.read_text(f).splitlines():
@@ -293,7 +307,7 @@ def unfolded_source_files(
                 entry = json.loads(line)
             except ValueError:
                 continue
-            if "path" in entry:
+            if "path" in entry and entry.get("batchId", -1) <= last_committed:
                 seen.add(_norm_uri(entry["path"]))
     return sorted(f for f in live if _norm_uri(f) not in seen)
 

@@ -493,6 +493,65 @@ def test_compaction_refuses_unfolded_appends(spark, tmp_path):
     )
 
 
+def test_compaction_refuses_inside_crash_window(spark, tmp_path):
+    """Seen is not folded: a crash between the fold's table commit and
+    its checkpoint commit leaves the newest batch's files in the
+    sources log but without a commit — Structured Streaming re-reads
+    those exact paths on resume, so compacting them away would wedge the
+    stream on FileNotFound.  The gate must count them as unfolded (it
+    thresholds on the last COMMITTED batch id, not on sources-log
+    presence); one refold closes the window."""
+    from cardano_analytics_duckdb_spark.lake.fixtures import fixture_blocks
+    from cardano_analytics_duckdb_spark.streaming.ingest import (
+        compact_lake,
+        ingest_blocks,
+    )
+    from cardano_analytics_duckdb_spark.streaming.materialize import (
+        materialize_fees_by_slot_group,
+        registered_materializations,
+        unfolded_source_files,
+    )
+
+    lake = str(tmp_path / "lake")
+    dest = str(tmp_path / "mv_fees")
+    blocks = fixture_blocks()
+    ingest_blocks(spark, blocks[:15], lake, batch_size=15)
+    materialize_fees_by_slot_group(spark, lake, dest, n_buckets=4)
+    ingest_blocks(spark, blocks[15:30], lake, batch_size=15)
+    materialize_fees_by_slot_group(spark, lake, dest, n_buckets=4)
+    tx = os.path.join(lake, "tx")
+    marker = registered_materializations(spark, tx)["fees_by_slot_group"]
+    assert unfolded_source_files(spark, tx, marker) == []
+
+    # crash window: drop the newest checkpoint commit (table row state
+    # already carries the fold — the _applied_epoch guard dedupes it)
+    commits = sorted(
+        p
+        for p in glob.glob(
+            os.path.join(
+                dest, "_checkpoint_fees_by_slot_group", "commits", "*"
+            )
+        )
+        if not p.endswith((".tmp", ".crc"))
+    )
+    os.remove(commits[-1])
+    crc = os.path.join(
+        os.path.dirname(commits[-1]), f".{os.path.basename(commits[-1])}.crc"
+    )
+    if os.path.exists(crc):
+        os.remove(crc)
+
+    assert unfolded_source_files(spark, tx, marker)  # pending replay
+    with pytest.raises(RuntimeError, match="not-yet-folded"):
+        compact_lake(spark, lake, tables=["tx"])
+
+    # the refold replays the pending batch (table-side no-op) and
+    # recommits; the window closes and compaction proceeds
+    materialize_fees_by_slot_group(spark, lake, dest, n_buckets=4)
+    assert unfolded_source_files(spark, tx, marker) == []
+    compact_lake(spark, lake, tables=["tx"])
+
+
 # -- seeded exactly-once walk --------------------------------------------------
 # The crash-replay tests above pick ONE interleaving each; this walk
 # explores a seeded random sequence of {ingest epoch, materialize, crash
@@ -595,9 +654,13 @@ def _run_streaming_walk(spark, root: str, seed: int, n_steps: int):
         elif op == "materialize":
             check(step, op, history)
         elif op == "crash":
-            if crash():
+            if crash() and rng.random() < 0.5:
                 # replay must be exactly-once: the re-delivered epoch's
-                # buckets carry _applied_epoch and are skipped
+                # buckets carry _applied_epoch and are skipped.  Half the
+                # time the refold is DEFERRED instead, leaving the crash
+                # window open for a later compact to hit (whose gate must
+                # count the pending batch's files as unfolded — replay
+                # will re-read those exact paths)
                 check(step, "crash+refold", history)
         elif op == "compact":
             # Compaction under a maintained aggregate refuses while
