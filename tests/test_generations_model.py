@@ -323,18 +323,24 @@ def _run_binary_walk(spark, root: str, seed: int, n_steps: int):
 # The CI walks run ONE pinned seed each (deterministic, fast).  Set
 # SOAK_SEEDS=N to additionally sweep N fresh seeds per walk — the
 # exploration mode that hunts for interleavings the pinned seeds happen to
-# miss.  When a soak seed fails, pin it as a named regression test.
+# miss (its first sweep caught the emptied-table end-state hole at seed
+# 20260828 = offset 0, i 13).  SOAK_OFFSET=K starts the sweep K seeds in,
+# so successive soak sessions explore NEW seeds instead of re-proving old
+# ones.  When a soak seed fails, pin it as a named regression test.
 
 _SOAK = int(os.environ.get("SOAK_SEEDS", "0"))
+_SOAK_OFF = int(os.environ.get("SOAK_OFFSET", "0"))
 
 
 @pytest.mark.skipif(not _SOAK, reason="soak: set SOAK_SEEDS=N to enable")
 @pytest.mark.parametrize("i", range(_SOAK))
 def test_soak_generation_walk(spark, tmp_path, i):
-    _run_generation_walk(spark, str(tmp_path), SEED + 1 + i, N_STEPS)
+    _run_generation_walk(
+        spark, str(tmp_path), SEED + 1 + _SOAK_OFF + i, N_STEPS
+    )
 
 
 @pytest.mark.skipif(not _SOAK, reason="soak: set SOAK_SEEDS=N to enable")
 @pytest.mark.parametrize("i", range(_SOAK))
 def test_soak_binary_walk(spark, tmp_path, i):
-    _run_binary_walk(spark, str(tmp_path), 20260815 + 1 + i, 14)
+    _run_binary_walk(spark, str(tmp_path), 20260815 + 1 + _SOAK_OFF + i, 14)

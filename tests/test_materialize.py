@@ -683,9 +683,12 @@ def test_streaming_exactly_once_walk(spark, tmp_path):
 
 
 _SOAK = int(os.environ.get("SOAK_SEEDS", "0"))
+_SOAK_OFF = int(os.environ.get("SOAK_OFFSET", "0"))
 
 
 @pytest.mark.skipif(not _SOAK, reason="soak: set SOAK_SEEDS=N to enable")
 @pytest.mark.parametrize("i", range(_SOAK))
 def test_soak_streaming_walk(spark, tmp_path, i):
-    _run_streaming_walk(spark, str(tmp_path), 20260816 + 1 + i, 8)
+    _run_streaming_walk(
+        spark, str(tmp_path), 20260816 + 1 + _SOAK_OFF + i, 8
+    )
