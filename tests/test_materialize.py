@@ -619,17 +619,28 @@ def _run_streaming_walk(spark, root: str, seed: int, n_steps: int):
             f" history={history}"
         )
 
-    def crash():
-        commits = sorted(
+    def list_commits():
+        return sorted(
             p
             for p in glob.glob(
                 os.path.join(
                     dest, "_checkpoint_fees_by_slot_group", "commits", "*"
                 )
             )
-            if not p.endswith(".tmp")
+            if not p.endswith((".tmp", ".crc"))
         )
-        if not commits:
+
+    # Commits that existed when a compact ran are DURABLE history: a real
+    # crash window exists only between an in-flight fold's table commit
+    # and its checkpoint commit.  Deleting one of these would simulate an
+    # impossible event (a durable file un-written) — and since compact
+    # vacuumed the batch's source files, the replay would FileNotFound on
+    # a state no real crash can produce.
+    protected_commits: set[str] = set()
+
+    def crash():
+        commits = list_commits()
+        if not commits or commits[-1] in protected_commits:
             return False
         latest = commits[-1]
         os.remove(latest)
@@ -673,6 +684,7 @@ def _run_streaming_walk(spark, root: str, seed: int, n_steps: int):
                 assert "not-yet-folded" in str(e), e
                 check(step, "pre-compact fold", history)
                 compact_lake(spark, lake, tables=["tx"])
+            protected_commits.update(list_commits())
             check(step, "compact+fold", history)
 
     check(n_steps, "final", history)
