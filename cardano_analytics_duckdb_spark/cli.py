@@ -281,6 +281,21 @@ def _cmd_vacuum(args, spark: SparkSession) -> int:
     return 0
 
 
+def _cmd_rebuild(args, spark: SparkSession) -> int:
+    """Batch-rebuild the fees-by-slot-group maintained aggregate from the
+    generation-resolved lake truth and reset its stream — the recovery
+    the rollback/upsert gates prescribe after a run with
+    --allow-stale-materializations."""
+    from .streaming.materialize import rebuild_fees_by_slot_group
+
+    table = rebuild_fees_by_slot_group(
+        spark, args.lake, args.dest, n_buckets=args.buckets
+    )
+    n = spark.read.parquet(table).count()
+    print(json.dumps({"rebuilt": table, "rows": n}))
+    return 0
+
+
 def _cmd_rollback(args, spark: SparkSession) -> int:
     """Reconcile a chain rollback after the fact: drop every lake row
     above the slot (the upgrade the reference's count-and-skip policy
@@ -433,6 +448,18 @@ def build_parser() -> argparse.ArgumentParser:
         " refuses while another maintenance job holds it)",
     )
     va.set_defaults(func=_cmd_vacuum)
+
+    ra = sub.add_parser(
+        "rebuild-aggregate",
+        help="batch-rebuild the fees-by-slot-group maintained aggregate"
+        " from the generation-resolved lake truth and reset its stream"
+        " (the recovery after rollback/upsert with"
+        " --allow-stale-materializations)",
+    )
+    ra.add_argument("--lake", required=True, help="lake root")
+    ra.add_argument("--dest", required=True, help="aggregate dest dir")
+    ra.add_argument("--buckets", type=int, default=16)
+    ra.set_defaults(func=_cmd_rebuild)
 
     rb = sub.add_parser(
         "rollback",

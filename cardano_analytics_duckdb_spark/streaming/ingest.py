@@ -809,6 +809,7 @@ def compact_lake(
     tables: Iterable[str] = LAKE_TABLES,
     vacuum: str = "end",
     allow_stale_materializations: bool = False,
+    min_files: int = 2,
 ) -> None:
     """Rewrite fragmented partitions to one file per slot_group.
 
@@ -846,7 +847,15 @@ def compact_lake(
     by the seeded streaming walk).  Folded files are safe — the swap
     preserves their already-counted contribution row-for-row.  The fix
     the error names is one materializer run; ``allow_stale_
-    materializations=True`` overrides for callers recomputing in batch."""
+    materializations=True`` overrides for callers recomputing in batch.
+
+    ``min_files`` is the fragmentation threshold below which a partition
+    is left alone (default 2 = only actually-fragmented partitions
+    rewrite).  ``min_files=1`` is the FULL SWEEP: every partition with
+    data moves into a generation dir, leaving the hive layout empty —
+    the primitive ``rebuild_lake_materialization`` uses to draw the
+    exactly-once baseline between "rows the batch recompute counted" and
+    "hive appends the fresh stream will fold"."""
     from ..lake.lock import maintenance_lock
     from .materialize import require_folded_before_compaction
 
@@ -874,7 +883,9 @@ def compact_lake(
         except RuntimeError as e:
             gate_err = e
         if gate_err is None:
-            _compact_lake_locked(spark, root, tables, vacuum=vacuum)
+            _compact_lake_locked(
+                spark, root, tables, vacuum=vacuum, min_files=min_files
+            )
     if gate_err is not None:
         raise gate_err
 

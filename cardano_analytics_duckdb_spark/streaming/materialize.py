@@ -108,8 +108,13 @@ def materialize_aggregate(
         )
     from ..lake.generations import current_generations
 
-    if not lfs.exists(checkpoint) and current_generations(
-        LakeFs(spark, src_glob), src_glob
+    baseline_marker = os.path.join(
+        dest, f"_batch_baseline_{table_name}.json"
+    )
+    if (
+        not lfs.exists(checkpoint)
+        and not lfs.exists(baseline_marker)
+        and current_generations(LakeFs(spark, src_glob), src_glob)
     ):
         # The file stream below only sees hive-layout files; a compacted
         # (generation-managed) source keeps its base data in hidden
@@ -126,7 +131,8 @@ def materialize_aggregate(
             f"source {src_glob} is generation-managed (compacted) but no "
             f"checkpoint exists at {checkpoint}: a fresh fold cannot see "
             "generation dirs.  Materialize before the first compaction, "
-            "or bootstrap from a batch recompute."
+            "or bootstrap from a batch recompute "
+            "(rebuild_lake_materialization)."
         )
     stream = spark.readStream.schema(schema).parquet(src_glob)
     aggs = agg_exprs()
@@ -394,6 +400,133 @@ def materialize_user_counts(
     )
 
 
+def rebuild_lake_materialization(
+    spark: SparkSession,
+    root: str,
+    table: str,
+    dest: str,
+    *,
+    table_name: str,
+    key_cols: list[str],
+    agg_exprs: Callable[[], dict[str, Column]],
+    bucket_expr: Callable[[], Column] | None = None,
+    n_buckets: int = 16,
+) -> str:
+    """The batch recovery every maintenance gate prescribes — previously
+    a procedure named in error messages with no tool behind it.  After
+    row-changing maintenance (rollback/upsert with the override), or to
+    bootstrap an aggregate over an already-compacted source, this
+    rebuilds the maintained table from the CURRENT generation-resolved
+    truth and resets the stream so future folds stay exactly-once.
+
+    How the exactly-once baseline is drawn — the crux is that a fresh
+    checkpoint's first fold re-reads every hive-visible file, so "what
+    the batch recompute counted" and "what the new stream will fold"
+    must be DISJOINT:
+
+    1. Full-sweep compaction (``compact_lake(min_files=1)``): every
+       partition's rows move into generation dirs; the hive layout
+       empties.  Rewrites read explicit pinned file lists, so an append
+       racing the sweep is neither absorbed nor superseded — it stays a
+       hive file.
+    2. The batch aggregate reads GENERATION FILES ONLY (the swept
+       snapshot).  Any hive file that exists afterwards — including
+       racing appends — belongs to the new stream.
+    3. The old checkpoint and table are dropped; the rebuilt table is
+       written with ``_applied_epoch = -1`` (the batch-backfill sentinel
+       the merge path already honors), so the fresh stream's epoch 0
+       folds on top rather than being mistaken for a replay.
+    4. A ``_batch_baseline_<name>.json`` breadcrumb in ``dest`` records
+       the rebuild and authorizes the otherwise-refused fresh-checkpoint
+       bootstrap over a generation-managed source.
+
+    With several aggregates registered over the same source, rebuild ALL
+    of them in one maintenance window: the sweep passes
+    ``allow_stale_materializations=True``, which waives the sibling
+    aggregates' unfolded-appends gate — sweeping an unfolded append into
+    a generation dir makes it invisible to THEIR streams too, so a
+    sibling left unrebuilt diverges exactly the way the gate exists to
+    prevent."""
+    import json
+
+    from ..lake.generations import current_generations, generation_files
+    from .ingest import compact_lake
+
+    src = os.path.join(root, table)
+    table_path = os.path.join(dest, table_name)
+    checkpoint = os.path.join(dest, f"_checkpoint_{table_name}")
+    dlfs = LakeFs(spark, dest)
+    compact_lake(
+        spark,
+        root,
+        tables=[table],
+        vacuum="end",
+        allow_stale_materializations=True,
+        min_files=1,
+    )
+    slfs = LakeFs(spark, src)
+    gfiles: list[str] = []
+    for st in current_generations(slfs, src).values():
+        if st.get("gen"):
+            gfiles.extend(generation_files(slfs, src, st["gen"]))
+    dlfs.delete_recursive(checkpoint)
+    dlfs.delete_recursive(table_path)
+    if gfiles:
+        aggs = agg_exprs()
+        bucket = (
+            bucket_expr()
+            if bucket_expr is not None
+            else F.pmod(F.xxhash64(*key_cols), F.lit(n_buckets))
+        ).cast("int")
+        (
+            spark.read.parquet(*gfiles)
+            .groupBy(*key_cols)
+            .agg(*[c.alias(name) for name, c in aggs.items()])
+            .withColumn("bucket", bucket)
+            .withColumn("_applied_epoch", F.lit(-1))
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(table_path)
+        )
+    dlfs.mkdirs(dest)
+    dlfs.write_text(
+        os.path.join(dest, f"_batch_baseline_{table_name}.json"),
+        json.dumps({"table_name": table_name, "src": src}),
+    )
+    _register_materialization(spark, src, table_name, dest)
+    return table_path
+
+
+def _fees_spec(n_buckets: int) -> dict:
+    """The fees-by-slot-group aggregate definition, shared by the
+    incremental materializer and its batch rebuild so the two can never
+    drift."""
+    return dict(
+        table_name="fees_by_slot_group",
+        key_cols=["slot_group"],
+        agg_exprs=lambda: {
+            "n_txs": F.count(F.lit(1)),
+            "total_fees": F.sum("tx_fee"),
+        },
+        bucket_expr=lambda: F.pmod(F.col("slot_group"), F.lit(n_buckets)),
+        n_buckets=n_buckets,
+    )
+
+
+def rebuild_fees_by_slot_group(
+    spark: SparkSession, lake_dir: str, dest: str, n_buckets: int = 16
+) -> str:
+    """Batch rebuild of the fees-by-slot-group maintained aggregate —
+    the recovery move after ``rollback_lake`` / ``upsert_partitioned``
+    ran with ``allow_stale_materializations=True``."""
+    from .ingest import _require_no_uncommitted_epochs
+
+    _require_no_uncommitted_epochs(spark, lake_dir)
+    return rebuild_lake_materialization(
+        spark, lake_dir, "tx", dest, **_fees_spec(n_buckets)
+    )
+
+
 def materialize_fees_by_slot_group(
     spark: SparkSession, lake_dir: str, dest: str, n_buckets: int = 16
 ) -> str:
@@ -420,18 +553,7 @@ def materialize_fees_by_slot_group(
     tx_path = os.path.join(lake_dir, "tx")
     schema = read_table(spark, tx_path).schema
     return materialize_aggregate(
-        spark,
-        tx_path,
-        dest,
-        table_name="fees_by_slot_group",
-        schema=schema,
-        key_cols=["slot_group"],
-        agg_exprs=lambda: {
-            "n_txs": F.count(F.lit(1)),
-            "total_fees": F.sum("tx_fee"),
-        },
-        bucket_expr=lambda: F.pmod(F.col("slot_group"), F.lit(n_buckets)),
-        n_buckets=n_buckets,
+        spark, tx_path, dest, schema=schema, **_fees_spec(n_buckets)
     )
 
 

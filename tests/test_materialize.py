@@ -493,6 +493,72 @@ def test_compaction_refuses_unfolded_appends(spark, tmp_path):
     )
 
 
+def test_rebuild_after_rollback_restores_exactly_once(spark, tmp_path):
+    """The recovery tool the gates prescribe: after a rollback ran with
+    the override (aggregate now diverged), rebuild_fees_by_slot_group
+    restores the table from the generation-resolved truth AND resets the
+    stream so later appends keep folding exactly-once — including a
+    bootstrap over the now generation-managed source, which the plain
+    materializer refuses without the rebuild's breadcrumb."""
+    from cardano_analytics_duckdb_spark.lake.fixtures import fixture_blocks
+    from cardano_analytics_duckdb_spark.lake.generations import read_table
+    from cardano_analytics_duckdb_spark.streaming.ingest import (
+        ingest_blocks,
+        rollback_lake,
+    )
+    from cardano_analytics_duckdb_spark.streaming.materialize import (
+        materialize_fees_by_slot_group,
+        rebuild_fees_by_slot_group,
+    )
+
+    lake = str(tmp_path / "lake")
+    dest = str(tmp_path / "mv_fees")
+    blocks = fixture_blocks()
+    ingest_blocks(spark, blocks[:30], lake, batch_size=10)
+    table = materialize_fees_by_slot_group(spark, lake, dest, n_buckets=4)
+    tx = os.path.join(lake, "tx")
+
+    def batch_expect():
+        return {
+            r["slot_group"]: (r["n"], r["tf"])
+            for r in read_table(spark, tx)
+            .groupBy("slot_group")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("tx_fee").alias("tf"))
+            .collect()
+        }
+
+    def table_state():
+        return {
+            r["slot_group"]: (r["n_txs"], r["total_fees"])
+            for r in spark.read.parquet(table).collect()
+        }
+
+    # row-changing maintenance with the override: aggregate diverges
+    mid_slot = (
+        spark.read.parquet(tx)
+        .agg(F.expr("percentile_approx(slot, 0.5)"))
+        .first()[0]
+    )
+    rollback_lake(
+        spark, lake, int(mid_slot), allow_stale_materializations=True
+    )
+    assert table_state() != batch_expect()  # the divergence is real
+
+    rebuilt = rebuild_fees_by_slot_group(spark, lake, dest, n_buckets=4)
+    assert rebuilt == table
+    assert table_state() == batch_expect()
+
+    # the stream resumes exactly-once over post-rebuild appends only —
+    # and its fresh-checkpoint bootstrap over the generation-managed
+    # source is authorized by the rebuild's breadcrumb
+    ingest_blocks(spark, blocks[30:45], lake, batch_size=15)
+    materialize_fees_by_slot_group(spark, lake, dest, n_buckets=4)
+    assert table_state() == batch_expect()
+    # idempotence: a no-new-input fold changes nothing
+    materialize_fees_by_slot_group(spark, lake, dest, n_buckets=4)
+    assert table_state() == batch_expect()
+
+
 def test_compaction_refuses_inside_crash_window(spark, tmp_path):
     """Seen is not folded: a crash between the fold's table commit and
     its checkpoint commit leaves the newest batch's files in the
@@ -574,9 +640,11 @@ def _run_streaming_walk(spark, root: str, seed: int, n_steps: int):
     from cardano_analytics_duckdb_spark.streaming.ingest import (
         compact_lake,
         ingest_blocks_streaming,
+        rollback_lake,
     )
     from cardano_analytics_duckdb_spark.streaming.materialize import (
         materialize_fees_by_slot_group,
+        rebuild_fees_by_slot_group,
     )
 
     rng = random.Random(seed)
@@ -658,7 +726,9 @@ def _run_streaming_walk(spark, root: str, seed: int, n_steps: int):
 
     history = []
     for step in range(n_steps):
-        op = rng.choice(["ingest", "materialize", "crash", "compact"])
+        op = rng.choice(
+            ["ingest", "materialize", "crash", "compact", "rollback"]
+        )
         history.append(op)
         if op == "ingest":
             feed(rng.randint(2, 8))
@@ -686,6 +756,26 @@ def _run_streaming_walk(spark, root: str, seed: int, n_steps: int):
                 compact_lake(spark, lake, tables=["tx"])
             protected_commits.update(list_commits())
             check(step, "compact+fold", history)
+        elif op == "rollback":
+            # the FULL maintenance story: row-changing maintenance with
+            # the override (aggregate diverges by design), then the
+            # prescribed recovery — batch rebuild + stream reset — after
+            # which the exactly-once invariant must hold again.  Median
+            # target keeps the table non-empty under repeated rollbacks.
+            tx = os.path.join(lake, "tx")
+            to_slot = int(
+                read_table(spark, tx)
+                .agg(F.expr("percentile_approx(slot, 0.5)"))
+                .first()[0]
+            )
+            rollback_lake(
+                spark, lake, to_slot, allow_stale_materializations=True
+            )
+            rebuild_fees_by_slot_group(spark, lake, dest, n_buckets=4)
+            # the rebuild dropped the old checkpoint: commit paths start
+            # over, and the fresh stream's commits are crashable again
+            protected_commits.clear()
+            check(step, "rollback+rebuild", history)
 
     check(n_steps, "final", history)
 
