@@ -7,7 +7,9 @@ from .ingest import (
 )
 from .materialize import (
     deregister_materialization,
+    rebuild_lake_materialization,
     registered_materializations,
+    unfolded_source_files,
 )
 
 __all__ = [
@@ -16,6 +18,8 @@ __all__ = [
     "extract_tables",
     "ingest_blocks",
     "ingest_blocks_streaming",
+    "rebuild_lake_materialization",
     "registered_materializations",
+    "unfolded_source_files",
     "rollback_lake",
 ]
