@@ -204,6 +204,15 @@ def materialize_aggregate(
 
     _register_materialization(spark, src_glob, table_name, dest)
     run_available_now(stream, checkpoint, upsert_epoch)
+    # The rebuild breadcrumb is a SINGLE-USE waiver: it authorizes the one
+    # fresh-checkpoint bootstrap right after a batch rebuild (when the
+    # table carries the generation-dir contribution and hive files are
+    # exactly the not-yet-folded remainder).  Left standing, it would also
+    # authorize a bootstrap after someone deletes an ESTABLISHED
+    # checkpoint — whose folds ARE in the table — and the refold would
+    # double-count them.  Consume it once the checkpoint exists.
+    if lfs.exists(baseline_marker):
+        lfs.delete(baseline_marker)
     return table
 
 

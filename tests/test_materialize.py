@@ -558,6 +558,19 @@ def test_rebuild_after_rollback_restores_exactly_once(spark, tmp_path):
     materialize_fees_by_slot_group(spark, lake, dest, n_buckets=4)
     assert table_state() == batch_expect()
 
+    # the rebuild breadcrumb is single-use: consumed by the bootstrap
+    # above, so deleting the ESTABLISHED checkpoint (whose folds are in
+    # the table) brings back the refusal instead of authorizing a
+    # double-counting refold
+    assert not os.path.exists(
+        os.path.join(dest, "_batch_baseline_fees_by_slot_group.json")
+    )
+    import shutil
+
+    shutil.rmtree(os.path.join(dest, "_checkpoint_fees_by_slot_group"))
+    with pytest.raises(RuntimeError, match="generation-managed"):
+        materialize_fees_by_slot_group(spark, lake, dest, n_buckets=4)
+
 
 def test_compaction_refuses_inside_crash_window(spark, tmp_path):
     """Seen is not folded: a crash between the fold's table commit and
