@@ -572,6 +572,88 @@ def test_rebuild_after_rollback_restores_exactly_once(spark, tmp_path):
         materialize_fees_by_slot_group(spark, lake, dest, n_buckets=4)
 
 
+def test_rebuild_all_siblings_over_one_source(spark, tmp_path):
+    """The documented multi-aggregate procedure: with TWO maintained
+    aggregates registered over the same tx source, recovery after an
+    overridden rollback rebuilds BOTH in one window — and both keep
+    folding exactly-once afterwards.  (A sibling left unrebuilt would
+    diverge: the rebuild's sweep hides even FOLDED hive files from the
+    other stream's future, which is why the docstring mandates this.)"""
+    from cardano_analytics_duckdb_spark.lake.fixtures import fixture_blocks
+    from cardano_analytics_duckdb_spark.lake.generations import read_table
+    from cardano_analytics_duckdb_spark.streaming.ingest import (
+        ingest_blocks,
+        rollback_lake,
+    )
+    from cardano_analytics_duckdb_spark.streaming.materialize import (
+        materialize_aggregate,
+        materialize_fees_by_slot_group,
+        rebuild_fees_by_slot_group,
+        rebuild_lake_materialization,
+    )
+
+    lake = str(tmp_path / "lake")
+    dest_fees = str(tmp_path / "mv_fees")
+    dest_counts = str(tmp_path / "mv_counts")
+    blocks = fixture_blocks()
+    ingest_blocks(spark, blocks[:30], lake, batch_size=10)
+    tx = os.path.join(lake, "tx")
+
+    counts_spec = dict(
+        table_name="tx_counts",
+        key_cols=["slot_group"],
+        agg_exprs=lambda: {"n": F.count(F.lit(1))},
+        bucket_expr=lambda: F.pmod(F.col("slot_group"), F.lit(4)),
+        n_buckets=4,
+    )
+
+    def fold_both():
+        fees = materialize_fees_by_slot_group(
+            spark, lake, dest_fees, n_buckets=4
+        )
+        counts = materialize_aggregate(
+            spark, tx, dest_counts,
+            schema=read_table(spark, tx).schema, **counts_spec,
+        )
+        return fees, counts
+
+    fees_t, counts_t = fold_both()
+
+    def check_both():
+        expect = {
+            r["slot_group"]: r["n"]
+            for r in read_table(spark, tx)
+            .groupBy("slot_group")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        got_fees = {
+            r["slot_group"]: r["n_txs"]
+            for r in spark.read.parquet(fees_t).collect()
+        }
+        got_counts = {
+            r["slot_group"]: r["n"]
+            for r in spark.read.parquet(counts_t).collect()
+        }
+        assert got_fees == expect and got_counts == expect
+
+    check_both()
+    mid = spark.read.parquet(tx).agg(
+        F.expr("percentile_approx(slot, 0.5)")
+    ).first()[0]
+    rollback_lake(spark, lake, int(mid), allow_stale_materializations=True)
+    # one maintenance window, both aggregates rebuilt
+    rebuild_fees_by_slot_group(spark, lake, dest_fees, n_buckets=4)
+    rebuild_lake_materialization(
+        spark, lake, "tx", dest_counts, **counts_spec
+    )
+    check_both()
+    # both streams resume exactly-once over new appends
+    ingest_blocks(spark, blocks[30:45], lake, batch_size=15)
+    fold_both()
+    check_both()
+
+
 def test_compaction_refuses_inside_crash_window(spark, tmp_path):
     """Seen is not folded: a crash between the fold's table commit and
     its checkpoint commit leaves the newest batch's files in the
