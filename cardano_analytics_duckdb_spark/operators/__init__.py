@@ -17,16 +17,16 @@ from pyspark.sql import DataFrame, SparkSession
 
 # The driver hard-checks only the FIRST 50 queries in dict order, so
 # registration order decides which operators get a driver correctness row.
-# _WINDOW is the explicit r9 rotation (policy: pin the reference-parity
+# _WINDOW is the explicit r10 rotation (policy: pin the reference-parity
 # cardano family; include everything NEW or whose shared helpers CHANGED
 # this round; fill the rest strictly oldest-first by last driver-green
-# round, computed from CORRECTNESS_r1..r8).  After r7 all 133 registered
-# queries are ever-driver-green; r9 is the r8 verdict's "Next round" #2
-# ask verbatim: cardano family pinned + the entire 13-query r5-vintage
-# backlog + the oldest 22 (alphabetical within equal vintage) of the r6
-# block — leaving no query's last driver row older than r6.  The pytest
-# oracle suite still hash-checks every query every round regardless of
-# position.
+# round, computed from CORRECTNESS_r1..r9).  All 135 registered queries
+# are ever-driver-green (133) or new this round (2); r10 is the r9
+# verdict's "Next round" #1 ask verbatim: cardano family pinned + the two
+# NEW null-aware NOT IN queries + the entire 13-query r6-vintage backlog
+# + the oldest 20 (alphabetical within equal vintage) of the r7 block —
+# leaving no query's last driver row older than r7.  The pytest oracle
+# suite still hash-checks every query every round regardless of position.
 _WINDOW = (
     # reference parity (pinned every round)
     "cardano_high_fee_txs",
@@ -44,55 +44,52 @@ _WINDOW = (
     "cardano_transfer_summary_stats",
     "cardano_transfer_type_stats",
     "cardano_address_clusters",
-    # last driver row r5 — the whole backlog named in the r8 verdict
-    "events_tumbling_5min",
-    "high_value_orders",
-    "pricing_summary",
-    "revenue_by_region",
-    "shipping_priority",
-    "status_price_position",
-    "streaming_click_purchase_join",
-    "streaming_dedup_events",
-    "streaming_session_windows",
-    "streaming_stateful_sessions",
-    "streaming_tumbling_counts",
-    "top_orders_per_customer",
-    "user_sessions",
-    # last driver row r6 — oldest 22 (alphabetical within equal vintage);
-    # kmeans_cluster_profile's trainer changed this round (train-loop
-    # input persistence + documented round-trip cost model), so its
-    # presence here doubles as the changed-code re-attestation
-    "alpha_token_stats",
-    "brand_shipment_stats",
-    "cardano_address_cluster_summary",
-    "cheapest_supplier_per_part",
-    "customers_with_high_value_orders",
-    "customers_without_orders",
-    "disjunctive_brand_revenue",
-    "doc_quality_scores",
-    "embedding_near_dup_pairs",
-    "first_half_only_custkeys",
-    "image_dup_cluster_summary",
-    "image_dup_clusters",
-    "image_phash_near_dup_pairs",
-    "kmeans_cluster_profile",
-    "lang_id_scores",
-    "minhash_band_buckets",
-    "minhash_recall_eval",
-    "nation_market_share",
-    "nation_pair_volume",
-    "ngram_jaccard_pairs",
-    "order_summary_stats",
-    "packing_efficiency_eval",
+    # NEW this round (r9 verdict ask #7: Q16 shape + null-poisoned NOT IN)
+    "distinct_supplier_part_counts",
+    "not_in_null_semantics",
+    # last driver row r6 — the whole backlog named in the r9 verdict
+    "price_percentiles",
+    "priority_order_union",
+    "priority_returned_order_counts",
+    "returned_item_customers",
+    "returned_without_accepted_orders",
+    "rich_inactive_customers",
+    "rolling_fingerprints",
+    "semantic_dedup_pairs",
+    "slot_time_conversion",
+    "small_quantity_part_revenue",
+    "status_price_matrix",
+    "stratified_order_sample",
+    "supplier_volume_by_nation",
+    # last driver row r7 — oldest 20 (alphabetical within equal vintage)
+    "bigram_logprob_scores",
+    "bpe_merge_candidates",
+    "bpe_token_counts",
+    "bpe_vocab_merges",
+    "cardano_address_pagerank",
+    "corpus_keep_decisions",
+    "cosine_topk",
+    "cross_nation_orders",
+    "cross_source_dup_leakage",
+    "doc_chunks",
+    "doc_regex_features",
+    "duplicated_ngram_coverage",
+    "embedding_dim_stats",
+    "embedding_norm_stats",
+    "exact_dedup_groups",
+    "frame_sample_features",
+    "image_decode_features",
+    "image_resize_features",
+    "ivf_topk",
+    "kmeans_silhouette_eval",
 )
-# Still in the oldest-first backlog for r10 (last row r6, rotated out only
-# because the window is 50): price_percentiles, priority_order_union,
-# priority_returned_order_counts, returned_item_customers,
-# returned_without_accepted_orders, rich_inactive_customers,
-# rolling_fingerprints, semantic_dedup_pairs, slot_time_conversion,
-# small_quantity_part_revenue, status_price_matrix,
-# stratified_order_sample, supplier_volume_by_nation — then the r7 block.
-# All stay pytest-oracle-green every round.
+# Still in the oldest-first backlog for r11 (last row r7, rotated out only
+# because the window is 50): lsh_bucket_assignments,
+# lsh_bucketed_near_dup_pairs, near_dup_doc_clusters, near_dup_survivors,
+# order_brand_sets, part_name_levenshtein_pairs, part_name_tokens,
+# payload_metadata, pq_recall_eval, pq_topk, repeat_buyer_custkeys,
+# simhash_fingerprints, simhash_recall_eval, sq8_recall_eval, sq8_topk —
+# then the r8 block.  All stay pytest-oracle-green every round.
 
 
 def _ordered(pick) -> dict:

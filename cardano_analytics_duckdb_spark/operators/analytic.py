@@ -718,6 +718,109 @@ ORDER BY event_type
 """
 
 
+# -- NOT IN with a subquery: null-aware anti-join (TPC-H Q16 shape) -----------
+# The one semantically treacherous membership shape: `x NOT IN (subquery)`
+# is NOT an anti-join when nulls are in play.  SQL three-valued logic says
+#   x NOT IN (S)  ≡  x <> s1 AND x <> s2 AND ...
+# so a NULL x (or a NULL in S) makes the predicate UNKNOWN, which a WHERE
+# clause drops.  A plain LeftAnti join would *keep* those rows.  Spark
+# plans this as a null-aware anti join (BroadcastHashJoin LeftAnti with the
+# `(key = k) OR isnull(key = k)` disjunct); the oracle hash-match proves
+# the plan's semantics, and test_plans asserts the shape stays a single
+# broadcast probe — no cartesian, no per-row subquery re-execution.
+
+
+def distinct_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 shape: distinct suppliers per part descriptor, excluding
+    suppliers from a NOT IN subquery (negative account balance).
+
+    Scale posture: the exclusion set is a dimension-sized subquery →
+    broadcast null-aware anti probe on the fact; count(DISTINCT) is a
+    two-stage hash agg on (group keys, suppkey) — one shuffle total.
+    """
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("li_q16")
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("part_q16")
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView("supp_q16")
+    raw = spark.sql(
+        """
+        SELECT p_brand, p_type, p_size,
+               count(DISTINCT l_suppkey) AS supplier_cnt
+        FROM li_q16 JOIN part_q16 ON p_partkey = l_partkey
+        WHERE p_brand <> 'Brand#5'
+          AND p_size IN (1, 9, 19, 29, 39, 49)
+          AND l_suppkey NOT IN (
+              SELECT s_suppkey FROM supp_q16 WHERE s_acctbal < 0.0)
+        GROUP BY p_brand, p_type, p_size
+        """
+    )
+    return raw.transform(
+        small_sorted,
+        F.col("supplier_cnt").desc(),
+        "p_brand",
+        "p_type",
+        "p_size",
+    )
+
+
+_DISTINCT_SUPPLIER_PART_SQL = """
+SELECT p_brand, p_type, p_size,
+       count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#5'
+  AND p_size IN (1, 9, 19, 29, 39, 49)
+  AND l_suppkey NOT IN (
+      SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+def not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deliberately null-poisoned NOT IN, both directions, in one result.
+
+    - ``outer_nulls``: the probe expression is NULL for l_linenumber = 1
+      rows; three-valued logic drops them (a naive anti-join would keep
+      them), so n_kept < the naive count.
+    - ``poisoned_set``: the subquery column is NULL for non-negative
+      balances, so the set contains NULLs and NO row can satisfy NOT IN
+      → n_kept must be exactly 0 (a naive anti-join would return
+      thousands).  A hash match against DuckDB on both rows pins the
+      null-aware semantics from both sides.
+    """
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("li_nn")
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView("supp_nn")
+    raw = spark.sql(
+        """
+        SELECT 'outer_nulls' AS variant, count(*) AS n_kept
+        FROM li_nn
+        WHERE (CASE WHEN l_linenumber = 1 THEN NULL ELSE l_suppkey END)
+              NOT IN (SELECT s_suppkey FROM supp_nn WHERE s_acctbal < 0.0)
+        UNION ALL
+        SELECT 'poisoned_set' AS variant, count(*) AS n_kept
+        FROM li_nn
+        WHERE l_suppkey NOT IN (
+            SELECT CASE WHEN s_acctbal < 0.0 THEN s_suppkey END
+            FROM supp_nn)
+        """
+    )
+    return raw.transform(small_sorted, "variant")
+
+
+_NOT_IN_NULL_SQL = """
+SELECT 'outer_nulls' AS variant, count(*) AS n_kept
+FROM lineitem
+WHERE (CASE WHEN l_linenumber = 1 THEN NULL ELSE l_suppkey END)
+      NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+UNION ALL
+SELECT 'poisoned_set' AS variant, count(*) AS n_kept
+FROM lineitem
+WHERE l_suppkey NOT IN (
+    SELECT CASE WHEN s_acctbal < 0.0 THEN s_suppkey END
+    FROM supplier)
+ORDER BY variant
+"""
+
+
 QUERIES = {
     "small_quantity_part_revenue": small_quantity_part_revenue,
     "priority_returned_order_counts": priority_returned_order_counts,
@@ -735,6 +838,8 @@ QUERIES = {
     "returned_without_accepted_orders": returned_without_accepted_orders,
     "cheapest_supplier_per_part": cheapest_supplier_per_part,
     "lineitem_column_profile": lineitem_column_profile,
+    "distinct_supplier_part_counts": distinct_supplier_part_counts,
+    "not_in_null_semantics": not_in_null_semantics,
 }
 
 ORACLE = {
@@ -756,4 +861,6 @@ ORACLE = {
     "rich_inactive_customers": _RICH_INACTIVE_SQL,
     "price_decile_stats": _DECILE_SQL,
     "revenue_grouping_sets": _GROUPING_SETS_SQL,
+    "distinct_supplier_part_counts": _DISTINCT_SUPPLIER_PART_SQL,
+    "not_in_null_semantics": _NOT_IN_NULL_SQL,
 }

@@ -286,6 +286,30 @@ def test_analytic_shapes_broadcast_and_probe(spark, sf_dir):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
 
 
+def test_not_in_is_null_aware_anti_join(spark, sf_dir):
+    """NOT IN (subquery) must compile to a single broadcast null-aware
+    anti probe — `LeftAnti, BuildRight, true` (the trailing flag is
+    BroadcastHashJoinExec.isNullAwareAntiJoin) — never a per-row subquery
+    re-execution or a nested-loop/cartesian fallback.  Semantics are
+    pinned by the oracle hash (see not_in_null_semantics); this pins the
+    plan."""
+    from cardano_analytics_duckdb_spark.operators.analytic import (
+        distinct_supplier_part_counts,
+        not_in_null_semantics,
+    )
+
+    plan = _plan(distinct_supplier_part_counts(spark, sf_dir))
+    assert "LeftAnti, BuildRight, true" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    plan = _plan(not_in_null_semantics(spark, sf_dir))
+    # both branches: outer-null probe and null-poisoned build side
+    assert plan.count("LeftAnti, BuildRight, true") == 2
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_grouping_sets_single_scan(spark, sf_dir):
     """GROUPING SETS compiles to one scan + Expand, not one scan per set."""
     from cardano_analytics_duckdb_spark.operators.analytic import (
