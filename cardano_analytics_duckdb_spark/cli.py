@@ -286,12 +286,19 @@ def _cmd_rebuild(args, spark: SparkSession) -> int:
     generation-resolved lake truth and reset its stream — the recovery
     the rollback/upsert gates prescribe after a run with
     --allow-stale-materializations."""
+    from .lake.fsutil import LakeFs
     from .streaming.materialize import rebuild_fees_by_slot_group
 
     table = rebuild_fees_by_slot_group(
         spark, args.lake, args.dest, n_buckets=args.buckets
     )
-    n = spark.read.parquet(table).count()
+    # An empty lake (e.g. rolled back to origin) has no generation files,
+    # so the rebuild legitimately writes no table — report rows=0 instead
+    # of crashing on the missing path.
+    if LakeFs(spark, table).exists(table):
+        n = spark.read.parquet(table).count()
+    else:
+        n = 0
     print(json.dumps({"rebuilt": table, "rows": n}))
     return 0
 

@@ -6,17 +6,19 @@ straggler that dominates wall-clock at 100 TB.  Three tools, in the order
 the ``skew_probe`` measurements (SCALE_PROBE.json) rank them:
 
 1. **AQE skew-join splitting** (`spark.sql.adaptive.skewJoin.enabled`, on
-   in `plans/session.py`) — the default and the measured winner (2.3x over
-   the static join at 40%-hot 10x probe scale): the oversized shuffle
-   partition is split at runtime and the matching build partition
-   duplicated per split.  Requires a sort-merge/shuffle-hash join under
-   AQE; nothing to do at the plan level.
+   in `plans/session.py`) — the default and the measured winner at 10x
+   probe scale (1.62x over the static join at 40%-hot; 2.37x at 100x,
+   where hot-key isolation's 2.7x overtakes it — see SCALE_PROBE.json):
+   the oversized shuffle partition is split at runtime and the matching
+   build partition duplicated per split.  Requires a sort-merge/
+   shuffle-hash join under AQE; nothing to do at the plan level.
 2. **Hot-key isolation** (:func:`isolated_skew_join`) — the plan-level
    tool when AQE can't rewrite (the skewed side feeds a same-key
-   aggregation, or AQE is off): hot keys are detected with one bounded
+   aggregation, or AQE is off), and the measured winner at 100x probe
+   scale (2.7x vs AQE's 2.37x): hot keys are detected with one bounded
    count pass, their probe rows broadcast-joined (no shuffle for the
-   skewed slice), the long tail shuffle-joined normally.  Measured ~1.2x
-   over the static join at probe scale.
+   skewed slice), the long tail shuffle-joined normally.  1.24x over the
+   static join at 10x probe scale.
 3. **Blanket salting** (:func:`salted_join`) — the classic textbook fix,
    kept and measured HONESTLY: replicating the ENTIRE build side n_salts x
    costs more than the straggler it removes at realistic build sizes

@@ -305,16 +305,21 @@ def unfolded_source_files(
     if not dest:
         return sorted(live)
     checkpoint = os.path.join(dest, f"_checkpoint_{name}")
+    # The checkpoint lives under DEST, which may be on a different
+    # filesystem scheme than the source table (s3a lake, local dest):
+    # Hadoop FileSystem handles are per-scheme, so listing/reading the
+    # checkpoint through the source-bound LakeFs throws Wrong-FS there.
+    dlfs = LakeFs(spark, dest)
     last_committed = -1
-    for f in lfs.list_files(os.path.join(checkpoint, "commits")):
+    for f in dlfs.list_files(os.path.join(checkpoint, "commits")):
         base = f.rsplit("/", 1)[-1]
         if base.isdigit():
             last_committed = max(last_committed, int(base))
     seen: set[str] = set()
-    for f in lfs.list_files(os.path.join(checkpoint, "sources", "0")):
+    for f in dlfs.list_files(os.path.join(checkpoint, "sources", "0")):
         if f.endswith((".tmp", ".crc")):
             continue
-        for line in lfs.read_text(f).splitlines():
+        for line in dlfs.read_text(f).splitlines():
             line = line.strip()
             if not line.startswith("{"):
                 continue  # the "v1" version header

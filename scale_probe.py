@@ -512,6 +512,9 @@ def skew_probe(
         "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
         "spark.sql.adaptive.advisoryPartitionSizeInBytes": "4m",
     }
+    # None marks a key that was UNSET before the probe: restore by
+    # unsetting, not by skipping, or the tuned-down AQE thresholds leak
+    # onto a shared session after the function returns.
     saved = {k: spark.conf.get(k, None) for k in aqe_skew}
     saved["spark.sql.autoBroadcastJoinThreshold"] = spark.conf.get(
         "spark.sql.autoBroadcastJoinThreshold"
@@ -558,6 +561,8 @@ def skew_probe(
         for k, v in saved.items():
             if v is not None:
                 spark.conf.set(k, v)
+            else:
+                spark.conf.unset(k)
     out["joined_rows"] = n_plain
     for name in ("salted_aqe_off", "isolated_aqe_off", "plain_aqe_skew"):
         out[f"{name}_speedup"] = round(out["plain_aqe_off"] / out[name], 2)

@@ -327,6 +327,38 @@ def test_rebuild_aggregate_cli_recovers_after_rollback(spark, tmp_path, capsys):
     assert got == expect
 
 
+def test_rebuild_aggregate_cli_on_empty_lake_reports_zero_rows(
+    spark, tmp_path, capsys
+):
+    """Rolled-back-to-origin lake: the rebuild writes no table (no
+    generation files), and the CLI must report rows=0 instead of crashing
+    on the missing path."""
+    from cardano_analytics_duckdb_spark.cli import main
+    from cardano_analytics_duckdb_spark.streaming.materialize import (
+        materialize_fees_by_slot_group,
+    )
+
+    dest = str(tmp_path / "lake")
+    mv = str(tmp_path / "mv")
+    assert main(["extract", "--dest", dest], spark) == 0
+    materialize_fees_by_slot_group(spark, dest, mv, n_buckets=4)
+    rc = main(
+        ["rollback", "--lake", dest, "--to-slot", "0",
+         "--allow-stale-materializations"],
+        spark,
+    )
+    assert rc == 0
+    capsys.readouterr()
+
+    rc = main(
+        ["rebuild-aggregate", "--lake", dest, "--dest", mv, "--buckets", "4"],
+        spark,
+    )
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["rows"] == 0
+
+
 def test_cluster_cli_zorders_and_probes_binary_equality(
     spark, tmp_path, capsys
 ):
