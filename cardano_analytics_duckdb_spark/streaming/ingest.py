@@ -353,6 +353,44 @@ def _rollback_point_slot(event: dict) -> int:
     )
 
 
+def _write_tables_parallel(
+    tables: dict[str, DataFrame],
+    dest: str,
+    slot_group_size: int,
+) -> None:
+    """Partitioned appends for all extracted tables, fanned out on a
+    thread pool: each table's append is an independent Spark job, and at
+    micro-batch sizes per-job scheduling latency (not IO) dominates the
+    flush — overlapping the 13 jobs is a measured 2.2x on top of the
+    source-cache win (ingest_probe).  Thread-per-job is the standard
+    Spark concurrency model (the scheduler interleaves them); the source
+    frame must be persisted by the caller so the fan-out doesn't
+    re-execute the parse per table."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _write_one(item: tuple[str, DataFrame]) -> None:
+        name, df = item
+        with_group = df.withColumn(
+            "slot_group",
+            (F.floor(F.col("slot") / slot_group_size)
+             * slot_group_size).cast("long"),
+        )
+        sparse = name.startswith("cert") or name in (
+            "vote", "proposal", "redeemer"
+        )
+        if sparse and with_group.isEmpty():
+            return  # avoid schemaless empty partition dirs
+        (
+            with_group.write.mode("append")
+            .partitionBy("slot_group")
+            .parquet(os.path.join(dest, name))
+        )
+
+    with ThreadPoolExecutor(max_workers=len(tables)) as ex:
+        # list() re-raises the first worker exception (fail-loud)
+        list(ex.map(_write_one, tables.items()))
+
+
 def ingest_blocks(
     spark: SparkSession,
     blocks: Iterable[dict],
@@ -385,24 +423,25 @@ def ingest_blocks(
         stats["reconciled_rows"] = 0
 
     def _flush(forward: list[dict]) -> None:
-        bdf = blocks_to_dataframe(spark, forward)
-        tables = extract_tables(bdf)
-        for name, df in tables.items():
-            with_group = df.withColumn(
-                "slot_group",
-                (F.floor(F.col("slot") / slot_group_size)
-                 * slot_group_size).cast("long"),
+        # Persist the typed block frame before fanning out: the 13 table
+        # extractions (plus the sparse-table emptiness probes) each run a
+        # full action, and without the cache every one re-deserializes the
+        # Python-side block list from scratch — measured 3.1x slower on a
+        # 500-block flush.  The fan-out itself runs on a thread pool: the
+        # per-table appends are independent jobs whose scheduling latency
+        # dominates at micro-batch sizes, and overlapping them is another
+        # 2.2x (ingest_probe, SCALE_PROBE.json — 29 -> ~160 blocks/s
+        # total).  Crash semantics are unchanged: a flush was never
+        # atomic across tables (sequential appends could die midway too);
+        # recovery is the same compact/rollback toolkit either way.
+        bdf = blocks_to_dataframe(spark, forward).persist()
+        try:
+            bdf.count()
+            _write_tables_parallel(
+                extract_tables(bdf), dest, slot_group_size
             )
-            sparse = name.startswith("cert") or name in (
-                "vote", "proposal", "redeemer"
-            )
-            if sparse and with_group.isEmpty():
-                continue  # avoid schemaless empty partition dirs
-            (
-                with_group.write.mode("append")
-                .partitionBy("slot_group")
-                .parquet(os.path.join(dest, name))
-            )
+        finally:
+            bdf.unpersist()
         stats["blocks"] += len(forward)
         stats["transactions"] += sum(
             len(b["transactions"]) for b in forward
@@ -519,6 +558,20 @@ def ingest_blocks_streaming(
             return
         lfs.mkdirs(epochs_dir)
 
+        # One JSON parse per epoch, not one per downstream action: the
+        # corrupt probe, the slot_group collect, and the 13 table appends
+        # all act on this micro-batch (same rationale + measurement as
+        # the batch path's _flush cache).
+        batch_df = batch_df.persist()
+        try:
+            batch_df.count()
+            _write_epoch_body(batch_df, epoch_id, snap_path, done_marker)
+        finally:
+            batch_df.unpersist()
+
+    def _write_epoch_body(
+        batch_df: DataFrame, epoch_id: int, snap_path: str, done_marker: str
+    ) -> None:
         bad = batch_df.filter(F.col("_corrupt_record").isNotNull())
         if not bad.isEmpty():
             # Partitioned by epoch + dynamic overwrite: replay REPLACES the
@@ -561,22 +614,12 @@ def ingest_blocks_streaming(
             snapshot = {d: lfs.list_files(d) for d in touched}
             lfs.write_text(snap_path, json.dumps(snapshot))
 
-        for name, df in extract_tables(good).items():
-            with_group = df.withColumn(
-                "slot_group",
-                (F.floor(F.col("slot") / slot_group_size)
-                 * slot_group_size).cast("long"),
-            )
-            sparse = name.startswith("cert") or name in (
-                "vote", "proposal", "redeemer"
-            )
-            if sparse and with_group.isEmpty():
-                continue
-            (
-                with_group.write.mode("append")
-                .partitionBy("slot_group")
-                .parquet(os.path.join(dest, name))
-            )
+        # Parallel fan-out preserves the epoch protocol: the snapshot
+        # above covers every touched partition dir regardless of append
+        # ORDER, so a crash mid-fan-out rolls back identically to the
+        # sequential case; the done-marker still gates on all appends
+        # having completed (ThreadPoolExecutor joins before we get here).
+        _write_tables_parallel(extract_tables(good), dest, slot_group_size)
         lfs.write_text(done_marker, "")
 
     from .runner import run_available_now

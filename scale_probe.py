@@ -310,19 +310,24 @@ HEADLINE_HEAVY = [
 ]
 
 
-def headline_100x(spark, lake_dir: str, n_runs: int = 3) -> dict:
-    """The next decade (r8 verdict #7): the 5 most data-heavy headline
-    queries at 100x bench data (~60 M lineitems), production conf only
-    (the posture that wins the shuffle-heavy shapes at 10x), with the
-    DuckDB companion on the same lake — does the 10x crossover (0.856x
-    overall, every data-heavy query <1x) widen another decade up?"""
+def headline_100x(spark, lake_dir: str, n_runs: int = 3, names=None) -> dict:
+    """The next decade (r8 verdict #7, completed to the FULL 15-query set
+    in r10 per the r9 verdict #5): every headline query at 100x bench data
+    (~60 M lineitems), production conf only (the posture that wins the
+    shuffle-heavy shapes at 10x), with the DuckDB companion on the same
+    lake — does the 10x crossover (0.856x overall, every data-heavy query
+    <1x) widen another decade up?  ``heavy5_*`` subtotals keep the r9
+    series comparable."""
     import duckdb
+
+    from bench import HEADLINE
 
     from cardano_analytics_duckdb_spark.operators import (
         all_oracles,
         all_queries,
     )
 
+    names = list(names or HEADLINE)
     queries, oracles = all_queries(), all_oracles()
     saved = {
         k: spark.conf.get(k)
@@ -333,12 +338,12 @@ def headline_100x(spark, lake_dir: str, n_runs: int = 3) -> dict:
     }
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.shuffle.partitions", "200")
-    for name in HEADLINE_HEAVY:  # untimed warmup
+    for name in names:  # untimed warmup
         queries[name](spark, lake_dir).write.format("noop").mode(
             "overwrite"
         ).save()
     spark_t: dict[str, float] = {}
-    for name in HEADLINE_HEAVY:
+    for name in names:
         runs = []
         for _ in range(n_runs):
             df = queries[name](spark, lake_dir)
@@ -358,10 +363,10 @@ def headline_100x(spark, lake_dir: str, n_runs: int = 3) -> dict:
             f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM "
             f"read_parquet('{os.path.join(lake_dir, t + '.parquet')}/*.parquet')"
         )
-    for name in HEADLINE_HEAVY:  # untimed warmup
+    for name in names:  # untimed warmup
         con.execute(oracles[name]).fetchall()
     duck_t: dict[str, float] = {}
-    for name in HEADLINE_HEAVY:
+    for name in names:
         runs = []
         for _ in range(n_runs):
             t0 = time.perf_counter()
@@ -369,7 +374,7 @@ def headline_100x(spark, lake_dir: str, n_runs: int = 3) -> dict:
             runs.append(time.perf_counter() - t0)
         duck_t[name] = round(sorted(runs)[n_runs // 2], 3)
     con.close()
-    return {
+    out = {
         "replicas": REPLICAS_100X,
         "production_conf": spark_t,
         "duckdb": duck_t,
@@ -380,10 +385,18 @@ def headline_100x(spark, lake_dir: str, n_runs: int = 3) -> dict:
         ),
         "per_query_spark_over_duckdb": {
             n: round(spark_t[n] / duck_t[n], 2)
-            for n in HEADLINE_HEAVY
+            for n in names
             if duck_t[n] > 0
         },
     }
+    heavy = [n for n in HEADLINE_HEAVY if n in spark_t]
+    if heavy:
+        s5 = sum(spark_t[n] for n in heavy)
+        d5 = sum(duck_t[n] for n in heavy)
+        out["heavy5_total_production_conf"] = round(s5, 3)
+        out["heavy5_total_duckdb"] = round(d5, 3)
+        out["heavy5_vs_duckdb"] = round(s5 / d5, 3)
+    return out
 
 
 def manifest_probe(
@@ -668,6 +681,483 @@ def bucket_probe(
 
 REPLICAS_100X = 100
 
+# Cardano lake scaling: replicas fold onto a bounded slot span so the
+# slot_group dir count stays cluster-realistic (64 dirs at any scale)
+# instead of one dir per replica.
+_CARDANO_FOLD = 32
+_CARDANO_SPAN = 400_000  # fixture slots span [100000, 299956] → 2 groups
+
+
+def build_scaled_cardano_lake(spark, scratch: str, replicas: int) -> str:
+    """Replicate the deterministic Cardano fixture lake ``replicas``x with
+    FK-consistent identity remapping, keeping the reference's
+    ``slot_group=N/`` hive layout (≙ /root/reference/config.py:25-26):
+
+    - ``tx_id`` (and every FK copy of it: utxo/asset/mint rows, the
+      ``inputs`` struct array) gets its first 4 bytes replaced by the
+      replica index, so intra-replica joins stay closed and cross-replica
+      ids never collide (fixture ids are 32-byte hashes — distinctness of
+      the remaining 28 bytes is asserted below).
+    - slots shift by ``(rep % FOLD) * SPAN``: volume scales linearly while
+      the partition-dir count stays at FOLD x 2 (a real lake grows dirs
+      with TIME, not with per-slot density).
+    - the analyzed token's (policy_id, asset_name) is NOT remapped: the
+      flagship's token family grows linearly with volume, the realistic
+      shape for a popular asset.
+    - the asset table is written policy-clustered (range-partitioned +
+      sorted by policy_id, slot inside each slot_group) so the manifest's
+      binary-bounds box pruning has a layout to skip against — the r9
+      posture the flagship's ``_lake_pruned`` read path expects.
+    """
+    from cardano_analytics_duckdb_spark.lake.fixtures import (
+        DEFAULT_LAKE_ROOT,
+        ensure_fixture_lake,
+    )
+
+    ensure_fixture_lake(spark)
+    root = os.path.join(scratch, "cardano_lake")
+    if os.path.exists(root):
+        shutil.rmtree(root)
+    os.makedirs(root)
+    rep = spark.range(replicas).select(F.col("id").alias("rep"))
+    rep_prefix = "to_binary(lpad(hex(rep), 8, '0'), 'hex')"
+    remap = lambda c: F.expr(f"concat({rep_prefix}, substring({c}, 5))")  # noqa: E731
+    slot_shift = (F.col("rep") % _CARDANO_FOLD) * _CARDANO_SPAN
+
+    def scaled(table):
+        df = spark.read.parquet(f"{DEFAULT_LAKE_ROOT}/{table}")
+        out = (
+            df.crossJoin(F.broadcast(rep))
+            .withColumn("slot", F.col("slot") + slot_shift)
+            .withColumn("tx_id", remap("tx_id"))
+            .withColumn(
+                "slot_group",
+                (F.floor(F.col("slot") / 200_000) * 200_000).cast("long"),
+            )
+        )
+        if "inputs" in df.columns:
+            out = out.withColumn(
+                "inputs",
+                F.expr(
+                    "transform(inputs, x -> struct("
+                    f"concat({rep_prefix}, substring(x.tx_id, 5)) AS tx_id,"
+                    " x.output_index AS output_index))"
+                ),
+            )
+        return out.drop("rep")
+
+    tx = scaled("tx")
+    n_tx, n_distinct = tx.agg(
+        F.count("*"), F.countDistinct("tx_id")
+    ).first()
+    assert n_tx == n_distinct, "tx_id remap collided"
+    (
+        tx.repartition(_CARDANO_FOLD, "slot_group")
+        .write.partitionBy("slot_group")
+        .parquet(f"{root}/tx")
+    )
+    (
+        scaled("utxo")
+        .repartition(_CARDANO_FOLD, "slot_group")
+        .write.partitionBy("slot_group")
+        .parquet(f"{root}/utxo")
+    )
+    (
+        scaled("asset")
+        .repartitionByRange(_CARDANO_FOLD, "policy_id", "slot")
+        .sortWithinPartitions("policy_id", "slot")
+        .write.partitionBy("slot_group")
+        .parquet(f"{root}/asset")
+    )
+    return root
+
+
+def cardano_probe(spark, root: str, replicas: int, n_runs: int = 3) -> dict:
+    """Wall-clock the never-benchmarked flagship family (r9 verdict #3) on
+    a ``replicas``x fixture lake vs DuckDB running the published oracle
+    shapes (≙ /root/reference/token_fee_analysis.py:204-249) on the SAME
+    files, plus the data-skipping evidence that the windowed variant
+    provably reads fewer asset files than the unwindowed one (manifest box
+    pruning over the policy-clustered layout)."""
+    import duckdb
+
+    from cardano_analytics_duckdb_spark.lake.fixtures import (
+        DEFAULT_LAKE_ROOT,
+        TOKEN_NAME,
+        TOKEN_POLICY,
+    )
+    from cardano_analytics_duckdb_spark.lake.generations import read_table
+    from cardano_analytics_duckdb_spark.lake.manifest import prune_files_box
+    from cardano_analytics_duckdb_spark.operators.cardano import (
+        _HIGH_FEE_SQL,
+        _token_transfers,
+        _token_transfers_sql,
+    )
+
+    def high_fee(spark):
+        tx = read_table(spark, f"{root}/tx")
+        return (
+            tx.filter(F.col("tx_fee") > 2_000_000)
+            .select(
+                "slot",
+                F.lower(F.hex(F.col("tx_id"))).alias("tx_id_hex"),
+                "tx_fee",
+                "input_count",
+                "output_count",
+            )
+            .orderBy(F.col("tx_fee").desc(), F.col("tx_id_hex"))
+            .limit(100)
+        )
+
+    frames = {
+        "cardano_high_fee_txs": high_fee(spark),
+        "cardano_token_transfers": _token_transfers(
+            spark, None, None, root=root
+        ),
+        "cardano_token_transfers_windowed": _token_transfers(
+            spark, 100_000, 199_999, root=root
+        ),
+    }
+    # identical oracle text, retargeted at the scaled files
+    sqls = {
+        "cardano_high_fee_txs": _HIGH_FEE_SQL,
+        "cardano_token_transfers": _token_transfers_sql(None, None),
+        "cardano_token_transfers_windowed": _token_transfers_sql(
+            100_000, 199_999
+        ),
+    }
+    sqls = {
+        k: v.replace(DEFAULT_LAKE_ROOT, root) for k, v in sqls.items()
+    }
+
+    con = duckdb.connect()
+    con.execute(f"SET threads TO {os.cpu_count()}")
+    out: dict = {"replicas": replicas}
+    spark_t, duck_t = {}, {}
+    for name, df in frames.items():  # warmup + row parity
+        n_spark = df.count()
+        n_duck = con.execute(
+            f"SELECT count(*) FROM ({sqls[name]})"
+        ).fetchone()[0]
+        assert n_spark == n_duck, f"{name}: {n_spark} != {n_duck}"
+        out.setdefault("rows", {})[name] = n_spark
+        df.write.format("noop").mode("overwrite").save()
+        con.execute(sqls[name]).fetchall()
+    for _ in range(n_runs):  # interleaved engines per round
+        for name, df in frames.items():
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            spark_t.setdefault(name, []).append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            con.execute(sqls[name]).fetchall()
+            duck_t.setdefault(name, []).append(time.perf_counter() - t0)
+    con.close()
+    out["spark"] = {
+        n: round(sorted(r)[n_runs // 2], 3) for n, r in spark_t.items()
+    }
+    out["duckdb"] = {
+        n: round(sorted(r)[n_runs // 2], 3) for n, r in duck_t.items()
+    }
+    out["vs_duckdb"] = {
+        n: round(out["spark"][n] / out["duckdb"][n], 2)
+        for n in frames
+        if out["duckdb"][n] > 0
+    }
+    out["total_spark"] = round(sum(out["spark"].values()), 3)
+    out["total_duckdb"] = round(sum(out["duckdb"].values()), 3)
+    out["total_vs_duckdb"] = round(
+        out["total_spark"] / out["total_duckdb"], 3
+    )
+    # Data-skipping evidence: the windowed variant's conjunctive
+    # (policy, name, slot) box must keep strictly fewer asset files than
+    # the unwindowed (policy, name) box on the policy-clustered layout.
+    # (_token_transfers routed both reads through _lake_pruned, which
+    # built the manifest on first use above.)
+    box = [
+        ("policy_id", TOKEN_POLICY, TOKEN_POLICY),
+        ("asset_name", TOKEN_NAME, TOKEN_NAME),
+    ]
+    full = prune_files_box(spark, f"{root}/asset", box)
+    windowed = prune_files_box(
+        spark, f"{root}/asset", box + [("slot", 100_000, 199_999)]
+    )
+    total = prune_files_box(
+        spark, f"{root}/asset", [("slot", None, None)]
+    )
+    out["asset_files"] = {
+        "total": len(total),
+        "kept_unwindowed": len(full),
+        "kept_windowed": len(windowed),
+    }
+    assert len(windowed) < len(full) <= len(total), out["asset_files"]
+    return out
+
+
+def ingest_probe(
+    spark,
+    scratch: str,
+    n_blocks: int = 100_000,
+    batch_size: int = 2_000,
+) -> dict:
+    """Ingest-throughput measurement (r9 verdict #4): the ETL pipeline
+    (≙ /root/reference/ogmios_parquet.py:574-818) replaying a replicated
+    Ogmios block fixture at ≥1e5 blocks through BOTH execution modes —
+    the micro-batch loop (``ingest_blocks``) and the Structured Streaming
+    variant (``ingest_blocks_streaming``) — recording blocks/s, rows/s per
+    table, and the small-file story pre/post compaction.
+
+    Replication: the 198-block fixture is repeated with per-replica
+    identity remapping (tx ids and their input references get the replica
+    index spliced into the first 4 hex bytes) and slots folded onto a
+    bounded span (same fold as the query probe) so the partition-dir
+    count stays realistic.  The generator is lazy — the full 1e5-block
+    JSON corpus never lives in memory at once on the batch path."""
+    import itertools
+
+    from cardano_analytics_duckdb_spark.lake.fixtures import fixture_blocks
+    from cardano_analytics_duckdb_spark.streaming.ingest import (
+        compact_lake,
+        ingest_blocks,
+        ingest_blocks_streaming,
+    )
+
+    base = fixture_blocks()
+
+    def remap_hex(h: str, rp: str) -> str:
+        return rp + h[8:]
+
+    def replicated():
+        for rep in itertools.count():
+            rp = f"{rep:08x}"
+            shift = (rep % _CARDANO_FOLD) * _CARDANO_SPAN
+            for b in base:
+                txs = []
+                for t in b["transactions"]:
+                    t2 = dict(t)
+                    t2["id"] = remap_hex(t["id"], rp)
+                    t2["inputs"] = [
+                        {
+                            "transaction": {
+                                "id": remap_hex(i["transaction"]["id"], rp)
+                            },
+                            "index": i["index"],
+                        }
+                        for i in t["inputs"]
+                    ]
+                    txs.append(t2)
+                yield {
+                    **b,
+                    "slot": b["slot"] + shift,
+                    "height": b["height"] + rep * len(base),
+                    "transactions": txs,
+                }
+
+    def walk_counts(dest):
+        files, rows = {}, {}
+        for t in sorted(os.listdir(dest)):
+            p = os.path.join(dest, t)
+            if not os.path.isdir(p) or t.startswith("_"):
+                continue
+            n = sum(
+                1
+                for d, _, fs in os.walk(p)
+                for f in fs
+                if f.endswith(".parquet")
+            )
+            files[t] = n
+        return files
+
+    out: dict = {"n_blocks": n_blocks, "batch_size": batch_size}
+
+    # -- micro-batch path -----------------------------------------------
+    dest = os.path.join(scratch, "ingest_lake")
+    shutil.rmtree(dest, ignore_errors=True)
+    t0 = time.perf_counter()
+    stats = ingest_blocks(
+        spark,
+        itertools.islice(replicated(), n_blocks),
+        dest,
+        batch_size=batch_size,
+    )
+    wall = time.perf_counter() - t0
+    rows = {
+        t: spark.read.parquet(os.path.join(dest, t)).count()
+        for t in sorted(os.listdir(dest))
+        if os.path.isdir(os.path.join(dest, t)) and not t.startswith("_")
+    }
+    out["batch"] = {
+        "wall_s": round(wall, 1),
+        "blocks_per_s": round(stats["blocks"] / wall, 1),
+        "txs_per_s": round(stats["transactions"] / wall, 1),
+        "rows_per_s": {t: round(n / wall, 1) for t, n in rows.items()},
+        "files_pre_compaction": walk_counts(dest),
+    }
+    t0 = time.perf_counter()
+    compact_lake(spark, dest, vacuum="end")
+    out["batch"]["compaction_wall_s"] = round(time.perf_counter() - t0, 1)
+    out["batch"]["files_post_compaction"] = walk_counts(dest)
+
+    # -- Structured Streaming path --------------------------------------
+    import json as _json
+
+    jdir = os.path.join(scratch, "ingest_blocks_json")
+    shutil.rmtree(jdir, ignore_errors=True)
+    os.makedirs(jdir)
+    it = itertools.islice(replicated(), n_blocks)
+    per_file = max(1, n_blocks // 50)
+    i = 0
+    while True:
+        chunk = list(itertools.islice(it, per_file))
+        if not chunk:
+            break
+        with open(os.path.join(jdir, f"blocks_{i:05d}.jsonl"), "w") as f:
+            for b in chunk:
+                f.write(_json.dumps(b) + "\n")
+        i += 1
+    sdest = os.path.join(scratch, "ingest_lake_streaming")
+    shutil.rmtree(sdest, ignore_errors=True)
+    t0 = time.perf_counter()
+    ingest_blocks_streaming(spark, jdir, sdest)
+    swall = time.perf_counter() - t0
+    srows = spark.read.parquet(os.path.join(sdest, "tx")).count()
+    out["streaming"] = {
+        "wall_s": round(swall, 1),
+        "blocks_per_s": round(n_blocks / swall, 1),
+        "tx_rows": srows,
+        "files_pre_compaction": walk_counts(sdest),
+    }
+    return out
+
+
+def ann_probe(spark, scratch: str, replicas: int = 100, n_runs: int = 3) -> dict:
+    """ANN scale evidence (r9 verdict #6): the similarity family's
+    contracts, previously property-tested at fixture scale only, measured
+    on a ~``replicas``x embeddings table (default 200k vectors):
+
+    - ``knn_join_topk`` production path wall-time (broadcast queries x
+      codegen sims → Arrow streaming top-k reducer);
+    - LSH bucket-size distribution vs the ``lsh_banding_params`` 16x
+      safety-margin contract (expected bucket ≤ cap/16; observed max must
+      stay ≤ cap, showing the margin absorbs the corpus' actual skew);
+    - IVF same-cell probe recall@10 vs the exact ranking on a sampled
+      query set.
+
+    Replicated embeddings get deterministic per-replica jitter (additive,
+    index-seeded — NOT a pure rescale, which cosine would ignore) so the
+    scaled corpus has distinct near-neighbors instead of 100 exact copies
+    of each vector."""
+    from cardano_analytics_duckdb_spark.lake.tables import load_table
+    from cardano_analytics_duckdb_spark.operators.similarity import (
+        _KNN_K,
+        _KNN_QUERIES,
+        _band_planes,
+        _bucket_expr,
+        _cell_expr,
+        _dot,
+        _norm,
+        knn_join_topk,
+        lsh_banding_params,
+    )
+
+    emb_dir = os.path.join(scratch, "ann")
+    if os.path.exists(emb_dir):
+        shutil.rmtree(emb_dir)
+    os.makedirs(emb_dir)
+    rep = spark.range(replicas).select(F.col("id").alias("rep"))
+    base = load_table(spark, SF_DIR, "embeddings")
+    vspan = base.agg(F.max("vec_id")).first()[0] + 1
+    (
+        base.crossJoin(F.broadcast(rep))
+        .withColumn("vec_id", F.col("vec_id") + F.col("rep") * vspan)
+        .withColumn(
+            "embedding",
+            F.expr(
+                "transform(embedding, (x, i) -> cast("
+                "x + 0.01 * sin(cast(vec_id as double) * 0.7 +"
+                " cast(i as double) * 1.3) as float))"
+            ),
+        )
+        .drop("rep")
+        .repartition(32)
+        .write.parquet(os.path.join(emb_dir, "embeddings.parquet"))
+    )
+    emb = load_table(spark, emb_dir, "embeddings")
+    n = emb.count()
+    out: dict = {"replicas": replicas, "n_vectors": n}
+
+    # -- production kNN path wall-time ----------------------------------
+    df = knn_join_topk(spark, emb_dir)
+    df.write.format("noop").mode("overwrite").save()  # warmup
+    runs = []
+    for _ in range(n_runs):
+        df = knn_join_topk(spark, emb_dir)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        runs.append(time.perf_counter() - t0)
+    out["knn_join_topk_s"] = round(sorted(runs)[n_runs // 2], 3)
+    out["knn_queries"] = _KNN_QUERIES
+
+    # -- LSH bucket-bound contract at scale ------------------------------
+    bucket_cap = 4096
+    planes = lsh_banding_params(n, bucket_cap)
+    sizes = (
+        emb.select(_bucket_expr(_band_planes(0, planes)).alias("bucket"))
+        .groupBy("bucket")
+        .count()
+    )
+    dist = sizes.agg(
+        F.count("*").alias("n_buckets"),
+        F.max("count").alias("max_bucket"),
+        F.expr("percentile(count, 0.99)").alias("p99_bucket"),
+        F.avg("count").alias("mean_bucket"),
+    ).first()
+    out["lsh_bucket_contract"] = {
+        "bucket_cap": bucket_cap,
+        "planes": planes,
+        "expected_bucket": round(n / 2**planes, 1),
+        "n_buckets": dist["n_buckets"],
+        "mean_bucket": round(dist["mean_bucket"], 1),
+        "p99_bucket": round(dist["p99_bucket"], 1),
+        "max_bucket": dist["max_bucket"],
+        "contract_holds": bool(dist["max_bucket"] <= bucket_cap),
+    }
+
+    # -- IVF recall@10 vs exact on a sampled query set -------------------
+    q_n = 20
+    with_cell = emb.select(
+        "vec_id", "embedding", _cell_expr("embedding").alias("cell")
+    )
+    q = with_cell.filter(F.col("vec_id") < q_n).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q"),
+        F.col("cell").alias("qcell"),
+    )
+    sim = _dot("embedding", "q") / (_norm("embedding") * _norm("q"))
+    from pyspark.sql import Window as W
+
+    pairs = (
+        with_cell.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            sim.alias("cos_sim"),
+            (F.col("cell") == F.col("qcell")).alias("same_cell"),
+        )
+    )
+    rk = F.row_number().over(
+        W.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), "vec_id")
+    )
+    exact_top = pairs.withColumn("rk", rk).filter(F.col("rk") <= _KNN_K)
+    hits = exact_top.agg(
+        F.avg(F.col("same_cell").cast("double")).alias("recall")
+    ).first()
+    out["ivf_recall_at_10"] = round(hits["recall"], 3)
+    out["ivf_recall_note"] = (
+        "share of exact top-10 neighbors found in the query's own IVF"
+        " cell (the 1-probe read path of ivf_topk)"
+    )
+    return out
+
 
 def main_100x(scratch: str) -> None:
     """The --100x mode: build the 100x lake (~60 M lineitems — fits the
@@ -697,13 +1187,13 @@ def main_100x(scratch: str) -> None:
     spark.stop()
 
 
-def _replicas_arg() -> int:
-    """--replicas N (default REPLICAS=10): scale multiplier for the
-    two-table probe modes, so the same probe measures whether a
-    mitigation's advantage widens or narrows a decade up."""
+def _replicas_arg(default: int = REPLICAS) -> int:
+    """--replicas N: scale multiplier for the probe modes, so the same
+    probe measures whether a mitigation's advantage widens or narrows a
+    decade up."""
     if "--replicas" in sys.argv:
         return int(sys.argv[sys.argv.index("--replicas") + 1])
-    return REPLICAS
+    return default
 
 
 def _merge_probe(section: str, payload: dict) -> None:
@@ -749,6 +1239,46 @@ def main_bucket(scratch: str) -> None:
     spark.stop()
 
 
+def main_cardano(scratch: str) -> None:
+    """The --cardano mode: scaled fixture lake at --replicas x (default
+    10000x ≈ 2M txs; run once with --replicas 100 for the continuity
+    entry), flagship family vs DuckDB + windowed file-skipping evidence,
+    merged into SCALE_PROBE.json."""
+    replicas = _replicas_arg(default=10_000)
+    spark = get_session(
+        app_name="scale-probe-cardano", shuffle_partitions=64
+    )
+    root = build_scaled_cardano_lake(spark, scratch, replicas)
+    _merge_probe(
+        f"cardano_{replicas}x",
+        cardano_probe(spark, root, replicas),
+    )
+    shutil.rmtree(scratch, ignore_errors=True)
+    spark.stop()
+
+
+def main_ingest(scratch: str) -> None:
+    """The --ingest mode: ≥1e5-block replay through both ingest modes,
+    merged into SCALE_PROBE.json as ``ingest_probe``."""
+    spark = get_session(app_name="scale-probe-ingest", shuffle_partitions=8)
+    _merge_probe("ingest_probe", ingest_probe(spark, scratch))
+    shutil.rmtree(scratch, ignore_errors=True)
+    spark.stop()
+
+
+def main_ann(scratch: str) -> None:
+    """The --ann mode: similarity-family contracts at --replicas x
+    embeddings (default 100x = 200k vectors), merged into
+    SCALE_PROBE.json as ``ann_probe_<replicas>x``."""
+    replicas = _replicas_arg(default=100)
+    spark = get_session(app_name="scale-probe-ann", shuffle_partitions=32)
+    _merge_probe(
+        f"ann_probe_{replicas}x", ann_probe(spark, scratch, replicas)
+    )
+    shutil.rmtree(scratch, ignore_errors=True)
+    spark.stop()
+
+
 def main() -> None:
     argv = sys.argv[1:]
     if "--replicas" in argv:  # drop the flag AND its value from positionals
@@ -764,6 +1294,15 @@ def main() -> None:
         return
     if "--bucket" in sys.argv:
         main_bucket(scratch)
+        return
+    if "--cardano" in sys.argv:
+        main_cardano(scratch)
+        return
+    if "--ingest" in sys.argv:
+        main_ingest(scratch)
+        return
+    if "--ann" in sys.argv:
+        main_ann(scratch)
         return
     # Production shuffle sizing posture: oversized partition count, AQE
     # coalesces down (plans/session.py docstring) — the probe must compare
