@@ -809,15 +809,16 @@ def cardano_probe(spark, root: str, replicas: int, n_runs: int = 3) -> dict:
             .limit(100)
         )
 
-    frames = {
-        "cardano_high_fee_txs": high_fee(spark),
-        "cardano_token_transfers": _token_transfers(
+    builders = {
+        "cardano_high_fee_txs": lambda: high_fee(spark),
+        "cardano_token_transfers": lambda: _token_transfers(
             spark, None, None, root=root
         ),
-        "cardano_token_transfers_windowed": _token_transfers(
+        "cardano_token_transfers_windowed": lambda: _token_transfers(
             spark, 100_000, 199_999, root=root
         ),
     }
+    frames = {k: b() for k, b in builders.items()}
     # identical oracle text, retargeted at the scaled files
     sqls = {
         "cardano_high_fee_txs": _HIGH_FEE_SQL,
@@ -844,7 +845,15 @@ def cardano_probe(spark, root: str, replicas: int, n_runs: int = 3) -> dict:
         df.write.format("noop").mode("overwrite").save()
         con.execute(sqls[name]).fetchall()
     for _ in range(n_runs):  # interleaved engines per round
-        for name, df in frames.items():
+        for name, build in builders.items():
+            # Rebuild per run + drop the flagship's INTRA-query
+            # token_utxos cache between runs: Spark's cache manager
+            # matches by logical plan, so a persisted intermediate from
+            # run N would silently serve run N+1 while DuckDB re-executes
+            # its CTEs from the files every time.  OS page cache stays
+            # warm for both engines.
+            spark.catalog.clearCache()
+            df = build()
             t0 = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
             spark_t.setdefault(name, []).append(time.perf_counter() - t0)
@@ -860,7 +869,7 @@ def cardano_probe(spark, root: str, replicas: int, n_runs: int = 3) -> dict:
     }
     out["vs_duckdb"] = {
         n: round(out["spark"][n] / out["duckdb"][n], 2)
-        for n in frames
+        for n in builders
         if out["duckdb"][n] > 0
     }
     out["total_spark"] = round(sum(out["spark"].values()), 3)
