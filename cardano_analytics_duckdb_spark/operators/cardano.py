@@ -233,9 +233,14 @@ def _token_transfers(
     # semi-join: txs that create or consume a token UTxO … the reference
     # pre-filters only on *creating* txs (token_fee_analysis.py:212) and
     # relies on output/input set joins for the rest — reproduce exactly that.
+    # Persisted (S4 staging, same lifecycle as token_utxos above): the set
+    # feeds BOTH the input-explode path and the final join, so an uncached
+    # plan scans + semi-probes the big tx table twice per execution —
+    # measured 2.14 s -> 1.79 s median at a 2M-tx lake (SCALE_PROBE.json
+    # cardano_10000x experiments, r10).
     relevant = tx.join(
         F.broadcast(token_utxos.select("tx_id").distinct()), "tx_id", "left_semi"
-    )
+    ).persist()
 
     inputs_set = (
         relevant.select("tx_id", F.explode("inputs").alias("r"))
@@ -269,7 +274,7 @@ def _token_transfers(
             "|", F.array_sort(F.collect_set(F.lower(F.hex("address"))))
         ).alias("output_addr_set")
     )
-    return (
+    report = (
         relevant.join(inputs_set, "tx_id", "left")
         .join(outputs_set, "tx_id", "left")
         .filter(
@@ -284,8 +289,16 @@ def _token_transfers(
             "input_addr_set",
             "output_addr_set",
         )
-        .orderBy("slot", "tx_id_hex")
     )
+    # Persist BEFORE the global sort: orderBy's RangePartitioner runs a
+    # bounds-sampling job over its child, so an uncached child executes
+    # the entire join pipeline twice.  The pre-sort report is the bounded
+    # deliverable (rows ∝ token activity, not chain size), so caching it
+    # is safe at any scale — measured 2.14 s -> 1.15 s median (with the
+    # `relevant` stage above) at a 2M-tx lake; small_sorted is NOT used
+    # here because a hot token's report can outgrow the one-partition
+    # shape it assumes.
+    return report.persist().orderBy("slot", "tx_id_hex")
 
 
 def cardano_token_transfers(spark: SparkSession, sf_dir: str) -> DataFrame:
