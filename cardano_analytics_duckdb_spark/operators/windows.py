@@ -174,15 +174,24 @@ def events_tumbling_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket = (F.floor(F.unix_millis(F.col("ts")) / 300_000) * 300_000).alias(
         "bucket_start_ms"
     )
-    # Range-partition on the derived bucket key BEFORE aggregating: the one
-    # shuffle serves the agg's clustering and the global ORDER BY (ordered
-    # range partitions + partition-local sort), and the range sampler only
-    # touches the narrow projection, not the aggregate.
+    # Aggregate FIRST, then exchange only the finished rows for the
+    # global order: the old range-shuffle-then-aggregate shape moved
+    # EVERY raw row through the exchange to serve the final order —
+    # measured 1.30 s at 100x bench data (10M events) vs 0.70 s for this
+    # shape.  repartition(1), NOT small_sorted's coalesce(1): with 43k
+    # groups (span x types) across 32 map tasks, partials are ~1.4M rows,
+    # and coalesce would collapse the FINAL aggregation into one task
+    # over all of them (measured 1.09 s); the extra round-robin exchange
+    # moves only the 43k finished rows and keeps the final agg parallel.
+    # Output is span-bounded, so one sort partition holds at any input
+    # volume; if the span itself grows huge, swap for persist() + orderBy
+    # (the flagship's staging pattern) — never re-widen the shuffle to
+    # raw rows.
     return (
         events.select(bucket, "event_type", "value")
-        .repartitionByRange("bucket_start_ms", "event_type")
         .groupBy("bucket_start_ms", "event_type")
         .agg(F.count("*").alias("n"), cent_sum(F.col("value")).alias("total_value"))
+        .repartition(1)
         .sortWithinPartitions("bucket_start_ms", "event_type")
     )
 
