@@ -47,6 +47,16 @@ _WINDOW = (
     # NEW this round (r9 verdict ask #7: Q16 shape + null-poisoned NOT IN)
     "distinct_supplier_part_counts",
     "not_in_null_semantics",
+    # NEW this round: the remaining uncovered TPC-H decision-support
+    # shapes — Q6, and adapted (no partsupp/shipmode columns in the
+    # testdata) Q9/Q11/Q12/Q13/Q14/Q20
+    "forecast_revenue_change",
+    "nation_part_profit",
+    "late_ship_priority_counts",
+    "customer_order_distribution",
+    "promo_revenue_share",
+    "significant_parts_value",
+    "excess_volume_suppliers",
     # last driver row r6 — the whole backlog named in the r9 verdict
     "price_percentiles",
     "priority_order_union",
@@ -61,7 +71,8 @@ _WINDOW = (
     "status_price_matrix",
     "stratified_order_sample",
     "supplier_volume_by_nation",
-    # last driver row r7 — oldest 20 (alphabetical within equal vintage)
+    # last driver row r7 — oldest 13 (alphabetical within equal vintage;
+    # 7 slots of the r9-planned 20 ceded to the NEW queries above)
     "bigram_logprob_scores",
     "bpe_merge_candidates",
     "bpe_token_counts",
@@ -75,16 +86,11 @@ _WINDOW = (
     "doc_regex_features",
     "duplicated_ngram_coverage",
     "embedding_dim_stats",
-    "embedding_norm_stats",
-    "exact_dedup_groups",
-    "frame_sample_features",
-    "image_decode_features",
-    "image_resize_features",
-    "ivf_topk",
-    "kmeans_silhouette_eval",
 )
 # Still in the oldest-first backlog for r11 (last row r7, rotated out only
-# because the window is 50): lsh_bucket_assignments,
+# because the window is 50): embedding_norm_stats, exact_dedup_groups,
+# frame_sample_features, image_decode_features, image_resize_features,
+# ivf_topk, kmeans_silhouette_eval, lsh_bucket_assignments,
 # lsh_bucketed_near_dup_pairs, near_dup_doc_clusters, near_dup_survivors,
 # order_brand_sets, part_name_levenshtein_pairs, part_name_tokens,
 # payload_metadata, pq_recall_eval, pq_topk, repeat_buyer_custkeys,

@@ -821,6 +821,123 @@ ORDER BY variant
 """
 
 
+# -- HAVING vs whole-table scalar aggregate (TPC-H Q11 shape) -----------------
+# Adapted: no partsupp table, so "value" is each part's discounted lineitem
+# revenue; the shape under test is the Q11 plan — a grouped aggregate kept
+# only where it exceeds a threshold derived from a scalar aggregate OVER THE
+# SAME AGGREGATE, attached as a 1-row broadcast cross.  The fraction is
+# scale-free (1.5x the mean part value, not an absolute share) so the result
+# is non-empty at every SF; the comparison is pure int64 arithmetic on exact
+# cent totals, so no float threshold can flip a boundary row between engines.
+
+
+def significant_parts_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.floor(
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))) * F.lit(100.0)
+        + F.lit(0.5)
+    ).cast("long")
+    pv = li.groupBy("l_partkey").agg(F.sum(cents).alias("value_cents"))
+    tot = pv.agg(
+        F.sum("value_cents").alias("total_cents"),
+        F.count(F.lit(1)).alias("n_parts"),
+    )
+    return (
+        pv.crossJoin(F.broadcast(tot))
+        .filter(
+            F.lit(2) * F.col("value_cents") * F.col("n_parts")
+            > F.lit(3) * F.col("total_cents")
+        )
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            (F.col("value_cents") / F.lit(100.0)).alias("part_value"),
+        )
+        .transform(small_sorted, F.col("part_value").desc(), "partkey")
+    )
+
+
+_SIGNIFICANT_PARTS_SQL = """
+WITH pv AS (
+    SELECT l_partkey,
+           sum(cast(floor((l_extendedprice * (1 - l_discount)) * 100.0 + 0.5) AS BIGINT)) AS value_cents
+    FROM lineitem GROUP BY l_partkey
+), tot AS (
+    SELECT sum(value_cents) AS total_cents, count(*) AS n_parts FROM pv
+)
+SELECT l_partkey AS partkey, value_cents / 100.0 AS part_value
+FROM pv, tot
+WHERE 2 * value_cents * n_parts > 3 * total_cents
+ORDER BY part_value DESC, partkey
+"""
+
+# -- correlated-aggregate membership set (TPC-H Q20 shape) --------------------
+# Suppliers who shipped more than 2x the mean per-supplier volume of some
+# LIKE-filtered part.  The oracle runs the CORRELATED form (HAVING against a
+# scalar subquery re-correlated on l_partkey); the Spark plan decorrelates
+# it with ONE fact shuffle: an explicit repartition on l_partkey satisfies
+# both the (part, supplier) group-by (hash on a key subset is sufficient
+# clustering) and the per-part window that rolls the groups up into total
+# volume + distinct-supplier count — no second aggregate, no self-join of
+# the aggregated set.  The threshold division is the same double op on
+# identical exact operands in both engines.
+
+
+def excess_volume_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part_keys = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("small%"))
+        .select(F.col("p_partkey").alias("l_partkey"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+    sq = (
+        li.join(F.broadcast(part_keys), "l_partkey")
+        .repartition("l_partkey")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("supp_qty"))
+    )
+    per_part = Window.partitionBy("l_partkey")
+    excess = (
+        sq.withColumn("part_qty", F.sum("supp_qty").over(per_part))
+        .withColumn("n_supp", F.count(F.lit(1)).over(per_part))
+        .filter(
+            F.col("supp_qty")
+            > (F.lit(2.0) * F.col("part_qty")) / F.col("n_supp")
+        )
+        .select("l_suppkey")
+        .distinct()
+    )
+    supplier = load_table(spark, sf_dir, "supplier")
+    return (
+        supplier.join(
+            F.broadcast(excess),
+            supplier.s_suppkey == excess.l_suppkey,
+            "left_semi",
+        )
+        .select("s_suppkey", "s_name")
+        .transform(small_sorted, "s_suppkey")
+    )
+
+
+_EXCESS_VOLUME_SQL = """
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE s_suppkey IN (
+    SELECT l_suppkey FROM lineitem l
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_name LIKE 'small%'
+    GROUP BY l_partkey, l_suppkey
+    HAVING sum(l_quantity) > (
+        SELECT 2.0 * sum(l2.l_quantity) / count(DISTINCT l2.l_suppkey)
+        FROM lineitem l2
+        JOIN part p2 ON p2.p_partkey = l2.l_partkey
+        WHERE l2.l_partkey = l.l_partkey AND p2.p_name LIKE 'small%')
+)
+ORDER BY s_suppkey
+"""
+
+
 QUERIES = {
     "small_quantity_part_revenue": small_quantity_part_revenue,
     "priority_returned_order_counts": priority_returned_order_counts,
@@ -840,6 +957,8 @@ QUERIES = {
     "lineitem_column_profile": lineitem_column_profile,
     "distinct_supplier_part_counts": distinct_supplier_part_counts,
     "not_in_null_semantics": not_in_null_semantics,
+    "significant_parts_value": significant_parts_value,
+    "excess_volume_suppliers": excess_volume_suppliers,
 }
 
 ORACLE = {
@@ -863,4 +982,6 @@ ORACLE = {
     "revenue_grouping_sets": _GROUPING_SETS_SQL,
     "distinct_supplier_part_counts": _DISTINCT_SUPPLIER_PART_SQL,
     "not_in_null_semantics": _NOT_IN_NULL_SQL,
+    "significant_parts_value": _SIGNIFICANT_PARTS_SQL,
+    "excess_volume_suppliers": _EXCESS_VOLUME_SQL,
 }

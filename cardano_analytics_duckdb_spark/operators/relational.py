@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.ordering import small_sorted
-from ..functions.rounding import rnd
+from ..functions.rounding import cent_sum, rnd
 from ..lake.tables import load_table
 
 # -- S1/P1/P2/O1: glob scan → filter → project → top-k ----------------------
@@ -819,6 +819,244 @@ ORDER BY l_returnflag
 """
 
 
+# -- ungrouped agg under a triple range predicate (TPC-H Q6 shape) ------------
+# The "forecast revenue change" scan: every predicate is a simple range on a
+# scanned column, so the whole WHERE reaches the parquet reader and the agg
+# is one partial/final pass — the cheapest possible shape at 100 TB (no
+# shuffle at all beyond the 1-row final agg).  Date bounds compare DATE-cast
+# values per this module's cross-engine convention; the discount band uses
+# half-open float bounds (0.015..0.045) so binary representation of the
+# nominal 0.02/0.04 endpoints cannot flip a row on either engine.
+
+
+def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate").cast("date") >= F.lit("1996-01-01").cast("date"))
+            & (F.col("l_shipdate").cast("date") < F.lit("1997-01-01").cast("date"))
+            & (F.col("l_discount") >= 0.015)
+            & (F.col("l_discount") <= 0.045)
+            & (F.col("l_quantity") < 24.0)
+        ).agg(
+            cent_sum(F.col("l_extendedprice") * F.col("l_discount")).alias(
+                "revenue_effect"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+_FORECAST_REVENUE_SQL = """
+SELECT sum(cast(floor((l_extendedprice * l_discount) * 100.0 + 0.5) AS BIGINT)) / 100.0 AS revenue_effect,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate::DATE >= DATE '1996-01-01'
+  AND l_shipdate::DATE < DATE '1997-01-01'
+  AND l_discount >= 0.015 AND l_discount <= 0.045
+  AND l_quantity < 24.0
+"""
+
+# -- product-line profit by supplier nation and year (TPC-H Q9 shape) ---------
+# Adapted: the testdata has no partsupp/ps_supplycost, so profit is the
+# discounted revenue side of Q9's expression; the plan shape is the point —
+# a LIKE-filtered part dimension probes the fact as a broadcast semi-ish
+# inner join, orders joins on the fact's key, supplier→nation are broadcast
+# lookups, and ONE shuffle (the group-by) survives.
+
+
+def nation_part_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part_keys = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%red%"))
+        .select(F.col("p_partkey").alias("l_partkey"))
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(part_keys), "l_partkey")
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("supp_nation"),
+            F.year(F.col("o_orderdate").cast("date"))
+            .cast("long")
+            .alias("o_year"),
+        )
+        .agg(
+            cent_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("profit")
+        )
+        .transform(small_sorted, "supp_nation", F.col("o_year").desc())
+    )
+
+
+_NATION_PART_PROFIT_SQL = """
+SELECT n_name AS supp_nation, CAST(year(o_orderdate::DATE) AS BIGINT) AS o_year,
+       sum(cast(floor((l_extendedprice * (1 - l_discount)) * 100.0 + 0.5) AS BIGINT)) / 100.0 AS profit
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN orders ON o_orderkey = l_orderkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+WHERE p_name LIKE '%red%'
+GROUP BY n_name, o_year
+ORDER BY supp_nation, o_year DESC
+"""
+
+# -- conditional counts under a date-ordering residual (TPC-H Q12 shape) ------
+# Adapted: no l_shipmode/commitdate in the testdata, so the group key is
+# l_returnflag and the residual predicate is "shipped >30 days after the
+# order" (same non-equi date conjunct Q12 applies post-join).  The
+# priority split is the verbatim Q12 CASE pair, expressed as null-skipping
+# counts so both engines emit exact BIGINTs.
+
+
+def late_ship_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate", "l_returnflag"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(
+            F.datediff(
+                F.col("l_shipdate").cast("date"),
+                F.col("o_orderdate").cast("date"),
+            )
+            > 30
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.when(high, F.lit(1))).alias("high_line_count"),
+            F.count(F.when(~high, F.lit(1))).alias("low_line_count"),
+        )
+        .transform(small_sorted, "l_returnflag")
+    )
+
+
+_LATE_SHIP_PRIORITY_SQL = """
+SELECT l_returnflag,
+       count(*) FILTER (WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')) AS high_line_count,
+       count(*) FILTER (WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH')) AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE (l_shipdate::DATE - o_orderdate::DATE) > 30
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+# -- two-level aggregate over an ON-clause-filtered outer join (TPC-H Q13) ----
+# The Q13 trap is that the priority filter lives in the JOIN condition, not
+# WHERE: customers with no qualifying orders must survive with c_count = 0.
+# Filtering the orders side BEFORE a left outer join is the decorrelated
+# equivalent.  The join's hash partitioning on the customer key feeds the
+# first group-by with no extra exchange; the second aggregate is over the
+# tiny count-distribution domain.
+
+
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .select("o_custkey", "o_orderkey")
+    )
+    counts = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        counts.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .transform(
+            small_sorted, F.col("custdist").desc(), F.col("c_count").desc()
+        )
+    )
+
+
+_CUSTOMER_ORDER_DIST_SQL = """
+SELECT c_count, count(*) AS custdist
+FROM (
+    SELECT c_custkey, count(o_orderkey) AS c_count
+    FROM customer LEFT OUTER JOIN orders
+      ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+    GROUP BY c_custkey
+) t
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+# -- conditional-aggregate share over one month (TPC-H Q14 shape) -------------
+# Promo revenue as a percentage of total.  Both sums quantize each term to
+# integer cents (exact, order-independent); the share is a single double
+# division over those exact int64s, so the 4-decimal rounding is
+# bit-identical across engines.  Part is a broadcast dimension; the month
+# filter bounds the fact scan.
+
+
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate").cast("date") >= F.lit("1996-03-01").cast("date"))
+        & (F.col("l_shipdate").cast("date") < F.lit("1996-04-01").cast("date"))
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    cents = F.floor(
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))) * F.lit(100.0)
+        + F.lit(0.5)
+    ).cast("long")
+    agg = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.sum(
+                F.when(F.col("p_type") == "PROMO", cents).otherwise(
+                    F.lit(0).cast("long")
+                )
+            ).alias("pc"),
+            F.sum(cents).alias("tc"),
+        )
+    )
+    return agg.select(
+        (
+            F.floor(
+                (F.lit(100.0) * F.col("pc") / F.col("tc")) * F.lit(10000.0)
+                + F.lit(0.5)
+            )
+            / F.lit(10000.0)
+        ).alias("promo_share_pct"),
+        (F.col("pc") / F.lit(100.0)).alias("promo_revenue"),
+        (F.col("tc") / F.lit(100.0)).alias("total_revenue"),
+    )
+
+
+_PROMO_REVENUE_SQL = """
+WITH s AS (
+    SELECT sum(CASE WHEN p_type = 'PROMO'
+                    THEN cast(floor((l_extendedprice * (1 - l_discount)) * 100.0 + 0.5) AS BIGINT)
+                    ELSE 0 END) AS pc,
+           sum(cast(floor((l_extendedprice * (1 - l_discount)) * 100.0 + 0.5) AS BIGINT)) AS tc
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE l_shipdate::DATE >= DATE '1996-03-01'
+      AND l_shipdate::DATE < DATE '1996-04-01'
+)
+SELECT floor((100.0 * pc / tc) * 10000.0 + 0.5) / 10000.0 AS promo_share_pct,
+       pc / 100.0 AS promo_revenue,
+       tc / 100.0 AS total_revenue
+FROM s
+"""
+
+
 QUERIES = {
     "high_value_orders": high_value_orders,
     "order_summary_stats": order_summary_stats,
@@ -840,6 +1078,11 @@ QUERIES = {
     "returned_item_customers": returned_item_customers,
     "brand_shipment_stats": brand_shipment_stats,
     "price_percentiles": price_percentiles,
+    "forecast_revenue_change": forecast_revenue_change,
+    "nation_part_profit": nation_part_profit,
+    "late_ship_priority_counts": late_ship_priority_counts,
+    "customer_order_distribution": customer_order_distribution,
+    "promo_revenue_share": promo_revenue_share,
 }
 
 ORACLE = {
@@ -863,4 +1106,9 @@ ORACLE = {
     "returned_item_customers": _RETURNED_ITEM_SQL,
     "brand_shipment_stats": _BRAND_SHIPMENT_SQL,
     "price_percentiles": _PERCENTILES_SQL,
+    "forecast_revenue_change": _FORECAST_REVENUE_SQL,
+    "nation_part_profit": _NATION_PART_PROFIT_SQL,
+    "late_ship_priority_counts": _LATE_SHIP_PRIORITY_SQL,
+    "customer_order_distribution": _CUSTOMER_ORDER_DIST_SQL,
+    "promo_revenue_share": _PROMO_REVENUE_SQL,
 }

@@ -338,6 +338,58 @@ def test_not_in_is_null_aware_anti_join(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_new_tpch_shape_plans(spark, sf_dir):
+    """Plan shapes for the r10 decision-support additions (Q6/Q9/Q11/Q20
+    adaptations): pushed-down scans, broadcast dimensions, and the
+    single-fact-shuffle decorrelations their docstrings promise."""
+    from cardano_analytics_duckdb_spark.operators.analytic import (
+        excess_volume_suppliers,
+        significant_parts_value,
+    )
+    from cardano_analytics_duckdb_spark.operators.relational import (
+        forecast_revenue_change,
+        nation_part_profit,
+    )
+
+    # Q6: every predicate reaches the parquet reader (the date-cast bounds
+    # simplify to pushable timestamp bounds); no join of any kind.
+    # (executedPlan truncates the PushedFilters list, so assert on the
+    # first pushed bound only; the full list is visible in formatted mode)
+    plan = _plan(forecast_revenue_change(spark, sf_dir))
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "Join" not in plan
+
+    # Q9: the LIKE-filtered part probe and the supplier/nation lookups are
+    # broadcast; the LIKE itself is pushed to the part scan.
+    plan = _plan(nation_part_profit(spark, sf_dir))
+    assert "StringContains(p_name,red)" in plan
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+
+    # Q11: the per-part aggregate feeds both the 1-row total (broadcast
+    # nested-loop cross, the scalar-threshold idiom) and the probe side
+    # through ONE exchange — lineitem must not be scanned twice.
+    saved = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = _plan(significant_parts_value(spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", saved)
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row threshold cross
+    assert "ReusedExchange" in plan  # pv computed once
+    assert "CartesianProduct" not in plan
+
+    # Q20: decorrelated to one fact shuffle — the (part, supplier) group-by
+    # and the per-part window both ride the explicit l_partkey repartition;
+    # no self-join of the aggregated set.
+    plan = _plan(excess_volume_suppliers(spark, sf_dir))
+    assert "Window" in plan
+    assert "SortMergeJoin" not in plan
+    assert "LeftSemi" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_grouping_sets_single_scan(spark, sf_dir):
     """GROUPING SETS compiles to one scan + Expand, not one scan per set."""
     from cardano_analytics_duckdb_spark.operators.analytic import (
