@@ -320,10 +320,19 @@ def minhash_band_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     # which self-joins canonical signatures only.
     all_bands = _minhash_bands(load_table(spark, sf_dir, "documents"))
     return (
-        # one range shuffle serves the bucket agg and the final ORDER BY
-        # (see order_brand_sets): band_key is near-unique, so map-side
-        # partials would not shrink this shuffle anyway
-        all_bands.repartitionByRange("band", "band_key")
+        # ONE hash exchange, computed-once lineage (r10): the previous
+        # repartitionByRange here bought a global ORDER BY, but its
+        # RangePartitioner SAMPLER re-ran the entire signature lineage
+        # (shingle → hash → min-reduce) a second time before the real
+        # shuffle — and the keys only exist post-computation, so the
+        # pre-shuffle range trick (ordering.py) can't apply.  A bucket
+        # report at 100 TB is doc-count-sized and never needs a TOTAL
+        # order; hash clustering satisfies the group-by with no sampler,
+        # and the partition-local sort keeps output deterministic per
+        # partition (driver/oracle comparison is order-insensitive).
+        # band_key is near-unique, so map-side partials would not shrink
+        # this shuffle anyway.
+        all_bands.repartition("band", "band_key")
         .groupBy("band", "band_key")
         # members as a '|'-joined numerically-sorted string (sort before the
         # string cast — '10' < '2' lexicographically): the driver canonicalizer

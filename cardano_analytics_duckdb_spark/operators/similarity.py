@@ -21,6 +21,8 @@ Scale notes (100 TB posture):
 
 from __future__ import annotations
 
+import math
+import os
 import random
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
@@ -51,17 +53,48 @@ def _norm(a: str) -> Column:
 
 # -- brute-force cosine top-k vs an in-data query vector ----------------------
 
+# One query VECTOR is a 1-row "dimension": snapshot it once per lake (same
+# mtime-keyed idiom as relational._collected_dim, same local-FS caveat) and
+# fold it into the plan as a literal array.  The previous shape — filter
+# vec_id == 0 → broadcast → cross — cost a second table scan and a separate
+# broadcast-build job on every execution, pure overhead for 64 doubles that
+# never change under the lake's immutable-files contract.  With the literal,
+# the whole query is ONE job: scan → codegen projection → TakeOrdered.
+_QUERY_VEC_CACHE: dict[tuple, tuple] = {}
+
+
+def _query_vec(
+    spark: SparkSession, sf_dir: str, vec_id: int = 0
+) -> tuple[float, ...]:
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    mtime = os.path.getmtime(path) if os.path.exists(path) else None
+    key = (sf_dir, vec_id, mtime)
+    if key not in _QUERY_VEC_CACHE:
+        for old in [k for k in _QUERY_VEC_CACHE if k[:2] == (sf_dir, vec_id)]:
+            del _QUERY_VEC_CACHE[old]
+        rows = (
+            spark.read.parquet(path)
+            .filter(F.col("vec_id") == vec_id)
+            .select("embedding")
+            .collect()
+        )
+        if len(rows) != 1:
+            raise ValueError(
+                f"_query_vec: expected exactly one vec_id={vec_id} row, "
+                f"got {len(rows)}"
+            )
+        _QUERY_VEC_CACHE[key] = tuple(float(v) for v in rows[0][0])
+    return _QUERY_VEC_CACHE[key]
+
 
 def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    query = (
-        emb.filter(F.col("vec_id") == 0)
-        .select(F.col("embedding").alias("q"))
-    )
-    sim = _dot("embedding", "q") / (_norm("embedding") * _norm("q"))
+    q = _query_vec(spark, sf_dir, vec_id=0)
+    q_lit = "array(" + ", ".join(f"cast({v!r} as double)" for v in q) + ")"
+    q_norm = math.sqrt(sum(v * v for v in q))
+    sim = _dot("embedding", q_lit) / (_norm("embedding") * F.lit(q_norm))
     return (
         emb.filter(F.col("vec_id") != 0)
-        .crossJoin(F.broadcast(query))
         .select("vec_id", rnd(sim, 4).alias("cos_sim"))
         .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
         .limit(10)

@@ -122,6 +122,33 @@ def test_no_python_udf_in_relational_hot_paths(spark, sf_dir):
         assert "FlatMapGroupsInPandas" not in plan, f"{name} gained applyInPandas"
 
 
+def test_cosine_topk_is_joinless_single_pass(spark, sf_dir):
+    """The query vector is folded into the plan as a literal array (r10):
+    no join of any kind, no second embeddings scan, and ranking stays a
+    true top-k.  Regression guard for the broadcast-build job the old
+    filter-vec_id-0 → crossJoin shape paid on every execution."""
+    from cardano_analytics_duckdb_spark.operators.similarity import cosine_topk
+
+    plan = _plan(cosine_topk(spark, sf_dir))
+    assert "Join" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_minhash_buckets_have_no_range_sampler(spark, sf_dir):
+    """The bucket shuffle must be a HASH exchange (r10): a range exchange's
+    RangePartitioner sampler re-runs the whole shingle→hash→min signature
+    lineage a second time before the real shuffle (measured 2x compute,
+    0.47 s -> 0.26 s at sf0.1).  Partition-local sort only — a doc-count-
+    sized report never needs a total order at 100 TB."""
+    from cardano_analytics_duckdb_spark.operators.dedup import (
+        minhash_band_buckets,
+    )
+
+    plan = _plan(minhash_band_buckets(spark, sf_dir))
+    assert "hashpartitioning(band" in plan
+    assert "rangepartitioning" not in plan
+
+
 def test_asof_join_is_single_shuffle(spark, sf_dir):
     from cardano_analytics_duckdb_spark.operators.temporal import (
         events_asof_purchase,
