@@ -808,6 +808,165 @@ ORDER BY doc_id, chunk_idx
 """
 
 
+# -- Gopher-style quality-rule flags ------------------------------------------
+# The published rule-based filter family (word-count bounds, mean-word-length
+# bounds, stopword presence, max-repeated-word fraction), each emitted as a
+# per-document boolean plus the composite keep decision.  All rules are
+# Catalyst higher-order functions over ONE tokenization — no UDF, no
+# shuffle; the per-doc top-word scan is O(distinct × tokens) row-local work,
+# linear in the corpus.  Same pre-shuffle range + local sort shape as
+# doc_quality_scores (the sampler touches only the raw scan).
+
+
+def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_words = F.size(F.col("toks")).cast("long")
+    mean_wlen = F.expr(
+        "aggregate(toks, cast(0.0 as double), (acc, x) -> acc + length(x))"
+        " / size(toks)"
+    )
+    stop_hits = F.expr(
+        "size(filter(toks, x -> x IN ('the', 'a', 'of', 'and', 'is')))"
+    )
+    top_count = F.expr(
+        "array_max(transform(array_distinct(toks),"
+        " d -> size(filter(toks, x -> x = d))))"
+    )
+    top_frac = top_count.cast("double") / n_words
+    word_count_ok = (n_words >= 20) & (n_words <= 1000)
+    mean_wlen_ok = (mean_wlen >= 2.0) & (mean_wlen <= 12.0)
+    has_stopwords = stop_hits >= 2
+    repetition_ok = top_frac <= 0.125
+    return (
+        docs.select("doc_id", "text")
+        .repartitionByRange("doc_id")
+        .select("doc_id", F.split(F.col("text"), " ").alias("toks"))
+        .select(
+            "doc_id",
+            n_words.alias("n_words"),
+            rnd(mean_wlen, 2).alias("mean_word_len"),
+            rnd(top_frac, 4).alias("top_word_frac"),
+            word_count_ok.alias("word_count_ok"),
+            mean_wlen_ok.alias("mean_word_len_ok"),
+            has_stopwords.alias("has_stopwords"),
+            repetition_ok.alias("repetition_ok"),
+            (word_count_ok & mean_wlen_ok & has_stopwords & repetition_ok).alias(
+                "keep"
+            ),
+        )
+        .sortWithinPartitions("doc_id")
+    )
+
+
+_GOPHER_FLAGS_SQL = """
+WITH t AS (
+    SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), m AS (
+    SELECT doc_id,
+           len(toks) AS n_words,
+           list_sum(list_transform(toks, x -> CAST(length(x) AS DOUBLE))) / len(toks) AS mean_wlen,
+           len(list_filter(toks, x -> x IN ('the', 'a', 'of', 'and', 'is'))) AS stop_hits,
+           list_max(list_transform(list_distinct(toks), d -> len(list_filter(toks, x -> x = d)))) AS top_count
+    FROM t
+)
+SELECT doc_id, n_words,
+       floor((mean_wlen) * 100.0 + 0.5) / 100.0 AS mean_word_len,
+       floor((CAST(top_count AS DOUBLE) / n_words) * 10000.0 + 0.5) / 10000.0 AS top_word_frac,
+       (n_words >= 20 AND n_words <= 1000) AS word_count_ok,
+       (mean_wlen >= 2.0 AND mean_wlen <= 12.0) AS mean_word_len_ok,
+       (stop_hits >= 2) AS has_stopwords,
+       (CAST(top_count AS DOUBLE) / n_words <= 0.125) AS repetition_ok,
+       (n_words >= 20 AND n_words <= 1000 AND mean_wlen >= 2.0 AND mean_wlen <= 12.0
+        AND stop_hits >= 2 AND CAST(top_count AS DOUBLE) / n_words <= 0.125) AS keep
+FROM m
+ORDER BY doc_id
+"""
+
+# -- PII redaction (regex scrub + audit counts) -------------------------------
+# Email / phone / IPv4 patterns matched, counted, and replaced with typed
+# placeholder tokens; the redacted text ships as an md5 so the oracle pins
+# byte-identical scrub output without hauling full text through the driver.
+# The synthetic corpus contains no PII, so the query first derives a
+# deterministic enrichment (from doc_id / n_chars — same expression on both
+# engines) that plants one of each pattern per document; the operator under
+# test is the scrub pipeline, which at 100 TB is a narrow codegen'd map —
+# no shuffle, no UDF.  Patterns stay in the Java∩RE2 common subset (no
+# lookaround, no \\b) so both engines match identical spans.
+
+_PII_EMAIL = "[A-Za-z0-9._]+@[A-Za-z0-9.]+[.][A-Za-z]{2,}"
+_PII_PHONE = "[+]1-555-[0-9]{4}"
+_PII_IP = "10[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"
+
+
+def pii_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    etext = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1-555-"),
+        F.lpad(F.col("n_chars").cast("string"), 4, "0"),
+        F.lit(" ip 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".1"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("etext"), _PII_EMAIL, "[EMAIL]"),
+            _PII_PHONE,
+            "[PHONE]",
+        ),
+        _PII_IP,
+        "[IP]",
+    )
+    return (
+        docs.select("doc_id", "text", "n_chars")
+        .repartitionByRange("doc_id")
+        .select("doc_id", etext.alias("etext"))
+        .select(
+            "doc_id",
+            F.size(F.regexp_extract_all(F.col("etext"), F.lit(_PII_EMAIL), 0))
+            .cast("long")
+            .alias("n_emails"),
+            F.size(F.regexp_extract_all(F.col("etext"), F.lit(_PII_PHONE), 0))
+            .cast("long")
+            .alias("n_phones"),
+            F.size(F.regexp_extract_all(F.col("etext"), F.lit(_PII_IP), 0))
+            .cast("long")
+            .alias("n_ips"),
+            F.length(redacted).cast("long").alias("redacted_len"),
+            F.md5(redacted).alias("redacted_md5"),
+        )
+        .sortWithinPartitions("doc_id")
+    )
+
+
+_PII_REDACTION_SQL = """
+WITH enriched AS (
+    SELECT doc_id,
+           text || ' contact user' || doc_id || '@example.com or +1-555-' ||
+           lpad(CAST(n_chars AS VARCHAR), 4, '0') || ' ip 10.0.' ||
+           CAST(doc_id % 256 AS VARCHAR) || '.1' AS etext
+    FROM documents
+), red AS (
+    SELECT doc_id, etext,
+           regexp_replace(regexp_replace(regexp_replace(etext,
+               '[A-Za-z0-9._]+@[A-Za-z0-9.]+[.][A-Za-z]{2,}', '[EMAIL]', 'g'),
+               '[+]1-555-[0-9]{4}', '[PHONE]', 'g'),
+               '10[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}', '[IP]', 'g') AS redacted
+    FROM enriched
+)
+SELECT doc_id,
+       len(regexp_extract_all(etext, '[A-Za-z0-9._]+@[A-Za-z0-9.]+[.][A-Za-z]{2,}')) AS n_emails,
+       len(regexp_extract_all(etext, '[+]1-555-[0-9]{4}')) AS n_phones,
+       len(regexp_extract_all(etext, '10[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}')) AS n_ips,
+       length(redacted) AS redacted_len,
+       md5(redacted) AS redacted_md5
+FROM red
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "bigram_logprob_scores": bigram_logprob_scores,
     "bpe_merge_candidates": bpe_merge_candidates,
@@ -824,6 +983,8 @@ QUERIES = {
     "doc_regex_features": doc_regex_features,
     "curated_corpus_sample": curated_corpus_sample,
     "vocab_top_tokens": vocab_top_tokens,
+    "gopher_quality_flags": gopher_quality_flags,
+    "pii_redaction_stats": pii_redaction_stats,
 }
 
 ORACLE = {
@@ -842,4 +1003,6 @@ ORACLE = {
     "event_props_json": _PROPS_JSON_SQL,
     "curated_corpus_sample": _CURATED_SQL,
     "vocab_top_tokens": _VOCAB_SQL,
+    "gopher_quality_flags": _GOPHER_FLAGS_SQL,
+    "pii_redaction_stats": _PII_REDACTION_SQL,
 }
