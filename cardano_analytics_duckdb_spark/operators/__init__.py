@@ -61,6 +61,8 @@ _WINDOW = (
     # flags) and PII redaction with audit counts
     "gopher_quality_flags",
     "pii_redaction_stats",
+    # NEW this round: watermarked stream-stream LEFT OUTER interval join
+    "streaming_click_nopurchase_join",
     # last driver row r6 — the whole backlog named in the r9 verdict
     "price_percentiles",
     "priority_order_union",
@@ -75,8 +77,8 @@ _WINDOW = (
     "status_price_matrix",
     "stratified_order_sample",
     "supplier_volume_by_nation",
-    # last driver row r7 — oldest 11 (alphabetical within equal vintage;
-    # 9 slots of the r9-planned 20 ceded to the NEW queries above)
+    # last driver row r7 — oldest 10 (alphabetical within equal vintage;
+    # 10 slots of the r9-planned 20 ceded to the NEW queries above)
     "bigram_logprob_scores",
     "bpe_merge_candidates",
     "bpe_token_counts",
@@ -87,10 +89,9 @@ _WINDOW = (
     "cross_nation_orders",
     "cross_source_dup_leakage",
     "doc_chunks",
-    "doc_regex_features",
 )
 # Still in the oldest-first backlog for r11 (last row r7, rotated out only
-# because the window is 50): duplicated_ngram_coverage,
+# because the window is 50): doc_regex_features, duplicated_ngram_coverage,
 # embedding_dim_stats, embedding_norm_stats, exact_dedup_groups,
 # frame_sample_features, image_decode_features, image_resize_features,
 # ivf_topk, kmeans_silhouette_eval, lsh_bucket_assignments,

@@ -414,6 +414,119 @@ ORDER BY click_id, purchase_id
 """
 
 
+# -- stream-stream LEFT OUTER interval join -----------------------------------
+# Clicks with their purchase match OR a proven no-match: outer semantics on
+# two unbounded streams are only decidable through the watermark — a null-
+# padded row may emit ONLY once the watermark has passed the click's join
+# window, proving no qualifying purchase can still arrive.  Inner results
+# emit on match; outer results emit at state eviction.  That protocol makes
+# the stream END special: the GLOBAL watermark is the minimum over both
+# sides minus the delay, so no click later than
+# least(max click ts, max purchase ts) - delay - window can ever have its
+# no-match proven on bounded replay (observed: the last click of the
+# sf0.001 feed IS such a row — the click side's own max is hours before
+# the purchase side's).  The operator therefore scopes its contract to
+# clicks at least 25 minutes (window 10 + delay 10 + margin) before the
+# SMALLER per-side max — for those, availableNow replay equals the batch
+# LEFT JOIN, and DuckDB verifies it exactly.  The cutoff is read from the
+# same parquet with a 1-row batch agg (identical value on both engines by
+# construction).
+
+
+def streaming_click_nopurchase_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..lake.tables import load_table
+
+    cutoff = (
+        load_table(spark, sf_dir, "events")
+        .agg(
+            F.max(F.when(F.col("event_type") == "click", F.col("ts"))).alias(
+                "mc"
+            ),
+            F.max(
+                F.when(F.col("event_type") == "purchase", F.col("ts"))
+            ).alias("mp"),
+        )
+        .select(F.least("mc", "mp") - F.expr("INTERVAL 25 MINUTES"))
+        .first()[0]
+    )
+    clicks = (
+        streaming_events(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("c_ts", "10 minutes")
+    )
+    purchases = (
+        streaming_events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+        .withWatermark("p_ts", "10 minutes")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            "c_user = p_user AND "
+            "p_ts BETWEEN c_ts - INTERVAL 10 MINUTES AND c_ts"
+        ),
+        "left_outer",
+    ).select(
+        "click_id",
+        "purchase_id",
+        F.col("c_user").alias("user_id"),
+        "c_ts",
+        (F.unix_millis("c_ts") - F.unix_millis("p_ts")).alias("gap_ms"),
+    )
+    name = f"stream_louter_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        spark.table(name)
+        .filter(F.col("c_ts") <= F.lit(cutoff))
+        .select(
+            "click_id",
+            "purchase_id",
+            "user_id",
+            (F.col("purchase_id").isNull()).alias("unmatched"),
+            "gap_ms",
+        )
+        .orderBy("click_id", "purchase_id")
+    )
+
+
+_STREAM_LOUTER_SQL = """
+SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+       c.user_id,
+       p.event_id IS NULL AS unmatched,
+       epoch_ms(c.ts) - epoch_ms(p.ts) AS gap_ms
+FROM (SELECT * FROM events WHERE event_type = 'click'
+      AND ts <= (SELECT least(max(ts) FILTER (WHERE event_type = 'click'),
+                              max(ts) FILTER (WHERE event_type = 'purchase'))
+                        - INTERVAL 25 MINUTE FROM events)) c
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id
+ AND p.ts BETWEEN c.ts - INTERVAL 10 MINUTE AND c.ts
+ORDER BY click_id, purchase_id
+"""
+
+
 # -- streaming deduplication --------------------------------------------------
 # The LLM-pipeline dedup family applied to an unbounded feed: watermarked
 # exact-dedup via dropDuplicatesWithinWatermark, whose state store retains a
@@ -471,6 +584,7 @@ QUERIES = {
     "streaming_session_windows": streaming_session_windows,
     "streaming_stateful_sessions": streaming_stateful_sessions,
     "streaming_click_purchase_join": streaming_click_purchase_join,
+    "streaming_click_nopurchase_join": streaming_click_nopurchase_join,
     "streaming_dedup_events": streaming_dedup_events,
 }
 
@@ -479,5 +593,6 @@ ORACLE = {
     "streaming_session_windows": _STREAM_SESSION_SQL,
     "streaming_stateful_sessions": _STREAM_STATEFUL_SQL,
     "streaming_click_purchase_join": _STREAM_JOIN_SQL,
+    "streaming_click_nopurchase_join": _STREAM_LOUTER_SQL,
     "streaming_dedup_events": _STREAM_DEDUP_SQL,
 }

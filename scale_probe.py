@@ -1196,6 +1196,40 @@ def main_100x(scratch: str) -> None:
     spark.stop()
 
 
+TPCH_R10 = [
+    # the r10 decision-support additions (Q6/Q9/Q11/Q12/Q13/Q14/Q20
+    # adaptations) plus the never-scale-probed r10 Q16 / null-aware pair —
+    # none are in bench.HEADLINE, so headline_100x never covers them.
+    "forecast_revenue_change",
+    "nation_part_profit",
+    "late_ship_priority_counts",
+    "customer_order_distribution",
+    "promo_revenue_share",
+    "significant_parts_value",
+    "excess_volume_suppliers",
+    "distinct_supplier_part_counts",
+    "not_in_null_semantics",
+]
+
+
+def main_tpch(scratch: str) -> None:
+    """The --tpch mode: the r10 decision-support queries at 100x bench
+    data with the DuckDB companion (same lake, same measurement shape as
+    headline_100x), merged as ``tpch_100x``.  Answers the per-operator
+    scale question for the shapes added after the full headline table was
+    recorded: does each adapted plan (single fact shuffle, broadcast dims,
+    window decorrelation, null-aware anti probe) hold a decade up?"""
+    spark = get_session(app_name="scale-probe-tpch", shuffle_partitions=200)
+    lake_dir = os.path.join(scratch, "lake100")
+    build_scaled_lake(
+        spark, lake_dir, replicas=REPLICAS_100X, file_scale=10
+    )
+    payload = headline_100x(spark, lake_dir, names=TPCH_R10)
+    _merge_probe("tpch_100x", payload)
+    shutil.rmtree(scratch, ignore_errors=True)
+    spark.stop()
+
+
 def _replicas_arg(default: int = REPLICAS) -> int:
     """--replicas N: scale multiplier for the probe modes, so the same
     probe measures whether a mitigation's advantage widens or narrows a
@@ -1312,6 +1346,9 @@ def main() -> None:
         return
     if "--ann" in sys.argv:
         main_ann(scratch)
+        return
+    if "--tpch" in sys.argv:
+        main_tpch(scratch)
         return
     # Production shuffle sizing posture: oversized partition count, AQE
     # coalesces down (plans/session.py docstring) — the probe must compare
