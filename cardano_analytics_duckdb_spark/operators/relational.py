@@ -872,8 +872,12 @@ def nation_part_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("p_name").like("%red%"))
         .select(F.col("p_partkey").alias("l_partkey"))
     )
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_orderdate"
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderdate")
+        # hash join over sort-merge: same rationale as
+        # late_ship_priority_counts (measured 2.81 -> 2.58 s at 100x)
+        .hint("shuffle_hash")
     )
     supp = load_table(spark, sf_dir, "supplier").select(
         "s_suppkey", "s_nationkey"
@@ -921,9 +925,14 @@ ORDER BY supp_nation, o_year DESC
 
 
 def late_ship_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # shuffle_hash, not sort-merge: a one-shot PK-FK join feeding a
+    # 3-group aggregate never benefits from sorted output, and skipping
+    # both sides' sorts is a measured 17% at 100x (6.97 -> 5.78 s median;
+    # SCALE_PROBE tpch_100x).  The recurring-join cluster path for the
+    # orderkey family is bucketing (bucket_probe: 2.11x at 100x).
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderdate", "o_orderpriority"
-    )
+    ).hint("shuffle_hash")
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_shipdate", "l_returnflag"
     )
@@ -1011,13 +1020,22 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate").cast("date") >= F.lit("1996-03-01").cast("date"))
         & (F.col("l_shipdate").cast("date") < F.lit("1996-04-01").cast("date"))
     )
-    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    # shuffle-hash, not broadcast: the month filter cuts the fact to ~1.5%
+    # of its rows before the join, while the part dim scales with the lake
+    # — at 100x, building a 200k-entry broadcast table per task costs more
+    # than shuffling the filtered fact (measured 1.71 -> 0.96 s,
+    # SCALE_PROBE tpch_100x).  The dim side is the hash build.
+    part = (
+        load_table(spark, sf_dir, "part")
+        .select("p_partkey", "p_type")
+        .hint("shuffle_hash")
+    )
     cents = F.floor(
         (F.col("l_extendedprice") * (1 - F.col("l_discount"))) * F.lit(100.0)
         + F.lit(0.5)
     ).cast("long")
     agg = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .agg(
             F.sum(
                 F.when(F.col("p_type") == "PROMO", cents).otherwise(

@@ -151,6 +151,71 @@ def test_recompaction_merges_generation_and_appends(spark, lake):
         assert st["superseded"] == []
 
 
+def _canon_tx(df):
+    return sorted(
+        (r["slot"], bytes(r["tx_id"]).hex(), r["tx_fee"])
+        for r in df.select("slot", "tx_id", "tx_fee").collect()
+    )
+
+
+def test_time_travel_reads_each_published_version(spark, lake):
+    """read_table_at(v) reproduces the table exactly as version v
+    published it: v1 = the first compaction's state, v2 = the
+    recompaction folding later appends; both stay bit-stable after the
+    head moves on, and the head always equals the newest version."""
+    from cardano_analytics_duckdb_spark.lake.generations import (
+        read_table_at,
+        snapshot_versions,
+    )
+
+    tx = os.path.join(lake, "tx")
+    # vacuum="defer" retains history — compact's default vacuum="end"
+    # reclaims old snapshots immediately (retention == since last vacuum)
+    compact_lake(spark, lake, vacuum="defer")  # publishes v1
+    at_v1 = _canon_tx(read_table(spark, tx))
+    ingest_blocks(spark, fixture_blocks()[8:12], lake, batch_size=1)
+    compact_lake(spark, lake, vacuum="defer")  # publishes v2
+    at_v2 = _canon_tx(read_table(spark, tx))
+    assert at_v1 != at_v2  # the appends changed the table
+
+    lfs = LakeFs(spark, lake)
+    versions = snapshot_versions(lfs, tx)
+    assert len(versions) >= 2
+    assert _canon_tx(read_table_at(spark, tx, versions[0])) == at_v1
+    assert _canon_tx(read_table_at(spark, tx, versions[-1])) == at_v2
+
+
+def test_time_travel_fails_loud_after_vacuum(spark, lake):
+    """Vacuum bounds the retention window: old versions' snapshots are
+    reclaimed with their files, a reclaimed version read raises naming
+    vacuum, and the NEWEST version survives vacuum readable (its file
+    set is the current data)."""
+    import pytest as _pytest
+
+    from cardano_analytics_duckdb_spark.lake.generations import (
+        read_table_at,
+        snapshot_versions,
+    )
+
+    tx = os.path.join(lake, "tx")
+    compact_lake(spark, lake, vacuum="defer")
+    ingest_blocks(spark, fixture_blocks()[8:12], lake, batch_size=1)
+    compact_lake(spark, lake, vacuum="defer")
+    lfs = LakeFs(spark, lake)
+    v_old = snapshot_versions(lfs, tx)[0]
+    vacuum_superseded(spark, tx)
+    with _pytest.raises(ValueError, match="vacuum"):
+        read_table_at(spark, tx, v_old)
+    remaining = snapshot_versions(lfs, tx)
+    assert v_old not in remaining
+    assert remaining, "newest snapshot must survive vacuum"
+    head = _canon_tx(read_table(spark, tx))
+    assert _canon_tx(read_table_at(spark, tx, remaining[-1])) == head
+    # unknown version: loud, lists what IS available
+    with _pytest.raises(ValueError, match="available versions"):
+        read_table_at(spark, tx, 9999)
+
+
 def test_untouched_table_reads_plain(spark, lake):
     """No pointer file -> read_table is the plain parquet scan (same
     plan), so the 133 registered queries pay nothing for this layer."""
