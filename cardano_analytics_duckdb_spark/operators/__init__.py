@@ -63,6 +63,10 @@ _WINDOW = (
     "pii_redaction_stats",
     # NEW this round: watermarked stream-stream LEFT OUTER interval join
     "streaming_click_nopurchase_join",
+    # NEW this round: FULL OUTER join shape + CUBE (completing the join
+    # inventory and the rollup/grouping-sets/cube trio)
+    "nation_balance_coverage",
+    "returnflag_status_cube",
     # last driver row r6 — the whole backlog named in the r9 verdict
     "price_percentiles",
     "priority_order_union",
@@ -77,8 +81,8 @@ _WINDOW = (
     "status_price_matrix",
     "stratified_order_sample",
     "supplier_volume_by_nation",
-    # last driver row r7 — oldest 10 (alphabetical within equal vintage;
-    # 10 slots of the r9-planned 20 ceded to the NEW queries above)
+    # last driver row r7 — oldest 8 (alphabetical within equal vintage;
+    # 12 slots of the r9-planned 20 ceded to the NEW queries above)
     "bigram_logprob_scores",
     "bpe_merge_candidates",
     "bpe_token_counts",
@@ -87,11 +91,10 @@ _WINDOW = (
     "corpus_keep_decisions",
     "cosine_topk",
     "cross_nation_orders",
-    "cross_source_dup_leakage",
-    "doc_chunks",
 )
 # Still in the oldest-first backlog for r11 (last row r7, rotated out only
-# because the window is 50): doc_regex_features, duplicated_ngram_coverage,
+# because the window is 50): cross_source_dup_leakage, doc_chunks,
+# doc_regex_features, duplicated_ngram_coverage,
 # embedding_dim_stats, embedding_norm_stats, exact_dedup_groups,
 # frame_sample_features, image_decode_features, image_resize_features,
 # ivf_topk, kmeans_silhouette_eval, lsh_bucket_assignments,

@@ -1075,6 +1075,132 @@ FROM s
 """
 
 
+# -- FULL OUTER join (the one join type the inventory lacked) -----------------
+# Per-nation customer vs supplier balance coverage, where BOTH sides are
+# deliberately thinned (modulo filters) so nations can be customer-only,
+# supplier-only, or both — every null side of the full outer is exercised
+# and flagged.  Both inputs are dimension-sized post-aggregate, so the
+# full outer is a tiny 25x25 join above two parallel aggs; coalesce picks
+# the surviving key the way the SQL standard's USING would.
+
+
+def nation_balance_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust_bal = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 5 == 3)
+        .groupBy(F.col("c_nationkey").alias("c_nat"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(
+                F.floor(F.col("c_acctbal") * F.lit(100.0) + F.lit(0.5)).cast(
+                    "long"
+                )
+            ).alias("cust_cents"),
+        )
+    )
+    supp_bal = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_suppkey") % 7 == 0)
+        .groupBy(F.col("s_nationkey").alias("s_nat"))
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.sum(
+                F.floor(F.col("s_acctbal") * F.lit(100.0) + F.lit(0.5)).cast(
+                    "long"
+                )
+            ).alias("supp_cents"),
+        )
+    )
+    return (
+        cust_bal.join(
+            supp_bal, cust_bal.c_nat == supp_bal.s_nat, "full_outer"
+        )
+        .select(
+            F.coalesce("c_nat", "s_nat").alias("nationkey"),
+            F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+            F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+            (F.coalesce("cust_cents", F.lit(0)) / F.lit(100.0)).alias(
+                "customer_balance"
+            ),
+            (F.coalesce("supp_cents", F.lit(0)) / F.lit(100.0)).alias(
+                "supplier_balance"
+            ),
+            F.col("c_nat").isNull().alias("suppliers_only"),
+            F.col("s_nat").isNull().alias("customers_only"),
+        )
+        .transform(small_sorted, "nationkey")
+    )
+
+
+_NATION_COVERAGE_SQL = """
+WITH c AS (
+    SELECT c_nationkey AS nationkey, count(*) AS n_customers,
+           sum(cast(floor(c_acctbal * 100.0 + 0.5) AS BIGINT)) AS cust_cents
+    FROM customer WHERE c_custkey % 5 = 3 GROUP BY c_nationkey
+), s AS (
+    SELECT s_nationkey AS nationkey, count(*) AS n_suppliers,
+           sum(cast(floor(s_acctbal * 100.0 + 0.5) AS BIGINT)) AS supp_cents
+    FROM supplier WHERE s_suppkey % 7 = 0 GROUP BY s_nationkey
+)
+SELECT coalesce(c.nationkey, s.nationkey) AS nationkey,
+       coalesce(n_customers, 0) AS n_customers,
+       coalesce(n_suppliers, 0) AS n_suppliers,
+       coalesce(cust_cents, 0) / 100.0 AS customer_balance,
+       coalesce(supp_cents, 0) / 100.0 AS supplier_balance,
+       (c.nationkey IS NULL) AS suppliers_only,
+       (s.nationkey IS NULL) AS customers_only
+FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey
+ORDER BY nationkey
+"""
+
+# -- CUBE (completes the ROLLUP / GROUPING SETS / CUBE trio) -------------------
+# All four (flag, status) grouping combinations from ONE scan through
+# Catalyst's Expand; grouping() flags disambiguate a real 'ALL' value
+# from a rolled-up one, exactly as in revenue_grouping_sets.
+
+
+def returnflag_status_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.floor(
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))) * F.lit(100.0)
+        + F.lit(0.5)
+    ).cast("long")
+    return (
+        li.select("l_returnflag", "l_linestatus", cents.alias("c"))
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("long").alias("g_flag"),
+            F.grouping("l_linestatus").cast("long").alias("g_status"),
+            F.count(F.lit(1)).alias("n_items"),
+            (F.sum("c") / F.lit(100.0)).alias("revenue"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("return_flag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("line_status"),
+            "g_flag",
+            "g_status",
+            "n_items",
+            "revenue",
+        )
+        .transform(
+            small_sorted, "g_flag", "g_status", "return_flag", "line_status"
+        )
+    )
+
+
+_CUBE_SQL = """
+SELECT coalesce(l_returnflag, 'ALL') AS return_flag,
+       coalesce(l_linestatus, 'ALL') AS line_status,
+       CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+       CAST(grouping(l_linestatus) AS BIGINT) AS g_status,
+       count(*) AS n_items,
+       sum(cast(floor((l_extendedprice * (1 - l_discount)) * 100.0 + 0.5) AS BIGINT)) / 100.0 AS revenue
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY g_flag, g_status, return_flag, line_status
+"""
+
+
 QUERIES = {
     "high_value_orders": high_value_orders,
     "order_summary_stats": order_summary_stats,
@@ -1101,6 +1227,8 @@ QUERIES = {
     "late_ship_priority_counts": late_ship_priority_counts,
     "customer_order_distribution": customer_order_distribution,
     "promo_revenue_share": promo_revenue_share,
+    "nation_balance_coverage": nation_balance_coverage,
+    "returnflag_status_cube": returnflag_status_cube,
 }
 
 ORACLE = {
@@ -1129,4 +1257,6 @@ ORACLE = {
     "late_ship_priority_counts": _LATE_SHIP_PRIORITY_SQL,
     "customer_order_distribution": _CUSTOMER_ORDER_DIST_SQL,
     "promo_revenue_share": _PROMO_REVENUE_SQL,
+    "nation_balance_coverage": _NATION_COVERAGE_SQL,
+    "returnflag_status_cube": _CUBE_SQL,
 }

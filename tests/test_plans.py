@@ -417,6 +417,25 @@ def test_new_tpch_shape_plans(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_full_outer_and_cube_shapes(spark, sf_dir):
+    """nation_balance_coverage must plan a true FullOuter join (the one
+    join type nothing else exercises); returnflag_status_cube must expand
+    all four grouping combinations from ONE scan (Expand, single
+    FileScan), like the other grouping queries."""
+    from cardano_analytics_duckdb_spark.operators.relational import (
+        nation_balance_coverage,
+        returnflag_status_cube,
+    )
+
+    plan = _plan(nation_balance_coverage(spark, sf_dir))
+    assert "FullOuter" in plan
+    assert "CartesianProduct" not in plan
+
+    plan = _plan(returnflag_status_cube(spark, sf_dir))
+    assert "Expand" in plan
+    assert plan.count("Scan parquet") == 1
+
+
 def test_grouping_sets_single_scan(spark, sf_dir):
     """GROUPING SETS compiles to one scan + Expand, not one scan per set."""
     from cardano_analytics_duckdb_spark.operators.analytic import (
