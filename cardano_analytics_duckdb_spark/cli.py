@@ -195,7 +195,15 @@ def _cmd_query(args: argparse.Namespace, spark: SparkSession) -> int:
     from .functions.rounding import rnd
     from .operators.cardano import _lake
 
-    tx = _lake(spark, "tx", args.lake)
+    if getattr(args, "at_version", None) is not None:
+        from .lake.fixtures import ensure_fixture_lake
+        from .lake.generations import read_table_at
+
+        root = args.lake or ensure_fixture_lake(spark)
+        tx = read_table_at(spark, f"{root}/tx", args.at_version)
+        print(f"(time travel: tx as of pointer version {args.at_version})")
+    else:
+        tx = _lake(spark, "tx", args.lake)
     top = (
         tx.filter(F.col("tx_fee") > args.min_fee)
         .select("slot", F.lower(F.hex("tx_id")).alias("tx_id"), "tx_fee")
@@ -411,6 +419,14 @@ def build_parser() -> argparse.ArgumentParser:
     q.add_argument("--lake", default=None, help="lake root (default: fixture)")
     q.add_argument("--min-fee", type=int, default=2_000_000)
     q.add_argument("--limit", type=int, default=100)
+    q.add_argument(
+        "--at-version",
+        type=int,
+        default=None,
+        help="time travel: run against the tx table as of this pointer "
+        "version (see lake/generations.py::read_table_at; versions older "
+        "than the last vacuum are reclaimed)",
+    )
     q.set_defaults(func=_cmd_query)
 
     an = sub.add_parser(

@@ -303,23 +303,11 @@ def read_table(spark: SparkSession, table_dir: str) -> DataFrame:
     return out
 
 
-def read_table_at(
-    spark: SparkSession, table_dir: str, version: int
-) -> DataFrame:
-    """Time travel: read the table exactly as pointer version ``version``
-    published it (Delta-style ``VERSION AS OF``).  Resolves the version's
-    snapshot sidecar to an explicit file set — live hive files read with
-    ``basePath`` so the partition column comes from the path, generation
-    files read by name (their partition column is in the data) — and
-    fails LOUD, naming every missing path, when vacuum has reclaimed any
-    of it: the retention window is "since the last vacuum", and a
-    silently partial snapshot would be worse than no snapshot.
-
-    Scale posture: resolving a version is pure control-plane work (one
-    sidecar read + per-file existence probes, no data listing); the plan
-    is the same explicit-file union ``read_table`` builds, so partition
-    pruning and column pushdown behave identically."""
-    lfs = LakeFs(spark, table_dir)
+def _resolve_snapshot(
+    lfs: LakeFs, table_dir: str, version: int
+) -> tuple[list[str], list[str]]:
+    """(hive files, generation files) of snapshot ``version``; raises on
+    an unknown version or any vacuum-reclaimed path (never partial)."""
     versions = snapshot_versions(lfs, table_dir)
     if version not in versions:
         have = versions if versions else "none (never published a pointer)"
@@ -347,9 +335,7 @@ def read_table_at(
         if st.get("gen"):
             gdir = os.path.join(table_dir, st["gen"])
             if lfs.exists(gdir):
-                gen_files.extend(
-                    generation_files(lfs, table_dir, st["gen"])
-                )
+                gen_files.extend(generation_files(lfs, table_dir, st["gen"]))
             else:
                 missing.append(gdir)
     if missing:
@@ -358,6 +344,27 @@ def read_table_at(
             f"reconstructible — vacuum_superseded reclaimed "
             f"{len(missing)} path(s), first: {missing[:3]}"
         )
+    return explicit_files, gen_files
+
+
+def read_table_at(
+    spark: SparkSession, table_dir: str, version: int
+) -> DataFrame:
+    """Time travel: read the table exactly as pointer version ``version``
+    published it (Delta-style ``VERSION AS OF``).  Resolves the version's
+    snapshot sidecar to an explicit file set — live hive files read with
+    ``basePath`` so the partition column comes from the path, generation
+    files read by name (their partition column is in the data) — and
+    fails LOUD, naming every missing path, when vacuum has reclaimed any
+    of it: the retention window is "since the last vacuum", and a
+    silently partial snapshot would be worse than no snapshot.
+
+    Scale posture: resolving a version is pure control-plane work (one
+    sidecar read + per-file existence probes, no data listing); the plan
+    is the same explicit-file union ``read_table`` builds, so partition
+    pruning and column pushdown behave identically."""
+    lfs = LakeFs(spark, table_dir)
+    explicit_files, gen_files = _resolve_snapshot(lfs, table_dir, version)
     branches = []
     if explicit_files:
         branches.append(
@@ -374,6 +381,16 @@ def read_table_at(
     for b in branches[1:]:
         out = out.unionByName(b)
     return out
+
+
+def data_paths_at(lfs: LakeFs, table_dir: str, version: int) -> list[str]:
+    """External-reader counterpart of :func:`read_table_at` (symmetric
+    with :func:`current_data_paths`): the explicit parquet paths of
+    snapshot ``version``, for DuckDB ``read_parquet([...])`` lists and
+    ad-hoc tools.  Same loud contract — unknown version or a
+    vacuum-reclaimed file raises instead of returning a partial list."""
+    explicit_files, gen_files = _resolve_snapshot(lfs, table_dir, version)
+    return sorted(explicit_files + gen_files)
 
 
 def current_data_paths(lfs: LakeFs, table_dir: str) -> list[str]:

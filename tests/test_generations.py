@@ -184,6 +184,18 @@ def test_time_travel_reads_each_published_version(spark, lake):
     assert _canon_tx(read_table_at(spark, tx, versions[0])) == at_v1
     assert _canon_tx(read_table_at(spark, tx, versions[-1])) == at_v2
 
+    # external-reader symmetry: DuckDB over the explicit snapshot paths
+    # sees the same row count as the Spark time-travel read
+    import duckdb
+
+    from cardano_analytics_duckdb_spark.lake.generations import data_paths_at
+
+    paths = [p.removeprefix("file:") for p in data_paths_at(lfs, tx, versions[0])]
+    n = duckdb.connect().execute(
+        "SELECT count(*) FROM read_parquet($1)", [paths]
+    ).fetchone()[0]
+    assert n == len(at_v1)
+
 
 def test_time_travel_fails_loud_after_vacuum(spark, lake):
     """Vacuum bounds the retention window: old versions' snapshots are
