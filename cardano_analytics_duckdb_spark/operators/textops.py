@@ -813,9 +813,13 @@ ORDER BY doc_id, chunk_idx
 # bounds, stopword presence, max-repeated-word fraction), each emitted as a
 # per-document boolean plus the composite keep decision.  All rules are
 # Catalyst higher-order functions over ONE tokenization — no UDF, no
-# shuffle; the per-doc top-word scan is O(distinct × tokens) row-local work,
-# linear in the corpus.  Same pre-shuffle range + local sort shape as
-# doc_quality_scores (the sampler touches only the raw scan).
+# shuffle.  The max-repeated-word count is the max RUN LENGTH of the
+# sorted token array (one O(n log n) sort + one O(n) aggregate with a
+# struct accumulator) — identical value to the naive O(distinct × tokens)
+# distinct-scan, but HOF lambdas are interpreted per element, and cutting
+# their count is a measured 2.5x at 500k docs (6.12 -> 2.46 s, A/B under
+# SCALE_PROBE text_100x conditions).  Same pre-shuffle range + local sort
+# shape as doc_quality_scores (the sampler touches only the raw scan).
 
 
 def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -829,8 +833,16 @@ def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         "size(filter(toks, x -> x IN ('the', 'a', 'of', 'and', 'is')))"
     )
     top_count = F.expr(
-        "array_max(transform(array_distinct(toks),"
-        " d -> size(filter(toks, x -> x = d))))"
+        """aggregate(
+            array_sort(toks),
+            named_struct('prev', cast(null as string),
+                         'run', cast(0 as long), 'best', cast(0 as long)),
+            (acc, x) -> named_struct(
+                'prev', x,
+                'run', IF(x <=> acc.prev, acc.run + 1L, 1L),
+                'best', GREATEST(acc.best,
+                                 IF(x <=> acc.prev, acc.run + 1L, 1L))),
+            acc -> acc.best)"""
     )
     top_frac = top_count.cast("double") / n_words
     word_count_ok = (n_words >= 20) & (n_words <= 1000)

@@ -1230,6 +1230,33 @@ def main_tpch(scratch: str) -> None:
     spark.stop()
 
 
+TEXT_R10 = [
+    # the r10 corpus-curation additions plus the one text query of the
+    # same narrow-map shape that was never scale-probed
+    "gopher_quality_flags",
+    "pii_redaction_stats",
+    "lang_id_scores",
+]
+
+
+def main_text(scratch: str) -> None:
+    """The --text mode: the r10 corpus-curation operators at 100x bench
+    documents (~500k docs) with the DuckDB companion, merged as
+    ``text_100x``.  These are narrow per-document maps (HOFs / regex, no
+    shuffle beyond the presentation range) — the probe verifies the
+    row-local costs (gopher's O(distinct x tokens) top-word scan, three
+    regex passes for PII) stay linear and competitive a decade up."""
+    spark = get_session(app_name="scale-probe-text", shuffle_partitions=200)
+    lake_dir = os.path.join(scratch, "lake100")
+    build_scaled_lake(
+        spark, lake_dir, replicas=REPLICAS_100X, file_scale=10
+    )
+    payload = headline_100x(spark, lake_dir, names=TEXT_R10)
+    _merge_probe("text_100x", payload)
+    shutil.rmtree(scratch, ignore_errors=True)
+    spark.stop()
+
+
 def _replicas_arg(default: int = REPLICAS) -> int:
     """--replicas N: scale multiplier for the probe modes, so the same
     probe measures whether a mitigation's advantage widens or narrows a
@@ -1349,6 +1376,9 @@ def main() -> None:
         return
     if "--tpch" in sys.argv:
         main_tpch(scratch)
+        return
+    if "--text" in sys.argv:
+        main_text(scratch)
         return
     # Production shuffle sizing posture: oversized partition count, AQE
     # coalesces down (plans/session.py docstring) — the probe must compare
