@@ -197,6 +197,31 @@ def test_time_travel_reads_each_published_version(spark, lake):
     assert n == len(at_v1)
 
 
+def test_time_travel_across_rollback(spark, lake):
+    """A rollback is just another published version: the pre-rollback
+    snapshot stays readable (deferred vacuum) and returns the FULL
+    pre-rollback data, while the head reads the rolled-back table."""
+    from cardano_analytics_duckdb_spark.lake.generations import (
+        read_table_at,
+        snapshot_versions,
+    )
+
+    tx = os.path.join(lake, "tx")
+    compact_lake(spark, lake, vacuum="defer")
+    before = _canon_tx(read_table(spark, tx))
+    full = read_table(spark, tx)
+    to_slot = int(full.approxQuantile("slot", [0.5], 0.0)[0])
+    lfs = LakeFs(spark, lake)
+    v_before = snapshot_versions(lfs, tx)[-1]
+    rollback_lake(spark, lake, to_slot, vacuum="defer")
+    after = _canon_tx(read_table(spark, tx))
+    assert len(after) < len(before)
+    assert _canon_tx(read_table_at(spark, tx, v_before)) == before
+    v_after = snapshot_versions(lfs, tx)[-1]
+    assert v_after > v_before
+    assert _canon_tx(read_table_at(spark, tx, v_after)) == after
+
+
 def test_time_travel_fails_loud_after_vacuum(spark, lake):
     """Vacuum bounds the retention window: old versions' snapshots are
     reclaimed with their files, a reclaimed version read raises naming
