@@ -30,6 +30,7 @@ _SLOW_MODULES = {
     "test_cli",
     "test_generations",
     "test_generations_model",
+    "test_savepoints",
     "test_manifest",
     "test_streaming_dedup",
     "test_upsert",
