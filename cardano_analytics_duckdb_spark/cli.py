@@ -277,6 +277,26 @@ def _cmd_curate(args: argparse.Namespace, spark: SparkSession) -> int:
     return 0
 
 
+def _cmd_savepoint(args, spark: SparkSession) -> int:
+    from .lake.fsutil import LakeFs
+    from .lake.savepoints import (
+        create_savepoint,
+        savepoint_info,
+        savepoint_versions,
+    )
+
+    lfs = LakeFs(spark, args.lake)
+    if args.create:
+        sp = create_savepoint(spark, args.lake)
+        print(json.dumps({"created": sp, "tables": savepoint_info(lfs, args.lake, sp)}))
+        return 0
+    if args.show is not None:
+        print(json.dumps({"savepoint": args.show, "tables": savepoint_info(lfs, args.lake, args.show)}))
+        return 0
+    print(json.dumps({"savepoints": savepoint_versions(lfs, args.lake)}))
+    return 0
+
+
 def _cmd_vacuum(args, spark: SparkSession) -> int:
     from .lake.vacuum import find_orphans, vacuum_lake
 
@@ -458,6 +478,25 @@ def build_parser() -> argparse.ArgumentParser:
         " splits (md5-nibble assignment, reproducible on any engine)",
     )
     cu.set_defaults(func=_cmd_curate)
+
+    sp = sub.add_parser(
+        "savepoint",
+        help="list (default), create, or show a lake-level savepoint "
+        "(cross-table consistent time travel; see lake/savepoints.py)",
+    )
+    sp.add_argument("--lake", required=True, help="lake root")
+    sp.add_argument(
+        "--create",
+        action="store_true",
+        help="capture a new savepoint (takes the maintenance lock)",
+    )
+    sp.add_argument(
+        "--show",
+        type=int,
+        default=None,
+        help="print the pinned {table: version} map of this savepoint",
+    )
+    sp.set_defaults(func=_cmd_savepoint)
 
     va = sub.add_parser(
         "vacuum",

@@ -83,6 +83,29 @@ def test_savepoint_respects_maintenance_lock(spark, lake):
     assert create_savepoint(spark, lake) >= 1
 
 
+def test_savepoint_cli_roundtrip(spark, lake, capsys):
+    """savepoint --create / (list) / --show all emit machine-readable
+    JSON and agree with the library."""
+    import json
+
+    from cardano_analytics_duckdb_spark.cli import main
+
+    assert main(["savepoint", "--lake", lake, "--create"], spark=spark) == 0
+    created = json.loads(capsys.readouterr().out.strip())
+    sp = created["created"]
+    assert set(created["tables"]) == {"tx", "utxo", "asset", "mint"}
+
+    assert main(["savepoint", "--lake", lake], spark=spark) == 0
+    assert sp in json.loads(capsys.readouterr().out.strip())["savepoints"]
+
+    assert (
+        main(["savepoint", "--lake", lake, "--show", str(sp)], spark=spark)
+        == 0
+    )
+    shown = json.loads(capsys.readouterr().out.strip())
+    assert shown["tables"] == created["tables"]
+
+
 def test_savepoint_fails_loud_after_table_vacuum(spark, lake):
     """Vacuuming a member table reclaims the snapshot a savepoint pins:
     reading the savepoint raises for that table instead of silently
