@@ -281,6 +281,7 @@ def _cmd_savepoint(args, spark: SparkSession) -> int:
     from .lake.fsutil import LakeFs
     from .lake.savepoints import (
         create_savepoint,
+        drop_savepoint,
         savepoint_info,
         savepoint_versions,
     )
@@ -289,6 +290,10 @@ def _cmd_savepoint(args, spark: SparkSession) -> int:
     if args.create:
         sp = create_savepoint(spark, args.lake)
         print(json.dumps({"created": sp, "tables": savepoint_info(lfs, args.lake, sp)}))
+        return 0
+    if args.drop is not None:
+        drop_savepoint(spark, args.lake, args.drop)
+        print(json.dumps({"dropped": args.drop}))
         return 0
     if args.show is not None:
         print(json.dumps({"savepoint": args.show, "tables": savepoint_info(lfs, args.lake, args.show)}))
@@ -495,6 +500,13 @@ def build_parser() -> argparse.ArgumentParser:
         type=int,
         default=None,
         help="print the pinned {table: version} map of this savepoint",
+    )
+    sp.add_argument(
+        "--drop",
+        type=int,
+        default=None,
+        help="release this savepoint's vacuum-retention pin (data reclaim "
+        "happens at the next vacuum, not here)",
     )
     sp.set_defaults(func=_cmd_savepoint)
 

@@ -57,6 +57,10 @@ from .fsutil import LakeFs
 _POINTER_RE = re.compile(r"^_generations\.v(\d+)\.json$")
 _SNAPSHOT_RE = re.compile(r"^_snapshot\.v(\d+)\.json$")
 _GEN_RE = re.compile(r"^_gen__(.+)__g(\d+)$")
+# Lake-level savepoint files live at the TABLE'S PARENT (the lake root);
+# vacuum reads them to honor pins without importing lake.savepoints
+# (savepoints imports this module).
+_SAVEPOINT_RE = re.compile(r"^_savepoint\.v(\d+)\.json$")
 
 
 def _pointer_versions(lfs: LakeFs, table_dir: str) -> list[tuple[int, str]]:
@@ -99,6 +103,20 @@ def _publish(lfs: LakeFs, table_dir: str, mapping: dict[str, dict]) -> None:
     with a publish may miss version N's sidecar and appear in N+1's:
     snapshot membership follows the publish order, matching the
     reader-visible commit order of the pointer itself."""
+    root_parquet = [
+        f for f in lfs.list_files(table_dir) if f.endswith(".parquet")
+    ]
+    if root_parquet:
+        # An unpartitioned table (parquet directly under the table dir)
+        # has no hive entries to snapshot — a pointer published over it
+        # would make read_table_at claim "holds no data files" while the
+        # live read serves data.  Refuse loudly rather than publish an
+        # unreconstructible version.
+        raise ValueError(
+            f"generation management requires a hive-partitioned layout; "
+            f"{table_dir} holds {len(root_parquet)} root-level parquet "
+            f"file(s) (first: {root_parquet[0]})"
+        )
     versions = _pointer_versions(lfs, table_dir)
     nxt = (versions[-1][0] + 1) if versions else 1
     live = {
@@ -412,26 +430,79 @@ def current_data_paths(lfs: LakeFs, table_dir: str) -> list[str]:
     return sorted(out)
 
 
-def superseded_paths(lfs: LakeFs, table_dir: str) -> list[str]:
+def pinned_snapshot_versions(lfs: LakeFs, table_dir: str) -> set[int]:
+    """Snapshot versions of ``table_dir`` pinned by lake-level savepoints
+    (``_savepoint.v*.json`` files at the table's parent dir).  Pure
+    control-plane: one listing of the lake root + one tiny JSON read per
+    savepoint."""
+    norm = table_dir.rstrip("/")
+    root, table = os.path.dirname(norm), os.path.basename(norm)
+    if not root or not lfs.exists(root):
+        return set()
+    pinned: set[int] = set()
+    for f in lfs.list_files(root):
+        if _SAVEPOINT_RE.match(f.rsplit("/", 1)[-1]):
+            v = json.loads(lfs.read_text(f)).get("tables", {}).get(table)
+            if v is not None:
+                pinned.add(int(v))
+    return pinned
+
+
+def _pinned_refs(
+    lfs: LakeFs, table_dir: str, versions: set[int]
+) -> tuple[set[tuple[str, str]], set[str]]:
+    """({(entry, file name)}, {generation dir name}) referenced by the
+    given snapshot versions — name-relative so they compare against
+    listing results regardless of URI qualification.  Reads the raw
+    sidecars (no existence probes): vacuum must not fail just because an
+    old pin is already broken."""
+    files: set[tuple[str, str]] = set()
+    gen_dirs: set[str] = set()
+    for v in versions:
+        sidecar = os.path.join(table_dir, f"_snapshot.v{v:06d}.json")
+        if not lfs.exists(sidecar):
+            continue
+        snap = json.loads(lfs.read_text(sidecar))["entries"]
+        for entry, st in snap.items():
+            for name in st.get("files", []):
+                files.add((entry, name))
+            if st.get("gen"):
+                gen_dirs.add(st["gen"])
+    return files, gen_dirs
+
+
+def superseded_paths(
+    lfs: LakeFs, table_dir: str, keep_versions: set[int] | None = None
+) -> list[str]:
     """What vacuum would delete: superseded hive files, generation dirs
-    other than the current one per entry, and old pointer versions."""
-    gens = current_generations(lfs, table_dir)
-    if not gens:
+    other than the current one per entry, old pointer versions, and old
+    snapshot sidecars.  Paths a ``keep_versions`` snapshot references are
+    excluded (savepoint retention), as are those sidecars themselves; old
+    pointer files always go (time travel resolves sidecars, never old
+    pointers)."""
+    pointer_versions = _pointer_versions(lfs, table_dir)
+    if not pointer_versions:
         return []
+    keep = keep_versions or set()
+    keep_files, keep_gens = _pinned_refs(lfs, table_dir, keep)
+    # gens may be the EMPTY mapping (e.g. a savepoint republish of a
+    # never-compacted table): there is nothing data-side to reclaim, but
+    # old pointer/sidecar versions still accumulate and are handled below.
+    gens = current_generations(lfs, table_dir)
     stale: list[str] = []
     current = {st["gen"] for st in gens.values() if st.get("gen")}
     for d in lfs.list_dirs(table_dir):
         m = _GEN_RE.match(d)
-        if m and d not in current:
+        if m and d not in current and d not in keep_gens:
             stale.append(os.path.join(table_dir, d))
     for entry, st in gens.items():
         superseded = set(st.get("superseded", []))
         if not superseded:
             continue
         for f in lfs.list_files(os.path.join(table_dir, entry)):
-            if f.rsplit("/", 1)[-1] in superseded:
+            name = f.rsplit("/", 1)[-1]
+            if name in superseded and (entry, name) not in keep_files:
                 stale.append(f)
-    pointer_versions = _pointer_versions(lfs, table_dir)
     for _, f in pointer_versions[:-1]:
         stale.append(f)
     # Snapshot sidecars older than the newest pointer reference the
@@ -439,23 +510,37 @@ def superseded_paths(lfs: LakeFs, table_dir: str) -> list[str]:
     # read can never resolve a half-deleted version.  The newest
     # version's sidecar stays: its file set IS the current data, which
     # vacuum keeps, so the latest snapshot remains readable after.
-    newest = pointer_versions[-1][0] if pointer_versions else 0
+    # Pinned sidecars stay too — their file sets were excluded above.
+    newest = pointer_versions[-1][0]
     for f in lfs.list_files(table_dir):
         m = _SNAPSHOT_RE.match(f.rsplit("/", 1)[-1])
-        if m and int(m.group(1)) < newest:
+        if m and int(m.group(1)) < newest and int(m.group(1)) not in keep:
             stale.append(f)
     return sorted(stale)
 
 
-def vacuum_superseded(spark: SparkSession, table_dir: str) -> list[str]:
+def vacuum_superseded(
+    spark: SparkSession, table_dir: str, keep_savepoints: bool = True
+) -> list[str]:
     """Space reclaim (correctness never depends on it): delete superseded
     hive files, non-current generation dirs, and old pointer versions,
-    then republish the pointer with emptied supersede lists.  Run when no
-    reader is mid-query over the OLD snapshot — the one residual
-    non-transactional window, confined to an explicit step exactly like
-    Delta's VACUUM."""
+    then republish the pointer with supersede lists shrunk to what
+    remains.  Run when no reader is mid-query over the OLD snapshot — the
+    one residual non-transactional window, confined to an explicit step
+    exactly like Delta's VACUUM.
+
+    ``keep_savepoints`` (default) is Delta-style retention for lake-level
+    savepoints: snapshot versions a live ``_savepoint.v*.json`` at the
+    lake root pins keep their sidecar AND every data path the sidecar
+    references, so ``read_savepoint`` stays fully readable across any
+    number of vacuums.  ``savepoints.drop_savepoint`` releases the pin;
+    ``keep_savepoints=False`` restores unconditional reclaim (reading a
+    then-broken savepoint fails loud, never partial)."""
     lfs = LakeFs(spark, table_dir)
-    stale = superseded_paths(lfs, table_dir)
+    pinned = (
+        pinned_snapshot_versions(lfs, table_dir) if keep_savepoints else set()
+    )
+    stale = superseded_paths(lfs, table_dir, keep_versions=pinned)
     for p in stale:
         lfs.delete_recursive(p)
     gens = current_generations(lfs, table_dir)
@@ -465,11 +550,17 @@ def vacuum_superseded(spark: SparkSession, table_dir: str) -> list[str]:
     # the per-entry listing, and a table whose every swap has been
     # vacuumed down to gen-less state publishes the EMPTY mapping and
     # returns to the fully plain ``spark.read.parquet`` path.
-    cleaned = {
-        e: {"gen": st["gen"], "superseded": []}
-        for e, st in gens.items()
-        if st.get("gen")
-    }
+    # A superseded file a savepoint kept on disk MUST stay in the list —
+    # dropping the name would resurrect it into the live read.
+    cleaned = {}
+    for e, st in gens.items():
+        remaining = sorted(
+            n
+            for n in st.get("superseded", [])
+            if lfs.exists(os.path.join(table_dir, e, n))
+        )
+        if st.get("gen") or remaining:
+            cleaned[e] = {"gen": st.get("gen"), "superseded": remaining}
     # Before publishing the drop, reclaim each dropped entry's hive dir
     # if the file deletions above emptied it — otherwise readers of the
     # cleaned mapping would hand bare empty dirs to the parquet reader
@@ -489,14 +580,14 @@ def vacuum_superseded(spark: SparkSession, table_dir: str) -> list[str]:
         # the pre-clean version is now itself superseded; readers resolve
         # the newest, so dropping it immediately is safe — and its
         # snapshot sidecar goes with it (retention is "since the last
-        # vacuum": only the just-published version stays travel-able)
+        # vacuum", except versions a live savepoint pins)
         newest = _pointer_versions(lfs, table_dir)[-1][0]
         for _, f in _pointer_versions(lfs, table_dir)[:-1]:
             lfs.delete(f)
             stale.append(f)
         for f in lfs.list_files(table_dir):
             m = _SNAPSHOT_RE.match(f.rsplit("/", 1)[-1])
-            if m and int(m.group(1)) < newest:
+            if m and int(m.group(1)) < newest and int(m.group(1)) not in pinned:
                 lfs.delete(f)
                 stale.append(f)
     return stale

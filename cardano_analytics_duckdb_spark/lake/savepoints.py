@@ -19,11 +19,13 @@ What a savepoint does and does not promise:
   one table and not another (appends never take the lock — by design,
   supersession is per-file).  Savepoint during an ingest quiet period,
   or after the ingester's epoch commit, for batch-exact cuts.
-- Retention follows the per-table rule: ``vacuum_superseded`` on a table
-  reclaims the snapshots a savepoint references, and reading that
-  savepoint then fails LOUD for that table (never partial).  The
-  savepoint file itself is tiny and kept — it names the versions, the
-  tables own the data.
+- Retention: ``vacuum_superseded`` defaults to ``keep_savepoints=True``
+  — snapshot versions a live savepoint pins keep their sidecar and
+  every data path it references, so a savepoint taken for
+  reproducibility survives maintenance until :func:`drop_savepoint`
+  releases it.  With ``keep_savepoints=False`` vacuum reclaims
+  unconditionally and reading the savepoint then fails LOUD for that
+  table (never partial).
 
 Scale posture: creating a savepoint is pure control-plane work — one
 listing per partition entry per table (the same cost every publish
@@ -74,15 +76,18 @@ def create_savepoint(
 ) -> int:
     """Capture a cross-table consistent savepoint; returns its id.
 
-    Holds the maintenance lock for the duration, so it refuses (loudly,
-    like every maintenance job) while a compaction/rollback/upsert runs
-    — and conversely blocks them while capturing."""
+    Holds the maintenance lock for the duration: it REFUSES (raises
+    RuntimeError, like every maintenance job — the lock is non-blocking
+    in both directions) while a compaction/rollback/upsert runs, and a
+    maintenance job starting mid-capture refuses likewise.  The id is
+    allocated UNDER the lock, so two racing creators can never mint the
+    same id and silently overwrite each other's cut."""
     lfs = LakeFs(spark, root)
     names = tables or _lake_tables(lfs, root)
     if not names:
         raise ValueError(f"no tables under lake root {root}")
-    sp = (savepoint_versions(lfs, root) or [0])[-1] + 1
-    with maintenance_lock(spark, root, owner=f"create_savepoint(v{sp})"):
+    with maintenance_lock(spark, root, owner="create_savepoint"):
+        sp = (savepoint_versions(lfs, root) or [0])[-1] + 1
         versions: dict[str, int] = {}
         for t in names:
             table_dir = os.path.join(root, t)
@@ -120,6 +125,17 @@ def savepoint_info(lfs: LakeFs, root: str, savepoint: int) -> dict[str, int]:
     return json.loads(
         lfs.read_text(os.path.join(root, f"_savepoint.v{savepoint:06d}.json"))
     )["tables"]
+
+
+def drop_savepoint(spark: SparkSession, root: str, savepoint: int) -> None:
+    """Release a savepoint's retention pin.  The savepoint file is
+    deleted; the NEXT ``vacuum_superseded`` on each member table reclaims
+    whatever only this savepoint was keeping (dropping never deletes data
+    itself — reclaim stays an explicit vacuum step).  Loud on unknown
+    ids, same contract as :func:`savepoint_info`."""
+    lfs = LakeFs(spark, root)
+    savepoint_info(lfs, root, savepoint)  # loud when unknown
+    lfs.delete(os.path.join(root, f"_savepoint.v{savepoint:06d}.json"))
 
 
 def read_savepoint(

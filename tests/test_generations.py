@@ -401,3 +401,52 @@ def test_next_generation_dir_rejects_non_integral_entries(spark, tmp_path):
     for bad in ("a=b_c", "a_b=c", "country=US", "a=1/b=2", "slot_group=", "x"):
         with pytest.raises(ValueError, match="single integral"):
             next_generation_dir(lfs, str(tmp_path), bad)
+
+
+def test_vacuum_reclaims_control_files_of_empty_mapping(spark, tmp_path):
+    """ADVICE r10: a table stuck in the empty-mapping state (e.g. a
+    never-compacted table that savepoints keep republishing with {})
+    must not accumulate pointer/snapshot versions forever — vacuum
+    reclaims all but the newest pair."""
+    from cardano_analytics_duckdb_spark.lake.generations import _publish
+
+    root = str(tmp_path / "emptylake")
+    t = os.path.join(root, "tx")
+    spark.createDataFrame(
+        [(i, i * 40, 0) for i in range(4)],
+        "tx_id long, slot long, slot_group long",
+    ).write.partitionBy("slot_group").parquet(t)
+    lfs = LakeFs(spark, t)
+    for _ in range(3):  # three {} republishes (savepoint pattern)
+        _publish(lfs, t, {})
+    control = [
+        f
+        for f in lfs.list_files(t)
+        if "_generations.v" in f or "_snapshot.v" in f
+    ]
+    assert len(control) == 6
+    reclaimed = vacuum_superseded(spark, t)
+    assert len(reclaimed) == 4, reclaimed  # 2 old pointers + 2 sidecars
+    remaining = [
+        f
+        for f in lfs.list_files(t)
+        if "_generations.v" in f or "_snapshot.v" in f
+    ]
+    assert len(remaining) == 2
+    # the table still reads (plain path: mapping is {})
+    assert read_table(spark, t).count() == 4
+
+
+def test_publish_refuses_unpartitioned_table(spark, tmp_path):
+    """ADVICE r10: a pointer over root-level parquet files would snapshot
+    as empty and make time travel claim 'holds no data files' — publish
+    fails loud instead."""
+    from cardano_analytics_duckdb_spark.lake.generations import _publish
+
+    t = str(tmp_path / "flat")
+    spark.createDataFrame(
+        [(1, 2)], "a long, b long"
+    ).write.parquet(t)
+    lfs = LakeFs(spark, t)
+    with pytest.raises(ValueError, match="hive-partitioned"):
+        _publish(lfs, t, {})

@@ -20,6 +20,7 @@ from cardano_analytics_duckdb_spark.lake.generations import (
 from cardano_analytics_duckdb_spark.lake.lock import maintenance_lock
 from cardano_analytics_duckdb_spark.lake.savepoints import (
     create_savepoint,
+    drop_savepoint,
     read_savepoint,
     savepoint_info,
 )
@@ -106,15 +107,50 @@ def test_savepoint_cli_roundtrip(spark, lake, capsys):
     assert shown["tables"] == created["tables"]
 
 
-def test_savepoint_fails_loud_after_table_vacuum(spark, lake):
-    """Vacuuming a member table reclaims the snapshot a savepoint pins:
-    reading the savepoint raises for that table instead of silently
-    returning a partial lake; unknown ids are loud too."""
+def test_savepoint_fails_loud_after_unpinned_table_vacuum(spark, lake):
+    """With retention OFF, vacuuming a member table reclaims the snapshot
+    a savepoint pins: reading the savepoint raises for that table instead
+    of silently returning a partial lake; unknown ids are loud too."""
     sp1 = create_savepoint(spark, lake)
     ingest_blocks(spark, fixture_blocks()[8:12], lake, batch_size=1)
     compact_lake(spark, lake, vacuum="defer")
-    vacuum_superseded(spark, os.path.join(lake, "tx"))
+    vacuum_superseded(spark, os.path.join(lake, "tx"), keep_savepoints=False)
     with pytest.raises(ValueError, match="vacuum"):
         read_savepoint(spark, lake, sp1)
     with pytest.raises(ValueError, match="available are"):
         read_savepoint(spark, lake, 999)
+
+
+def test_vacuum_retention_preserves_pinned_savepoint(spark, lake):
+    """Default vacuum keeps every path a live savepoint references — the
+    savepoint's full read path survives — while still reclaiming
+    unpinned superseded data; dropping the savepoint releases the pin and
+    the next vacuum reclaims the rest."""
+    before = {
+        t: read_table(spark, os.path.join(lake, t)).count()
+        for t in ("tx", "utxo", "asset")
+    }
+    sp1 = create_savepoint(spark, lake)
+    ingest_blocks(spark, fixture_blocks()[8:12], lake, batch_size=1)
+    compact_lake(spark, lake, vacuum="defer")
+
+    reclaimed = vacuum_superseded(spark, os.path.join(lake, "tx"))
+    # the savepoint reads back its exact cut after the vacuum...
+    at1 = _counts(read_savepoint(spark, lake, sp1))
+    for t, n in before.items():
+        assert at1[t] == n, f"pinned {t} changed under vacuum"
+    # ...and the live read is unaffected
+    assert read_table(spark, os.path.join(lake, "tx")).count() > before["tx"]
+
+    # the pin is not a no-op vacuum: dropping it frees strictly more
+    drop_savepoint(spark, lake, sp1)
+    reclaimed_after = vacuum_superseded(spark, os.path.join(lake, "tx"))
+    assert reclaimed_after, "post-drop vacuum reclaimed nothing"
+    assert not any(p in reclaimed for p in reclaimed_after)
+    with pytest.raises(ValueError, match="available|vacuum"):
+        read_savepoint(spark, lake, sp1)
+
+
+def test_drop_savepoint_unknown_is_loud(spark, lake):
+    with pytest.raises(ValueError, match="no savepoint"):
+        drop_savepoint(spark, lake, 999)
