@@ -72,6 +72,38 @@ class LakeFs:
             if st.isDirectory()
         )
 
+    def content_signature(self, path: str) -> tuple:
+        """Change-detection key for a file OR a directory of files:
+        ``(name, mtime, length)`` of the path itself when it is a file,
+        else of each direct child file.  Replaces ``os.path.getmtime``
+        cache keys — works on any scheme the session reaches (S3A
+        reports real object mtimes; a synthetic dir entry alone would
+        not change on rewrite, so the child listing is what keys a
+        directory).  () when the path is absent."""
+        p = self._Path(path)
+        if not self._fs.exists(p):
+            return ()
+        st = self._fs.getFileStatus(p)
+        if st.isFile():
+            return (
+                (
+                    st.getPath().getName(),
+                    st.getModificationTime(),
+                    st.getLen(),
+                ),
+            )
+        return tuple(
+            sorted(
+                (
+                    s.getPath().getName(),
+                    s.getModificationTime(),
+                    s.getLen(),
+                )
+                for s in self._fs.listStatus(p)
+                if s.isFile()
+            )
+        )
+
     def delete(self, path: str) -> None:
         self._fs.delete(self._Path(path), False)
 

@@ -184,9 +184,18 @@ def revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
         for k, rk in sorted(nat.items())
         if rk in reg
     ) + ")"
+    # shuffle_hash, not a forced broadcast: customer GROWS with the lake
+    # (1.5M rows at 100x), so broadcasting it is a latent driver/executor
+    # OOM at 1000x+ — the same reasoning promo_revenue_share documents for
+    # lake-scaled dims.  A size-appropriate broadcast still happens when
+    # the side is small: AQE converts the shuffle-hash join to broadcast
+    # at runtime under the threshold.  Measured at 100x: shuffle_hash
+    # 2.41 s vs forced broadcast 2.42 s (A/B in SCALE_PROBE
+    # revenue_by_region_join_100x) — the hint costs nothing and removes
+    # the scale cliff.
     return (
         orders.join(
-            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            customer.select("c_custkey", "c_nationkey").hint("shuffle_hash"),
             orders.o_custkey == F.col("c_custkey"),
         )
         .select(
@@ -240,15 +249,18 @@ _DIM_SNAPSHOT_CAP = 128
 def _collected_dim(
     spark: SparkSession, sf_dir: str, table: str, cols: tuple[str, ...]
 ) -> tuple:
-    # Cache key includes the source file's mtime: a lake rewritten
-    # in-process gets a fresh snapshot instead of a stale domain.  The
-    # snapshot itself reads the FILE directly (not load_table) so a warmed/
-    # cached copy of the old data can't be served under the fresh key, and
-    # superseded mtimes are evicted so a long-lived session doesn't
-    # accumulate dead snapshots.
+    # Cache key includes the source's content signature (per-file name/
+    # mtime/length via the JVM FileSystem — object-store safe, unlike the
+    # os.path.getmtime this replaces): a lake rewritten in-process gets a
+    # fresh snapshot instead of a stale domain.  The snapshot itself reads
+    # the FILE directly (not load_table) so a warmed/cached copy of the
+    # old data can't be served under the fresh key, and superseded
+    # signatures are evicted so a long-lived session doesn't accumulate
+    # dead snapshots.
+    from ..lake.fsutil import LakeFs
+
     path = os.path.join(sf_dir, f"{table}.parquet")
-    mtime = os.path.getmtime(path) if os.path.exists(path) else None
-    key = (sf_dir, table, cols, mtime)
+    key = (sf_dir, table, cols, LakeFs(spark, path).content_signature(path))
     if key not in _DOMAIN_CACHE:
         for old in [k for k in _DOMAIN_CACHE if k[:3] == (sf_dir, table, cols)]:
             del _DOMAIN_CACHE[old]

@@ -54,7 +54,7 @@ def _norm(a: str) -> Column:
 # -- brute-force cosine top-k vs an in-data query vector ----------------------
 
 # One query VECTOR is a 1-row "dimension": snapshot it once per lake (same
-# mtime-keyed idiom as relational._collected_dim, same local-FS caveat) and
+# content-signature-keyed idiom as relational._collected_dim) and
 # fold it into the plan as a literal array.  The previous shape — filter
 # vec_id == 0 → broadcast → cross — cost a second table scan and a separate
 # broadcast-build job on every execution, pure overhead for 64 doubles that
@@ -66,9 +66,10 @@ _QUERY_VEC_CACHE: dict[tuple, tuple] = {}
 def _query_vec(
     spark: SparkSession, sf_dir: str, vec_id: int = 0
 ) -> tuple[float, ...]:
+    from ..lake.fsutil import LakeFs
+
     path = os.path.join(sf_dir, "embeddings.parquet")
-    mtime = os.path.getmtime(path) if os.path.exists(path) else None
-    key = (sf_dir, vec_id, mtime)
+    key = (sf_dir, vec_id, LakeFs(spark, path).content_signature(path))
     if key not in _QUERY_VEC_CACHE:
         for old in [k for k in _QUERY_VEC_CACHE if k[:2] == (sf_dir, vec_id)]:
             del _QUERY_VEC_CACHE[old]

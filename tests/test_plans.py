@@ -49,11 +49,15 @@ def test_small_dims_broadcast_in_revenue_query(spark, sf_dir):
     )
 
     plan = _plan(revenue_by_region(spark, sf_dir))
-    # customer must build a broadcast side; nation⋈region is folded into a
+    # customer is hash-joined with customer as the build side — NOT
+    # force-broadcast (it grows with the lake; r10 verdict #3).  AQE still
+    # converts the exchange to a broadcast at runtime when the side is
+    # under the threshold, so small lakes keep the broadcast plan without
+    # the forced hint's 1000x OOM cliff.  nation⋈region is folded into a
     # literal nationkey→region map (one 25-entry lookup, zero extra
-    # broadcast builds); the orders fact table must never be shuffled for
-    # the join
-    assert plan.count("BroadcastHashJoin") >= 1
+    # broadcast builds); no sort-merge anywhere (a one-shot PK-FK join
+    # feeding a hash aggregate never benefits from sorted output).
+    assert "ShuffledHashJoin" in plan and "BuildRight" in plan
     assert "SortMergeJoin" not in plan
 
 
@@ -281,6 +285,54 @@ def test_bucketed_join_elides_both_exchanges(spark, sf_dir, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS t_li_bucketed")
         spark.sql("DROP TABLE IF EXISTS t_orders_bucketed")
+
+
+def test_bucket_lake_reroutes_queries_shuffle_free(spark, sf_dir):
+    """The bucketed-lake registry (r11): registering bucketed copies makes
+    UNCHANGED query code read them through load_table — the join's
+    exchanges disappear from the physical plan and the result is
+    row-identical; unbucket_lake restores the plain scan."""
+    from cardano_analytics_duckdb_spark.lake.tables import (
+        bucket_lake,
+        unbucket_lake,
+    )
+    from cardano_analytics_duckdb_spark.operators.relational import (
+        late_ship_priority_counts,
+    )
+
+    plain_plan = _plan(late_ship_priority_counts(spark, sf_dir))
+    plain_rows = sorted(
+        map(tuple, late_ship_priority_counts(spark, sf_dir).collect())
+    )
+    # plain layout: the fact-fact join shuffles at least one side
+    assert "Exchange hashpartitioning(l_orderkey" in plain_plan
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        bucket_lake(
+            spark,
+            sf_dir,
+            {"lineitem": ("l_orderkey",), "orders": ("o_orderkey",)},
+            n_buckets=4,
+        )
+        plan = _plan(late_ship_priority_counts(spark, sf_dir))
+        # both join inputs arrive pre-distributed: no exchange below the
+        # join (the aggregate's exchange above it is legitimate)
+        join_op = (
+            "ShuffledHashJoin" if "ShuffledHashJoin" in plan else "SortMergeJoin"
+        )
+        below_join = plan.split(join_op, 1)[1]
+        assert "Exchange" not in below_join, "bucketed inputs still shuffle"
+        rows = sorted(
+            map(tuple, late_ship_priority_counts(spark, sf_dir).collect())
+        )
+        assert rows == plain_rows
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        unbucket_lake(spark, sf_dir)
+    assert "Exchange hashpartitioning(l_orderkey" in _plan(
+        late_ship_priority_counts(spark, sf_dir)
+    )
 
 
 def test_analytic_shapes_broadcast_and_probe(spark, sf_dir):
@@ -583,6 +635,31 @@ def test_collected_dim_fails_fast_on_fact_tables(spark, sf_dir):
 
     with pytest.raises(ValueError, match="distinct domain exceeds"):
         _collected_dim(spark, sf_dir, "orders", ("o_orderkey",))
+
+
+def test_collected_dim_refreshes_on_rewrite(spark, tmp_path):
+    """The dim-snapshot cache keys on a LakeFs content signature (r10
+    advice: object-store safe, unlike an os.path.getmtime key): an
+    in-process rewrite of the dimension serves a FRESH domain, not the
+    cached one."""
+    from cardano_analytics_duckdb_spark.operators.relational import (
+        _collected_dim,
+    )
+
+    lake = str(tmp_path / "dimlake")
+    path = f"{lake}/region.parquet"
+    spark.createDataFrame(
+        [(0, "AFRICA")], "r_regionkey long, r_name string"
+    ).write.parquet(path)
+    assert dict(_collected_dim(spark, lake, "region", ("r_regionkey", "r_name"))) == {
+        0: "AFRICA"
+    }
+    spark.createDataFrame(
+        [(0, "EUROPE"), (1, "ASIA")], "r_regionkey long, r_name string"
+    ).write.mode("overwrite").parquet(path)
+    assert dict(
+        _collected_dim(spark, lake, "region", ("r_regionkey", "r_name"))
+    ) == {0: "EUROPE", 1: "ASIA"}
 
 
 def test_repetition_scores_single_range_shuffle(spark, sf_dir):
