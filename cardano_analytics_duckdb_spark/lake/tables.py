@@ -76,10 +76,68 @@ def unwarm_lake(sf_dir: str | None = None) -> None:
         _WARMED.pop(key).unpersist()
 
 
+# Bucketed-table registry: (sf_dir, name) -> catalog table name.  The
+# cluster-scale counterpart of ``warm_lake``: where warming trades memory
+# for scan parallelism, bucketing trades ONE shuffle-write for every future
+# join/aggregation on the bucket key reading shuffle-free (the stored
+# partitioning satisfies the join's required distribution, so Catalyst
+# drops the Exchange — and the stored sort drops the Sort).  Queries go
+# through ``load_table`` unchanged; registering a bucketed copy re-routes
+# them transparently, exactly how a lakehouse layout change should reach
+# queries (storage decision, not query rewrite).
+_BUCKETED: dict[tuple[str, str], str] = {}
+
+
+def bucket_lake(
+    spark: SparkSession,
+    sf_dir: str,
+    specs: dict[str, tuple[str, ...]],
+    n_buckets: int = 32,
+) -> dict[str, str]:
+    """Materialize bucketed copies of ``specs``' tables ({name: bucket
+    key columns}) into the session catalog and register them so
+    ``load_table(sf_dir, name)`` serves the bucketed copy.  Re-bucketing
+    an already-registered table replaces its registration (one layout per
+    table at a time — pick the key the lake's recurring joins use).
+    Returns {table: catalog name}.
+
+    100 TB posture: co-located fact-fact joins are THE answer to the
+    recurring-shuffle cost (measured: bucket_probe_100x join_speedup
+    2.11x, breakeven ~14 joins); the registry is how this engine applies
+    that layout without touching query code."""
+    import hashlib
+
+    from .bucketing import write_bucketed_df
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    out: dict[str, str] = {}
+    for name, cols in specs.items():
+        key = (sf_dir, name)
+        if key in _BUCKETED:
+            spark.sql(f"DROP TABLE IF EXISTS {_BUCKETED.pop(key)}")
+        cat = f"lake_{tag}_{name}_by_{'_'.join(cols)}"
+        write_bucketed_df(
+            load_table(spark, sf_dir, name), cat, list(cols), n_buckets
+        )
+        _BUCKETED[key] = cat
+        out[name] = cat
+    return out
+
+
+def unbucket_lake(spark: SparkSession, sf_dir: str | None = None) -> None:
+    """Drop bucketed copies and their registrations (all lakes, or just
+    ``sf_dir``'s); subsequent loads read the plain parquet again."""
+    for key in [k for k in _BUCKETED if sf_dir is None or k[0] == sf_dir]:
+        spark.sql(f"DROP TABLE IF EXISTS {_BUCKETED.pop(key)}")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     warmed = _WARMED.get((sf_dir, name))
     if warmed is not None:
         return warmed
+    bucketed = _BUCKETED.get((sf_dir, name))
+    if bucketed is not None:
+        return spark.table(bucketed)
     path = os.path.join(sf_dir, f"{name}.parquet")
     if not os.path.exists(path):
         raise FileNotFoundError(f"table {name!r} not found at {path}")

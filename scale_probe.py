@@ -1212,19 +1212,97 @@ TPCH_R10 = [
 ]
 
 
+def tpch_bucketed_probe(
+    spark, lake_dir: str, plain: dict[str, float], n_runs: int = 3
+) -> dict:
+    """Apply the bucketed layout the repo's own measurement names as the
+    cluster path (bucket_probe_100x: join_speedup 2.11x, breakeven ~14
+    joins) to the tpch family's slow joins and RE-TIME them on it (r10
+    verdict #1 — the layout was measured but never applied to this
+    family).  Three passes, one per recurring join key; each registers
+    bucketed copies via lake.tables.bucket_lake so the UNCHANGED query
+    code reads them through load_table, then times the affected queries.
+    ``bucket_write`` charges the one-time shuffle-write honestly;
+    ``speedup`` is plain/bucketed on the same lake and session."""
+    from cardano_analytics_duckdb_spark.lake.tables import (
+        bucket_lake,
+        unbucket_lake,
+    )
+    from cardano_analytics_duckdb_spark.operators import all_queries
+
+    queries = all_queries()
+    n_buckets = 64
+    passes = [
+        (
+            "orderkey",
+            {"lineitem": ("l_orderkey",), "orders": ("o_orderkey",)},
+            ["late_ship_priority_counts", "nation_part_profit"],
+        ),
+        (
+            "partkey",
+            {"lineitem": ("l_partkey",), "part": ("p_partkey",)},
+            [
+                "distinct_supplier_part_counts",
+                "promo_revenue_share",
+                "nation_part_profit",
+            ],
+        ),
+        (
+            "custkey",
+            {"orders": ("o_custkey",), "customer": ("c_custkey",)},
+            ["customer_order_distribution"],
+        ),
+    ]
+    out: dict[str, dict] = {"n_buckets": n_buckets}
+    for tag, specs, names in passes:
+        t0 = time.perf_counter()
+        bucket_lake(spark, lake_dir, specs, n_buckets=n_buckets)
+        sect: dict = {
+            "bucketed_tables": {t: list(c) for t, c in specs.items()},
+            "bucket_write": round(time.perf_counter() - t0, 3),
+            "queries": {},
+        }
+        for name in names:
+            queries[name](spark, lake_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            runs = []
+            for _ in range(n_runs):
+                df = queries[name](spark, lake_dir)
+                t0 = time.perf_counter()
+                df.write.format("noop").mode("overwrite").save()
+                runs.append(time.perf_counter() - t0)
+            med = round(sorted(runs)[n_runs // 2], 3)
+            sect["queries"][name] = {
+                "bucketed": med,
+                "plain": plain.get(name),
+                "speedup": (
+                    round(plain[name] / med, 2) if plain.get(name) else None
+                ),
+            }
+        unbucket_lake(spark, lake_dir)
+        out[tag] = sect
+    return out
+
+
 def main_tpch(scratch: str) -> None:
     """The --tpch mode: the r10 decision-support queries at 100x bench
     data with the DuckDB companion (same lake, same measurement shape as
     headline_100x), merged as ``tpch_100x``.  Answers the per-operator
     scale question for the shapes added after the full headline table was
     recorded: does each adapted plan (single fact shuffle, broadcast dims,
-    window decorrelation, null-aware anti probe) hold a decade up?"""
+    window decorrelation, null-aware anti probe) hold a decade up?  The
+    ``bucketed_layout`` section re-times the slow joins on bucketed
+    copies (r10 verdict #1)."""
     spark = get_session(app_name="scale-probe-tpch", shuffle_partitions=200)
     lake_dir = os.path.join(scratch, "lake100")
     build_scaled_lake(
         spark, lake_dir, replicas=REPLICAS_100X, file_scale=10
     )
     payload = headline_100x(spark, lake_dir, names=TPCH_R10)
+    payload["bucketed_layout"] = tpch_bucketed_probe(
+        spark, lake_dir, plain=payload["production_conf"]
+    )
     _merge_probe("tpch_100x", payload)
     shutil.rmtree(scratch, ignore_errors=True)
     spark.stop()
@@ -1237,6 +1315,115 @@ TEXT_R10 = [
     "pii_redaction_stats",
     "lang_id_scores",
 ]
+
+
+def revjoin_probe(spark, lake_dir: str, n_runs: int = 5) -> dict:
+    """A/B of revenue_by_region's orders⋈customer join strategy at 100x
+    (r10 verdict #3).  The pre-r11 code force-broadcast the full customer
+    dim — but customer GROWS with the lake (1.5M rows here), so the
+    forced hint bypasses size gating and becomes a driver/executor OOM at
+    1000x+ instead of a plan fallback.  This probe measures what the fix
+    costs/buys at the largest local scale: the repo variant (shuffle_hash
+    hint; AQE still converts to broadcast under the threshold) vs the old
+    forced broadcast, plus the DuckDB companion ratio."""
+    import duckdb
+
+    from cardano_analytics_duckdb_spark.lake.tables import load_table
+    from cardano_analytics_duckdb_spark.operators import all_oracles
+    from cardano_analytics_duckdb_spark.operators.relational import (
+        revenue_by_region,
+    )
+    from cardano_analytics_duckdb_spark.functions.ordering import small_sorted
+    from cardano_analytics_duckdb_spark.functions.rounding import rnd
+    from cardano_analytics_duckdb_spark.operators.relational import (
+        _collected_dim,
+    )
+
+    def forced_broadcast(spark, sf_dir):
+        # the pre-r11 shape, verbatim except the F.broadcast
+        orders = load_table(spark, sf_dir, "orders")
+        customer = load_table(spark, sf_dir, "customer")
+        nat = dict(
+            _collected_dim(spark, sf_dir, "nation", ("n_nationkey", "n_regionkey"))
+        )
+        reg = dict(
+            _collected_dim(spark, sf_dir, "region", ("r_regionkey", "r_name"))
+        )
+        key_to_region = "map(" + ",".join(
+            f"{k},'" + reg[rk].replace("'", "''") + "'"
+            for k, rk in sorted(nat.items())
+            if rk in reg
+        ) + ")"
+        return (
+            orders.join(
+                F.broadcast(customer.select("c_custkey", "c_nationkey")),
+                orders.o_custkey == F.col("c_custkey"),
+            )
+            .select(
+                F.expr(f"element_at({key_to_region}, c_nationkey)").alias(
+                    "r_name"
+                ),
+                "o_totalprice",
+            )
+            .filter(F.col("r_name").isNotNull())
+            .groupBy("r_name")
+            .agg(
+                rnd(F.sum("o_totalprice"), 2).alias("revenue"),
+                F.count("*").alias("order_count"),
+            )
+            .transform(small_sorted, "r_name")
+        )
+
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.shuffle.partitions", "200")
+    variants = {
+        "shuffle_hash_hint": revenue_by_region,
+        "forced_broadcast": forced_broadcast,
+    }
+    times: dict[str, float] = {}
+    for name, fn in variants.items():
+        fn(spark, lake_dir).write.format("noop").mode("overwrite").save()
+        runs = []
+        for _ in range(n_runs):
+            df = fn(spark, lake_dir)
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            runs.append(time.perf_counter() - t0)
+        times[name] = round(sorted(runs)[n_runs // 2], 3)
+
+    con = duckdb.connect()
+    for t in ("region", "nation", "customer", "orders"):
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{os.path.join(lake_dir, t + '.parquet')}/*.parquet')"
+        )
+    sql = all_oracles()["revenue_by_region"]
+    con.execute(sql).fetchall()
+    runs = []
+    for _ in range(n_runs):
+        t0 = time.perf_counter()
+        con.execute(sql).fetchall()
+        runs.append(time.perf_counter() - t0)
+    con.close()
+    duck = round(sorted(runs)[n_runs // 2], 3)
+    return {
+        "replicas": REPLICAS_100X,
+        "spark": times,
+        "duckdb": duck,
+        "shuffle_hash_over_forced_broadcast": round(
+            times["shuffle_hash_hint"] / times["forced_broadcast"], 3
+        ),
+        "vs_duckdb": round(times["shuffle_hash_hint"] / duck, 3),
+    }
+
+
+def main_revjoin(scratch: str) -> None:
+    spark = get_session(app_name="scale-probe-revjoin", shuffle_partitions=200)
+    lake_dir = os.path.join(scratch, "lake100")
+    build_scaled_lake(spark, lake_dir, replicas=REPLICAS_100X, file_scale=10)
+    _merge_probe("revenue_by_region_join_100x", revjoin_probe(spark, lake_dir))
+    shutil.rmtree(scratch, ignore_errors=True)
+    spark.stop()
 
 
 def main_text(scratch: str) -> None:
@@ -1379,6 +1566,9 @@ def main() -> None:
         return
     if "--text" in sys.argv:
         main_text(scratch)
+        return
+    if "--revjoin" in sys.argv:
+        main_revjoin(scratch)
         return
     # Production shuffle sizing posture: oversized partition count, AQE
     # coalesces down (plans/session.py docstring) — the probe must compare
