@@ -468,12 +468,50 @@ def _bound_cols(lo, hi) -> tuple[str, str]:
     return "min_num", "max_num"
 
 
-def _bound_lit(v):
+def _bound_py(v):
+    """A bound as the Python value the manifest's stored encoding
+    compares against: bytes -> lowercase hex (order-preserving, matches
+    ``min_bin``/``max_bin``), numerics -> float (``min_num``/``max_num``
+    are DOUBLE), strings as-is."""
+    if v is None:
+        return None
     if isinstance(v, (bytes, bytearray)):
-        return F.lit(bytes(v).hex())
+        return bytes(v).hex()
     if isinstance(v, str):
-        return F.lit(v)
-    return F.lit(float(v))
+        return v
+    return float(v)
+
+
+# Driver-side manifest snapshots, keyed per table by the manifest dir's
+# content signature: the stats are read (one tiny Spark job) ONCE per
+# manifest VERSION instead of once per predicate per query execution —
+# prune verdicts then evaluate in plain Python over the cached rows.
+# Bounded by the manifest's own size (one row per file per indexed
+# column — the same volume the per-query ``collect`` already shipped to
+# the driver); a manifest rewrite (build/update/compaction refresh)
+# changes the signature and evicts the stale snapshot.
+_SNAPSHOT_CACHE: dict[str, tuple] = {}
+
+
+def _manifest_snapshot(spark: SparkSession, lfs: LakeFs, table_dir: str):
+    """{"columns": set, "by_col": {column: [row dicts]}} of the table's
+    manifest, or None when no manifest exists."""
+    mpath = os.path.join(table_dir, MANIFEST_DIR)
+    sig = lfs.content_signature(mpath)
+    if not sig:
+        return None
+    key = lfs.uri(table_dir)
+    hit = _SNAPSHOT_CACHE.get(key)
+    if hit is not None and hit[0] == sig:
+        return hit[1]
+    df = spark.read.parquet(mpath)
+    by_col: dict[str, list[dict]] = {}
+    for r in df.collect():
+        row = r.asDict()
+        by_col.setdefault(row["column"], []).append(row)
+    snap = {"columns": set(df.columns), "by_col": by_col}
+    _SNAPSHOT_CACHE[key] = (sig, snap)
+    return snap
 
 
 def prune_files(
@@ -504,32 +542,33 @@ def prune_files(
     live = _data_files(lfs, table_dir)
     rel = _relative(live, lfs, table_dir)
     by_rel = {r: f for f, r in rel.items()}
-    mpath = os.path.join(table_dir, MANIFEST_DIR)
-    if not lfs.exists(mpath):
+    snap = _manifest_snapshot(spark, lfs, table_dir)
+    if snap is None:
         return live
-    m = spark.read.parquet(mpath).filter(F.col("column") == column)
     min_col, max_col = _bound_cols(lo, hi)
-    if min_col not in m.columns:  # pre-binary-stats manifest + bytes bound
+    if min_col not in snap["columns"]:  # pre-binary manifest + bytes bound
         return live
-    has_bin = "min_bin" in m.columns
-    cond = F.lit(False)
-    # provably-no-match: interval disjoint from [lo, hi] ...
-    if lo is not None:
-        cond = cond | (F.col(max_col) < _bound_lit(lo))
-    if hi is not None:
-        cond = cond | (F.col(min_col) > _bound_lit(hi))
-    # ... or every value NULL (min/max absent, yet stats were complete)
-    all_null = (
-        F.col("min_num").isNull()
-        & F.col("min_str").isNull()
-        & (F.col("min_bin").isNull() if has_bin else F.lit(True))
-        & (F.col("null_count") >= F.lit(0))
-    )
-    verdicts = m.select(
-        "file",
-        ((cond & F.col(min_col).isNotNull()) | all_null).alias("skip"),
-    ).collect()  # one bounded collect: (file name, skip verdict) pairs
-    skipped = {r["file"] for r in verdicts if r["skip"]}
+    has_bin = "min_bin" in snap["columns"]
+    lo_v, hi_v = _bound_py(lo), _bound_py(hi)
+    skipped: set[str] = set()
+    for row in snap["by_col"].get(column, ()):
+        mn, mx = row.get(min_col), row.get(max_col)
+        # provably-no-match: interval disjoint from [lo, hi] ...
+        disjoint = mn is not None and (
+            (lo_v is not None and mx is not None and mx < lo_v)
+            or (hi_v is not None and mn > hi_v)
+        )
+        # ... or every value NULL (min/max absent, yet stats complete)
+        nc = row.get("null_count")
+        all_null = (
+            row.get("min_num") is None
+            and row.get("min_str") is None
+            and (not has_bin or row.get("min_bin") is None)
+            and nc is not None
+            and nc >= 0
+        )
+        if disjoint or all_null:
+            skipped.add(row["file"])
     return [
         full
         for relpath, full in sorted(by_rel.items())
@@ -566,6 +605,8 @@ def _read_files(
     in the data — generations.py swap writers inject it), and the two
     branches union by name.  A never-managed table has only the hive
     branch — identical to the old single read."""
+    from .generations import _remember_schema, _schema_reader
+
     lfs = LakeFs(spark, table_dir)
     rel = _relative(files, lfs, table_dir)
     hive = [f for f, r in rel.items() if not r.split("/", 1)[0].startswith("_")]
@@ -573,10 +614,24 @@ def _read_files(
     branches = []
     if hive:
         branches.append(
-            spark.read.option("basePath", table_dir).parquet(*sorted(hive))
+            _remember_schema(
+                table_dir,
+                "hive",
+                _schema_reader(spark, table_dir, "hive")
+                .option("basePath", table_dir)
+                .parquet(*sorted(hive)),
+            )
         )
     if hidden:
-        branches.append(spark.read.parquet(*sorted(hidden)))
+        branches.append(
+            _remember_schema(
+                table_dir,
+                "gen",
+                _schema_reader(spark, table_dir, "gen").parquet(
+                    *sorted(hidden)
+                ),
+            )
+        )
     out = branches[0]
     for b in branches[1:]:
         out = out.unionByName(b)
