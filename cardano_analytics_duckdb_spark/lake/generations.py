@@ -481,6 +481,118 @@ def read_table_at(
     return out
 
 
+def _snapshot_entries(
+    lfs: LakeFs, table_dir: str, version: int
+) -> dict[str, dict]:
+    """Raw per-entry snapshot state ({entry: {"gen", "files"}}) of
+    ``version``; loud on unknown versions like :func:`_resolve_snapshot`
+    (but without existence probes — callers resolve reads themselves)."""
+    versions = snapshot_versions(lfs, table_dir)
+    if version not in versions:
+        have = versions if versions else "none (never published a pointer)"
+        raise ValueError(
+            f"no snapshot v{version} for {table_dir}: available versions "
+            f"are {have} — older snapshots are reclaimed by "
+            "vacuum_superseded"
+        )
+    return json.loads(
+        lfs.read_text(
+            os.path.join(table_dir, f"_snapshot.v{version:06d}.json")
+        )
+    )["entries"]
+
+
+def read_table_changes(
+    spark: SparkSession,
+    table_dir: str,
+    from_version: int,
+    to_version: int,
+    allow_rewrites: bool = False,
+) -> DataFrame:
+    """Incremental read: the rows APPENDED between two published versions
+    — the change-data-feed shape a downstream pipeline needs to process
+    only what's new since its last run (dedup/curate/index the fresh
+    documents, not the whole lake).  File-level diff of the two snapshot
+    sidecars: per partition entry, hive files present at ``to_version``
+    but not at ``from_version``.
+
+    Maintenance rewrites are NOT appends: an entry whose generation dir
+    changed between the versions (compaction/rollback/upsert swapped it)
+    carries rewritten old rows in new files, so a file diff would
+    misreport them as new data.  Default is to refuse LOUD naming those
+    entries (diff across a pure-append window, e.g. between savepoints
+    taken around maintenance); ``allow_rewrites=True`` includes the new
+    generation's files, documented as re-delivered rewrites — the same
+    at-least-once contract Delta's CDF without commit-level changes
+    gives.
+
+    Scale posture: two sidecar reads and a set difference — pure
+    control-plane; the returned plan is an explicit-file scan with the
+    same pruning behavior as every other lake read.  Returns an EMPTY
+    frame (correct schema) when nothing was appended."""
+    lfs = LakeFs(spark, table_dir)
+    if from_version > to_version:
+        raise ValueError(
+            f"from_version v{from_version} is newer than to_version "
+            f"v{to_version}"
+        )
+    before = _snapshot_entries(lfs, table_dir, from_version)
+    after = _snapshot_entries(lfs, table_dir, to_version)
+    appended: list[str] = []
+    gen_files: list[str] = []
+    rewritten: list[str] = []
+    for entry, st in after.items():
+        old = before.get(entry, {})
+        if st.get("gen") != old.get("gen"):
+            rewritten.append(entry)
+            if allow_rewrites and st.get("gen"):
+                gdir = os.path.join(table_dir, st["gen"])
+                if not lfs.exists(gdir):
+                    raise ValueError(
+                        f"changes v{from_version}->v{to_version} of "
+                        f"{table_dir} are no longer reconstructible — "
+                        f"vacuum reclaimed {gdir}"
+                    )
+                gen_files.extend(generation_files(lfs, table_dir, st["gen"]))
+        new_names = set(st.get("files", [])) - set(old.get("files", []))
+        for name in sorted(new_names):
+            p = os.path.join(table_dir, entry, name)
+            if not lfs.exists(p):
+                raise ValueError(
+                    f"changes v{from_version}->v{to_version} of "
+                    f"{table_dir} are no longer reconstructible — vacuum "
+                    f"reclaimed {p}"
+                )
+            appended.append(p)
+    if rewritten and not allow_rewrites:
+        raise ValueError(
+            f"entries {sorted(rewritten)} were REWRITTEN between "
+            f"v{from_version} and v{to_version} of {table_dir} (generation "
+            "swap: compaction/rollback/upsert) — a file diff would "
+            "re-deliver old rows as new.  Diff a pure-append window, or "
+            "pass allow_rewrites=True to accept re-delivery."
+        )
+    branches = []
+    if appended:
+        branches.append(
+            _schema_reader(spark, table_dir, "hive")
+            .option("basePath", table_dir)
+            .parquet(*appended)
+        )
+    if gen_files:
+        branches.append(
+            _schema_reader(spark, table_dir, "gen").parquet(*gen_files)
+        )
+    if not branches:
+        # nothing appended: an empty frame with the table's schema keeps
+        # downstream incremental jobs unconditional
+        return read_table_at(spark, table_dir, to_version).limit(0)
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b)
+    return out
+
+
 def data_paths_at(lfs: LakeFs, table_dir: str, version: int) -> list[str]:
     """External-reader counterpart of :func:`read_table_at` (symmetric
     with :func:`current_data_paths`): the explicit parquet paths of

@@ -969,6 +969,12 @@ def pii_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", "text", "n_chars")
         .repartitionByRange("doc_id")
         .select("doc_id", etext.alias("etext"))
+        # Stage the scrub in its own projection: `redacted` feeds BOTH
+        # length and md5 below, and CollapseProject inlines a twice-used
+        # alias only when it's cheap — a 3-deep regexp_replace chain is
+        # not, so staging halves the replace passes (optimized plan: 6
+        # regexp_replace -> 3, plan-asserted in tests/test_plans.py).
+        .select("doc_id", "etext", redacted.alias("redacted"))
         .select(
             "doc_id",
             F.size(F.regexp_extract_all(F.col("etext"), F.lit(_PII_EMAIL), 0))
@@ -980,8 +986,8 @@ def pii_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(F.regexp_extract_all(F.col("etext"), F.lit(_PII_IP), 0))
             .cast("long")
             .alias("n_ips"),
-            F.length(redacted).cast("long").alias("redacted_len"),
-            F.md5(redacted).alias("redacted_md5"),
+            F.length("redacted").cast("long").alias("redacted_len"),
+            F.md5("redacted").alias("redacted_md5"),
         )
         .sortWithinPartitions("doc_id")
     )

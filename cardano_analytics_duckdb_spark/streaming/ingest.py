@@ -434,11 +434,23 @@ def ingest_blocks(
         # total).  Crash semantics are unchanged: a flush was never
         # atomic across tables (sequential appends could die midway too);
         # recovery is the same compact/rollback toolkit either way.
+        #
+        # The cache fills at full default parallelism (fast Python->JVM
+        # deserialization), but the fan-out reads it COALESCED to ~500
+        # blocks/task: 13 concurrent jobs x 32 micro-tasks each was ~400
+        # task launches and ~800 dynamic-partition file commits per
+        # flush, pure scheduling/commit overhead at micro-batch sizes —
+        # the r11 job audit measured the coalesced fan-out at 4.2x
+        # (12.3 -> 3.0 s per 2000-block flush; coalescing BEFORE the
+        # cache fill gives half that win back, so fill wide, read
+        # narrow).  Fewer, larger files per table also lightens
+        # compaction.
         bdf = blocks_to_dataframe(spark, forward).persist()
         try:
             bdf.count()
+            nparts = max(1, min(8, len(forward) // 500))
             _write_tables_parallel(
-                extract_tables(bdf), dest, slot_group_size
+                extract_tables(bdf.coalesce(nparts)), dest, slot_group_size
             )
         finally:
             bdf.unpersist()

@@ -450,3 +450,45 @@ def test_publish_refuses_unpartitioned_table(spark, tmp_path):
     lfs = LakeFs(spark, t)
     with pytest.raises(ValueError, match="hive-partitioned"):
         _publish(lfs, t, {})
+
+
+def test_read_table_changes_between_savepoints(spark, lake):
+    """Incremental read (r11): the rows appended between two published
+    versions — exactly the delta, empty when nothing changed, loud when
+    the window crosses a maintenance rewrite unless re-delivery is
+    explicitly accepted."""
+    from cardano_analytics_duckdb_spark.lake.generations import (
+        read_table_changes,
+        snapshot_versions,
+    )
+    from cardano_analytics_duckdb_spark.lake.savepoints import (
+        create_savepoint,
+    )
+
+    tx = os.path.join(lake, "tx")
+    lfs = LakeFs(spark, tx)
+    create_savepoint(spark, lake)
+    v1 = snapshot_versions(lfs, tx)[-1]
+    n1 = read_table(spark, tx).count()
+
+    ingest_blocks(spark, fixture_blocks()[8:12], lake, batch_size=1)
+    create_savepoint(spark, lake)
+    v2 = snapshot_versions(lfs, tx)[-1]
+    n2 = read_table(spark, tx).count()
+
+    delta = read_table_changes(spark, tx, v1, v2)
+    assert delta.count() == n2 - n1 > 0
+    assert delta.schema == read_table(spark, tx).schema
+    # same-version diff: empty, schema intact, no error
+    empty = read_table_changes(spark, tx, v1, v1)
+    assert empty.count() == 0 and len(empty.schema) > 0
+    with pytest.raises(ValueError, match="newer than"):
+        read_table_changes(spark, tx, v2, v1)
+
+    # a compaction between versions is a rewrite, not an append
+    compact_lake(spark, lake, vacuum="defer")
+    v3 = snapshot_versions(lfs, tx)[-1]
+    with pytest.raises(ValueError, match="REWRITTEN"):
+        read_table_changes(spark, tx, v2, v3)
+    redelivered = read_table_changes(spark, tx, v2, v3, allow_rewrites=True)
+    assert redelivered.count() == n2  # the swapped generation re-delivers

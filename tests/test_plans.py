@@ -623,6 +623,25 @@ def test_curation_pipeline_single_fullrow_shuffle(spark, sf_dir):
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
 
 
+def test_pii_redaction_scrubs_once(spark, sf_dir):
+    """The 3-deep regexp_replace chain feeds BOTH redacted_len and
+    redacted_md5; staged through its own projection it must appear
+    exactly 3 times in the optimized plan (one per pattern), not 6
+    (inlined per consumer)."""
+    from cardano_analytics_duckdb_spark.operators.textops import (
+        pii_redaction_stats,
+    )
+
+    plan = (
+        pii_redaction_stats(spark, sf_dir)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert plan.count("regexp_replace") == 3
+    assert plan.count("regexp_extract_all") == 3
+
+
 def test_collected_dim_fails_fast_on_fact_tables(spark, sf_dir):
     """The tiny-dimension snapshot helper must raise, not silently collect,
     when pointed at a domain larger than its cap (the same fail-fast
