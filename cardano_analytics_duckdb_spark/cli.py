@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 from pyspark.sql import SparkSession
@@ -202,6 +203,26 @@ def _cmd_query(args: argparse.Namespace, spark: SparkSession) -> int:
         root = args.lake or ensure_fixture_lake(spark)
         tx = read_table_at(spark, f"{root}/tx", args.at_version)
         print(f"(time travel: tx as of pointer version {args.at_version})")
+    elif getattr(args, "changes_since", None) is not None:
+        from .lake.fixtures import ensure_fixture_lake
+        from .lake.fsutil import LakeFs
+        from .lake.generations import read_table_changes, snapshot_versions
+
+        root = args.lake or ensure_fixture_lake(spark)
+        have = snapshot_versions(LakeFs(spark, root), f"{root}/tx")
+        if not have:
+            raise SystemExit(
+                "tx has no published versions to diff — take a savepoint "
+                "(or run maintenance) to publish one first"
+            )
+        latest = have[-1]
+        tx = read_table_changes(
+            spark, f"{root}/tx", args.changes_since, latest
+        )
+        print(
+            f"(incremental: tx rows appended between v{args.changes_since}"
+            f" and v{latest})"
+        )
     else:
         tx = _lake(spark, "tx", args.lake)
     top = (
@@ -299,6 +320,24 @@ def _cmd_savepoint(args, spark: SparkSession) -> int:
         print(json.dumps({"savepoint": args.show, "tables": savepoint_info(lfs, args.lake, args.show)}))
         return 0
     print(json.dumps({"savepoints": savepoint_versions(lfs, args.lake)}))
+    return 0
+
+
+def _cmd_history(args, spark: SparkSession) -> int:
+    from .lake.fsutil import LakeFs
+    from .lake.generations import table_history
+    from .lake.savepoints import _lake_tables
+
+    lfs = LakeFs(spark, args.lake)
+    tables = [args.table] if args.table else _lake_tables(lfs, args.lake)
+    print(
+        json.dumps(
+            {
+                t: table_history(lfs, os.path.join(args.lake, t))
+                for t in tables
+            }
+        )
+    )
     return 0
 
 
@@ -452,6 +491,14 @@ def build_parser() -> argparse.ArgumentParser:
         "version (see lake/generations.py::read_table_at; versions older "
         "than the last vacuum are reclaimed)",
     )
+    q.add_argument(
+        "--changes-since",
+        type=int,
+        default=None,
+        help="incremental: run against only the tx rows APPENDED since "
+        "this snapshot version (read_table_changes; refuses across a "
+        "maintenance rewrite)",
+    )
     q.set_defaults(func=_cmd_query)
 
     an = sub.add_parser(
@@ -509,6 +556,17 @@ def build_parser() -> argparse.ArgumentParser:
         "happens at the next vacuum, not here)",
     )
     sp.set_defaults(func=_cmd_savepoint)
+
+    hi = sub.add_parser(
+        "history",
+        help="DESCRIBE HISTORY: travel-able versions per table with "
+        "publish time, file counts, and appended/rewritten deltas",
+    )
+    hi.add_argument("--lake", required=True, help="lake root")
+    hi.add_argument(
+        "--table", default=None, help="one table (default: all data tables)"
+    )
+    hi.set_defaults(func=_cmd_history)
 
     va = sub.add_parser(
         "vacuum",

@@ -593,6 +593,48 @@ def read_table_changes(
     return out
 
 
+def table_history(lfs: LakeFs, table_dir: str) -> list[dict]:
+    """Delta-style DESCRIBE HISTORY: one record per travel-able version —
+    the snapshot version, its publish time (sidecar mtime via the JVM
+    FileSystem, scheme-agnostic), partition-entry / file / generation
+    counts, and what changed vs the previous surviving version (appended
+    file count, rewritten entries).  Pure control-plane: sidecar reads
+    only, no data listing."""
+    out: list[dict] = []
+    prev: dict[str, dict] | None = None
+    for v in snapshot_versions(lfs, table_dir):
+        entries = _snapshot_entries(lfs, table_dir, v)
+        gens = {st["gen"] for st in entries.values() if st.get("gen")}
+        sig = lfs.content_signature(
+            os.path.join(table_dir, f"_snapshot.v{v:06d}.json")
+        )
+        rec: dict = {
+            "version": v,
+            "published_ms": sig[0][1] if sig else None,
+            "entries": len(entries),
+            "hive_files": sum(
+                len(st.get("files", [])) for st in entries.values()
+            ),
+            "generations": len(gens),
+        }
+        if prev is not None:
+            rec["appended_files"] = sum(
+                len(
+                    set(st.get("files", []))
+                    - set(prev.get(e, {}).get("files", []))
+                )
+                for e, st in entries.items()
+            )
+            rec["rewritten_entries"] = sorted(
+                e
+                for e, st in entries.items()
+                if st.get("gen") != prev.get(e, {}).get("gen")
+            )
+        out.append(rec)
+        prev = entries
+    return out
+
+
 def data_paths_at(lfs: LakeFs, table_dir: str, version: int) -> list[str]:
     """External-reader counterpart of :func:`read_table_at` (symmetric
     with :func:`current_data_paths`): the explicit parquet paths of

@@ -154,3 +154,39 @@ def test_vacuum_retention_preserves_pinned_savepoint(spark, lake):
 def test_drop_savepoint_unknown_is_loud(spark, lake):
     with pytest.raises(ValueError, match="no savepoint"):
         drop_savepoint(spark, lake, 999)
+
+
+def test_history_and_incremental_cli(spark, lake, capsys):
+    """`history` lists travel-able versions with append/rewrite deltas;
+    `query --changes-since` runs the report over only the appended rows."""
+    import json
+
+    from cardano_analytics_duckdb_spark.cli import main
+    from cardano_analytics_duckdb_spark.lake.fsutil import LakeFs
+    from cardano_analytics_duckdb_spark.lake.generations import (
+        snapshot_versions,
+    )
+
+    create_savepoint(spark, lake)
+    lfs = LakeFs(spark, lake)
+    v1 = snapshot_versions(lfs, os.path.join(lake, "tx"))[-1]
+    ingest_blocks(spark, fixture_blocks()[8:12], lake, batch_size=1)
+    create_savepoint(spark, lake)
+
+    assert main(["history", "--lake", lake, "--table", "tx"], spark=spark) == 0
+    hist = json.loads(capsys.readouterr().out.strip())["tx"]
+    assert [h["version"] for h in hist] == [1, 2]
+    assert hist[1]["appended_files"] > 0
+    assert hist[1]["rewritten_entries"] == []
+    assert all(h["published_ms"] for h in hist)
+
+    assert (
+        main(
+            ["query", "--lake", lake, "--changes-since", str(v1)],
+            spark=spark,
+        )
+        == 0
+    )
+    out = capsys.readouterr().out
+    assert f"appended between v{v1} and v2" in out
+    assert "Summary: n=" in out
