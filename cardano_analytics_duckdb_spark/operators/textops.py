@@ -970,10 +970,14 @@ def pii_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartitionByRange("doc_id")
         .select("doc_id", etext.alias("etext"))
         # Stage the scrub in its own projection: `redacted` feeds BOTH
-        # length and md5 below, and CollapseProject inlines a twice-used
-        # alias only when it's cheap — a 3-deep regexp_replace chain is
-        # not, so staging halves the replace passes (optimized plan: 6
-        # regexp_replace -> 3, plan-asserted in tests/test_plans.py).
+        # length and md5 below; inlined per consumer the optimized plan
+        # carries the 3-deep replace chain twice (6 regexp_replace
+        # nodes).  Runtime-neutral — whole-stage codegen's subexpression
+        # elimination already shared the duplicated chain (measured
+        # 2.65 s vs 2.65 s interleaved at 100x) — but the staged plan
+        # states the sharing instead of relying on a codegen pass, and
+        # stays shared under codegen fallback.  Plan-asserted in
+        # tests/test_plans.py.
         .select("doc_id", "etext", redacted.alias("redacted"))
         .select(
             "doc_id",

@@ -627,7 +627,10 @@ def test_pii_redaction_scrubs_once(spark, sf_dir):
     """The 3-deep regexp_replace chain feeds BOTH redacted_len and
     redacted_md5; staged through its own projection it must appear
     exactly 3 times in the optimized plan (one per pattern), not 6
-    (inlined per consumer)."""
+    (inlined per consumer).  Runtime is measured neutral — codegen's
+    subexpression elimination shared the inlined copy too — but the
+    staged plan doesn't depend on that pass (e.g. under codegen
+    fallback)."""
     from cardano_analytics_duckdb_spark.operators.textops import (
         pii_redaction_stats,
     )
