@@ -274,9 +274,18 @@ def _token_transfers(
             "|", F.array_sort(F.collect_set(F.lower(F.hex("address"))))
         ).alias("output_addr_set")
     )
+    # Broadcast BOTH set-aggregate sides: each is a groupBy over
+    # token-filtered rows, so |outputs_set| <= |token_utxos| and
+    # |inputs_set| <= consuming txs <= |token_utxos| — strictly smaller
+    # than the token_utxos frame this query already force-broadcasts
+    # twice, so no new size cliff.  Without the hints the two left joins
+    # shuffle the wide `relevant` rows (inputs arrays included) on
+    # tx_id; with them `relevant` streams straight off its cache.
+    # Measured at a 2M-tx lake, cache cleared per run: 1.48 -> 1.23 s
+    # median (SCALE_PROBE cardano_10000x flagship_join_ab).
     report = (
-        relevant.join(inputs_set, "tx_id", "left")
-        .join(outputs_set, "tx_id", "left")
+        relevant.join(F.broadcast(inputs_set), "tx_id", "left")
+        .join(F.broadcast(outputs_set), "tx_id", "left")
         .filter(
             ~F.col("input_addr_set").eqNullSafe(F.col("output_addr_set"))
         )
