@@ -338,22 +338,6 @@ def headline_100x(spark, lake_dir: str, n_runs: int = 3, names=None) -> dict:
     }
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.shuffle.partitions", "200")
-    for name in names:  # untimed warmup
-        queries[name](spark, lake_dir).write.format("noop").mode(
-            "overwrite"
-        ).save()
-    spark_t: dict[str, float] = {}
-    for name in names:
-        runs = []
-        for _ in range(n_runs):
-            df = queries[name](spark, lake_dir)
-            t0 = time.perf_counter()
-            df.write.format("noop").mode("overwrite").save()
-            runs.append(time.perf_counter() - t0)
-        spark_t[name] = round(sorted(runs)[n_runs // 2], 3)
-    for k, v in saved.items():
-        spark.conf.set(k, v)
-
     con = duckdb.connect()
     for t in (
         "region", "nation", "customer", "supplier", "part",
@@ -363,17 +347,36 @@ def headline_100x(spark, lake_dir: str, n_runs: int = 3, names=None) -> dict:
             f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM "
             f"read_parquet('{os.path.join(lake_dir, t + '.parquet')}/*.parquet')"
         )
-    for name in names:  # untimed warmup
+    for name in names:  # untimed warmup, both engines
+        queries[name](spark, lake_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
         con.execute(oracles[name]).fetchall()
-    duck_t: dict[str, float] = {}
-    for name in names:
-        runs = []
-        for _ in range(n_runs):
+    # Engines interleave PER QUERY PER ROUND (the cardano_probe shape):
+    # this host has external load bursts, and the old
+    # all-spark-then-all-duckdb order let a burst land on one engine's
+    # whole phase, skewing cross-engine ratios up to 2x run-to-run.
+    # Interleaving makes each ratio sample share its noise.
+    spark_runs: dict[str, list[float]] = {n: [] for n in names}
+    duck_runs: dict[str, list[float]] = {n: [] for n in names}
+    for _ in range(n_runs):
+        for name in names:
+            df = queries[name](spark, lake_dir)
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            spark_runs[name].append(time.perf_counter() - t0)
             t0 = time.perf_counter()
             con.execute(oracles[name]).fetchall()
-            runs.append(time.perf_counter() - t0)
-        duck_t[name] = round(sorted(runs)[n_runs // 2], 3)
+            duck_runs[name].append(time.perf_counter() - t0)
     con.close()
+    spark_t = {
+        n: round(sorted(r)[n_runs // 2], 3) for n, r in spark_runs.items()
+    }
+    duck_t = {
+        n: round(sorted(r)[n_runs // 2], 3) for n, r in duck_runs.items()
+    }
+    for k, v in saved.items():
+        spark.conf.set(k, v)
     out = {
         "replicas": REPLICAS_100X,
         "production_conf": spark_t,
