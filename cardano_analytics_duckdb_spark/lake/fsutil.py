@@ -75,11 +75,20 @@ class LakeFs:
     def content_signature(self, path: str) -> tuple:
         """Change-detection key for a file OR a directory of files:
         ``(name, mtime, length)`` of the path itself when it is a file,
-        else of each direct child file.  Replaces ``os.path.getmtime``
-        cache keys — works on any scheme the session reaches (S3A
-        reports real object mtimes; a synthetic dir entry alone would
-        not change on rewrite, so the child listing is what keys a
-        directory).  () when the path is absent."""
+        else of each direct child file plus the files ONE level down
+        (hive ``col=`` subdirs — so a partitioned dim table's rewrite
+        changes the signature).  Replaces ``os.path.getmtime`` cache
+        keys — works on any scheme the session reaches (S3A reports
+        real object mtimes; a synthetic dir entry alone would not
+        change on rewrite, so the child listing is what keys a
+        directory).  () when the path is absent.
+
+        DOCUMENTED HAZARD (accepted): mtimes are millisecond-granular,
+        so an in-place rewrite landing in the same millisecond with
+        same-named same-length files, or changes buried deeper than one
+        subdirectory level, serve a stale signature.  The lake's own
+        writers never rewrite in place (generation dirs get fresh
+        names), so this only affects hand-edited external inputs."""
         p = self._Path(path)
         if not self._fs.exists(p):
             return ()
@@ -92,17 +101,28 @@ class LakeFs:
                     st.getLen(),
                 ),
             )
-        return tuple(
-            sorted(
-                (
-                    s.getPath().getName(),
-                    s.getModificationTime(),
-                    s.getLen(),
+        entries = []
+        for s in self._fs.listStatus(p):
+            if s.isFile():
+                entries.append(
+                    (
+                        s.getPath().getName(),
+                        s.getModificationTime(),
+                        s.getLen(),
+                    )
                 )
-                for s in self._fs.listStatus(p)
-                if s.isFile()
-            )
-        )
+            else:
+                dname = s.getPath().getName()
+                for c in self._fs.listStatus(s.getPath()):
+                    if c.isFile():
+                        entries.append(
+                            (
+                                dname + "/" + c.getPath().getName(),
+                                c.getModificationTime(),
+                                c.getLen(),
+                            )
+                        )
+        return tuple(sorted(entries))
 
     def delete(self, path: str) -> None:
         self._fs.delete(self._Path(path), False)

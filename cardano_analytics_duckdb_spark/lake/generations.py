@@ -265,6 +265,20 @@ def invalidate_schema_cache(table_dir: str | None = None) -> None:
         del _SCHEMA_CACHE[k]
 
 
+def reconcile_schema_cache(lfs, table_dirs) -> None:
+    """Drop remembered schemas whose table dir no longer EXISTS — the
+    delete-and-recreate hazard (tests, notebooks, re-bootstrapped lakes
+    in one long-lived process): a dir deleted and later recreated with
+    different columns would otherwise read through the stale schema,
+    returning missing columns as all-null instead of failing.  Called by
+    the ingest bootstrap (the only path in this package that CREATES
+    table dirs) before its first write; one existence RPC per table per
+    ingest run, and only for dirs that actually have a cache entry."""
+    for td in table_dirs:
+        if any(k[0] == td for k in _SCHEMA_CACHE) and not lfs.exists(td):
+            invalidate_schema_cache(td)
+
+
 def _schema_reader(spark: SparkSession, table_dir: str, kind: str):
     """DataFrameReader with the table's remembered ``kind``-branch schema
     applied; pair with :func:`_remember_schema` on the frame it built."""
@@ -293,22 +307,29 @@ def read_table(spark: SparkSession, table_dir: str) -> DataFrame:
         if (table_dir, "hive") in _SCHEMA_CACHE:
             # A provided schema skips footer inference — but it would
             # also read an EMPTIED dir as silently empty, so keep the
-            # fail-loud contract with a listing probe (driver RPC, no
-            # Spark job): any partition dir or root parquet counts.
-            has_data = any(
-                "=" in d and not d.startswith(("_", "."))
+            # fail-loud contract with a listing probe (driver RPCs, no
+            # Spark job).  Only a .parquet file INSIDE a partition dir
+            # counts: an empty ``col=`` dir would read as silently empty
+            # where the uncached path raises, and root-level parquet
+            # (unpartitioned relayout) may not match the cached HIVE
+            # schema — that case falls through to fresh inference below.
+            has_part_data = any(
+                f.endswith(".parquet")
                 for d in lfs.list_dirs(table_dir)
-            ) or any(
-                f.endswith(".parquet") for f in lfs.list_files(table_dir)
+                if "=" in d and not d.startswith(("_", "."))
+                for f in lfs.list_files(os.path.join(table_dir, d))
             )
-            if not has_data:
+            if has_part_data:
+                return _schema_reader(spark, table_dir, "hive").parquet(
+                    table_dir
+                )
+            if not any(
+                f.endswith(".parquet") for f in lfs.list_files(table_dir)
+            ):
                 raise ValueError(
                     f"table {table_dir} has no live data (every "
                     "partition dropped)"
                 )
-            return _schema_reader(spark, table_dir, "hive").parquet(
-                table_dir
-            )
         try:
             return _remember_schema(
                 table_dir, "hive", spark.read.parquet(table_dir)
@@ -543,9 +564,18 @@ def read_table_changes(
     rewritten: list[str] = []
     for entry, st in after.items():
         old = before.get(entry, {})
-        if st.get("gen") != old.get("gen"):
+        old_files = set(old.get("files", []))
+        new_files = set(st.get("files", []))
+        # A rewrite is ANY non-append change, not just a generation swap:
+        # a rollback that drops hive files from a never-compacted entry
+        # publishes gen None -> None with the file set SHRINKING — the
+        # old-files-⊄-new-files test catches that, keeping the
+        # refuse-loud contract for windows containing deletions.
+        if st.get("gen") != old.get("gen") or not old_files <= new_files:
             rewritten.append(entry)
-            if allow_rewrites and st.get("gen"):
+            if allow_rewrites and st.get("gen") != old.get("gen") and st.get(
+                "gen"
+            ):
                 gdir = os.path.join(table_dir, st["gen"])
                 if not lfs.exists(gdir):
                     raise ValueError(
@@ -554,7 +584,7 @@ def read_table_changes(
                         f"vacuum reclaimed {gdir}"
                     )
                 gen_files.extend(generation_files(lfs, table_dir, st["gen"]))
-        new_names = set(st.get("files", [])) - set(old.get("files", []))
+        new_names = new_files - old_files
         for name in sorted(new_names):
             p = os.path.join(table_dir, entry, name)
             if not lfs.exists(p):
@@ -564,6 +594,14 @@ def read_table_changes(
                     f"reclaimed {p}"
                 )
             appended.append(p)
+    # Entries present at from_version but GONE at to_version are
+    # deletions (rollback dropping a whole never-compacted partition,
+    # then vacuum removing the emptied entry from the snapshot) — a file
+    # diff over ``after`` alone would silently certify such a window as
+    # pure-append.  They carry no new files to deliver, so with
+    # allow_rewrites they are accepted (and simply absent); without it
+    # they refuse loud like any other rewrite.
+    rewritten.extend(sorted(set(before) - set(after)))
     if rewritten and not allow_rewrites:
         raise ValueError(
             f"entries {sorted(rewritten)} were REWRITTEN between "
@@ -625,10 +663,18 @@ def table_history(lfs: LakeFs, table_dir: str) -> list[dict]:
                 )
                 for e, st in entries.items()
             )
+            # Same non-append test as read_table_changes: gen swap, file
+            # set shrink WITHOUT a swap (rollback on a never-compacted
+            # entry), or the entry disappearing from the snapshot.
             rec["rewritten_entries"] = sorted(
-                e
-                for e, st in entries.items()
-                if st.get("gen") != prev.get(e, {}).get("gen")
+                {
+                    e
+                    for e, st in entries.items()
+                    if st.get("gen") != prev.get(e, {}).get("gen")
+                    or not set(prev.get(e, {}).get("files", []))
+                    <= set(st.get("files", []))
+                }
+                | (set(prev) - set(entries))
             )
         out.append(rec)
         prev = entries

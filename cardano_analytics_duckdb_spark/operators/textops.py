@@ -82,9 +82,12 @@ def _lang_hits_packed() -> F.Column:
     interpreted per element; measured at 500k docs, one-pass struct
     accumulator 1.31 s, this long+literal-map fold 0.96 s vs 2.93 s
     before (original 6.12->2.46 s gopher rewrite, same pattern).  16
-    bits/lang caps a doc at 65535 hits per language — documents are
-    KB-scale (max ~2k tokens in the corpus contract), so the pack can't
-    saturate."""
+    bits/lang caps a doc at 65535 hits per language; to keep a lane
+    from silently carrying into its neighbour on an out-of-contract
+    document (corpus contract is ~2k tokens max), the fold runs over
+    ``slice(tokens, 1, 65535)`` — a lane can then never exceed 65535,
+    and a monster document is scored on its first 65535 tokens (the
+    oracle SQL applies the identical slice, so both engines agree)."""
     weights: dict[str, int] = {}
     for i, lg in enumerate(_STOPWORDS):
         for w in _STOPWORDS[lg]:
@@ -93,7 +96,7 @@ def _lang_hits_packed() -> F.Column:
         f"'{w}', {v}L" for w, v in sorted(weights.items())
     ) + ")"
     return F.expr(
-        "aggregate(split(text, ' '), 0L,"
+        "aggregate(slice(split(text, ' '), 1, 65535), 0L,"
         f" (acc, t) -> acc + coalesce(element_at({wmap}, t), 0L))"
     )
 
@@ -138,7 +141,7 @@ def lang_id_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _lang_id_sql() -> str:
     hit_exprs = ",\n       ".join(
-        "len(list_filter(string_split(text, ' '), t -> t IN ({}))) AS hits_{}".format(
+        "len(list_filter(string_split(text, ' ')[1:65535], t -> t IN ({}))) AS hits_{}".format(
             ", ".join(f"'{w}'" for w in _STOPWORDS[lg]), lg
         )
         for lg in _STOPWORDS

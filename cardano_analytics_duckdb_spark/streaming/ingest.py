@@ -421,6 +421,16 @@ def ingest_blocks(
     stats = {"blocks": 0, "transactions": 0, "rollbacks": 0, "batches": 0}
     if reconcile_rollbacks:
         stats["reconciled_rows"] = 0
+    # Bootstrap hygiene: if a table dir this run will (re)create was
+    # deleted since its schema was remembered, the remembered schema is
+    # stale — drop it BEFORE the first write (lake/generations.py,
+    # delete-and-recreate hazard).
+    from ..lake.fsutil import LakeFs
+    from ..lake.generations import reconcile_schema_cache
+
+    reconcile_schema_cache(
+        LakeFs(spark, dest), [os.path.join(dest, t) for t in LAKE_TABLES]
+    )
 
     def _flush(forward: list[dict]) -> None:
         # Persist the typed block frame before fanning out: the 13 table

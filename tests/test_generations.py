@@ -492,3 +492,83 @@ def test_read_table_changes_between_savepoints(spark, lake):
         read_table_changes(spark, tx, v2, v3)
     redelivered = read_table_changes(spark, tx, v2, v3, allow_rewrites=True)
     assert redelivered.count() == n2  # the swapped generation re-delivers
+
+
+def test_read_table_changes_detects_deletions(spark, lake):
+    """ADVICE r11 (medium): a rollback that fully drops a never-compacted
+    partition publishes gen None -> None with the entry's files shrinking
+    to [], and a later vacuum removes the entry from the snapshot — both
+    are DELETIONS a file diff must refuse to certify as pure-append."""
+    from cardano_analytics_duckdb_spark.lake.generations import (
+        read_table_changes,
+        snapshot_versions,
+        table_history,
+    )
+    from cardano_analytics_duckdb_spark.lake.savepoints import (
+        create_savepoint,
+    )
+
+    tx = os.path.join(lake, "tx")
+    lfs = LakeFs(spark, tx)
+    create_savepoint(spark, lake)
+    v1 = snapshot_versions(lfs, tx)[-1]
+
+    # Fully drop the (never-compacted) partition; defer vacuum so the
+    # entry survives in the snapshot with a SHRUNKEN file set and no
+    # generation swap (gen None -> None).
+    rollback_lake(spark, lake, to_slot=0, vacuum="defer")
+    v2 = snapshot_versions(lfs, tx)[-1]
+    gens = current_generations(lfs, tx)
+    assert any(
+        st.get("gen") is None and st.get("superseded") for st in gens.values()
+    )
+    with pytest.raises(ValueError, match="REWRITTEN"):
+        read_table_changes(spark, tx, v1, v2)
+    # table_history flags the same window
+    hist = {h["version"]: h for h in table_history(lfs, tx)}
+    assert hist[v2]["rewritten_entries"]
+
+    # vacuum reclaims the emptied entry from the snapshot entirely —
+    # entry present in `before`, absent from `after` is also a deletion
+    vacuum_superseded(spark, lake)
+    v3 = snapshot_versions(lfs, tx)[-1]
+    if v3 != v2:  # vacuum published a new snapshot without the entry
+        with pytest.raises(ValueError, match="REWRITTEN"):
+            read_table_changes(spark, tx, v1, v3)
+        hist = {h["version"]: h for h in table_history(lfs, tx)}
+        assert hist[v3]["rewritten_entries"]
+
+
+def test_read_table_changes_detects_dropped_entry(spark, tmp_path):
+    """Entry present at from_version, GONE at to_version (vacuum removed
+    an emptied partition from the snapshot): refuse-loud, exercised
+    against synthetic sidecars so it can't depend on vacuum's publish
+    timing."""
+    import json
+
+    from cardano_analytics_duckdb_spark.lake.generations import (
+        read_table_changes,
+        table_history,
+    )
+
+    t = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(1, 7)], "slot_group long, v long"
+    ).write.partitionBy("slot_group").parquet(t)
+    lfs = LakeFs(spark, t)
+    part_file = lfs.list_files(os.path.join(t, "slot_group=1"))[0]
+    name = part_file.rsplit("/", 1)[-1]
+    lfs.write_text(
+        os.path.join(t, "_snapshot.v000001.json"),
+        json.dumps(
+            {"entries": {"slot_group=1": {"gen": None, "files": [name]}}}
+        ),
+    )
+    lfs.write_text(
+        os.path.join(t, "_snapshot.v000002.json"),
+        json.dumps({"entries": {}}),
+    )
+    with pytest.raises(ValueError, match="slot_group=1.*REWRITTEN"):
+        read_table_changes(spark, t, 1, 2)
+    hist = {h["version"]: h for h in table_history(lfs, t)}
+    assert hist[2]["rewritten_entries"] == ["slot_group=1"]
