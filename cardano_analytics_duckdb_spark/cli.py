@@ -341,6 +341,83 @@ def _cmd_history(args, spark: SparkSession) -> int:
     return 0
 
 
+def _cmd_changes(args, spark: SparkSession) -> int:
+    """Multi-table incremental read (change-data-feed surface): the rows
+    appended per table between two published versions.  ``--since-
+    savepoint`` resolves each table's from-version from the savepoint's
+    pinned {table: version} map — the cross-table-consistent anchor —
+    while ``--since`` applies one raw version number to every table.
+    A window crossing a maintenance rewrite/deletion reports ``refused``
+    for that table (the read_table_changes loud contract) unless
+    ``--allow-rewrites`` accepts re-delivery."""
+    from .lake.fsutil import LakeFs
+    from .lake.generations import read_table_changes, snapshot_versions
+    from .lake.savepoints import _lake_tables, savepoint_info
+
+    if (args.since is None) == (args.since_savepoint is None):
+        raise SystemExit(
+            "pass exactly one of --since or --since-savepoint"
+        )
+    lfs = LakeFs(spark, args.lake)
+    tables = [args.table] if args.table else _lake_tables(lfs, args.lake)
+    since_by_table: dict[str, int] = {}
+    if args.since_savepoint is not None:
+        since_by_table = savepoint_info(lfs, args.lake, args.since_savepoint)
+    out: dict[str, dict] = {}
+    for t in tables:
+        td = os.path.join(args.lake, t)
+        have = snapshot_versions(lfs, td)
+        if args.since_savepoint is not None:
+            frm = since_by_table.get(t)
+        else:
+            frm = args.since
+        if not have or frm is None or frm not in have:
+            out[t] = {
+                "error": "no diffable window: table has versions "
+                f"{have or 'none'}, from-version {frm}"
+            }
+            continue
+        until = args.until if args.until is not None else have[-1]
+        try:
+            df = read_table_changes(
+                spark, td, frm, until, allow_rewrites=args.allow_rewrites
+            )
+            rec: dict = {
+                "from": frm,
+                "to": until,
+                "rows_appended": df.count(),
+            }
+            if args.out:
+                dest = os.path.join(args.out, t)
+                df.write.mode("overwrite").parquet(dest)
+                rec["out"] = dest
+            out[t] = rec
+        except ValueError as e:
+            out[t] = {"from": frm, "to": until, "refused": str(e)}
+    print(json.dumps(out))
+    return 0
+
+
+def _cmd_bucketize(args, spark: SparkSession) -> int:
+    """Declare (optional) and build/refresh the lake's bucketed layout
+    (lake/layout.py).  Without --spec, refreshes the existing spec's
+    copies — the verb a scheduler runs after appends, and the manual
+    form of the refresh compact_lake performs automatically."""
+    from .lake.layout import bucket_spec, bucketize, set_bucket_spec
+
+    if args.spec:
+        spec = json.loads(args.spec)
+        set_bucket_spec(spark, args.lake, spec, n_buckets=args.buckets)
+    elif bucket_spec(spark, args.lake) is None:
+        raise SystemExit(
+            f"no bucket spec declared for {args.lake} — pass --spec "
+            '\'{"table": [["key_col"]], ...}\' once to declare one'
+        )
+    built = bucketize(spark, args.lake)
+    print(json.dumps({"lake": args.lake, "copies": built}))
+    return 0
+
+
 def _cmd_vacuum(args, spark: SparkSession) -> int:
     from .lake.vacuum import find_orphans, vacuum_lake
 
@@ -567,6 +644,64 @@ def build_parser() -> argparse.ArgumentParser:
         "--table", default=None, help="one table (default: all data tables)"
     )
     hi.set_defaults(func=_cmd_history)
+
+    ch = sub.add_parser(
+        "changes",
+        help="incremental read across ALL tables: rows appended per table"
+        " between two published versions (anchor with --since-savepoint"
+        " for cross-table consistency); loud on windows containing"
+        " rewrites/deletions unless --allow-rewrites",
+    )
+    ch.add_argument("--lake", required=True, help="lake root")
+    ch.add_argument(
+        "--table", default=None, help="one table (default: all data tables)"
+    )
+    ch.add_argument(
+        "--since",
+        type=int,
+        default=None,
+        help="from-version applied to every table",
+    )
+    ch.add_argument(
+        "--since-savepoint",
+        type=int,
+        default=None,
+        help="resolve each table's from-version from this savepoint's"
+        " pinned map (preferred: cross-table consistent)",
+    )
+    ch.add_argument(
+        "--until",
+        type=int,
+        default=None,
+        help="to-version (default: each table's latest)",
+    )
+    ch.add_argument(
+        "--allow-rewrites",
+        action="store_true",
+        help="accept re-delivery of rewritten generations instead of"
+        " refusing (at-least-once semantics)",
+    )
+    ch.add_argument(
+        "--out",
+        default=None,
+        help="also write each table's delta as parquet under this dir",
+    )
+    ch.set_defaults(func=_cmd_changes)
+
+    bz = sub.add_parser(
+        "bucketize",
+        help="declare (--spec, once) and build/refresh the lake's bucketed"
+        " join layout (lake/layout.py); incremental — only tables whose"
+        " content changed since the last build rewrite",
+    )
+    bz.add_argument("--lake", required=True, help="lake root or sf dir")
+    bz.add_argument(
+        "--spec",
+        default=None,
+        help='JSON {table: [[key cols], ...]}, e.g. \'{"tx": [["tx_id"]]}\'',
+    )
+    bz.add_argument("--buckets", type=int, default=64)
+    bz.set_defaults(func=_cmd_bucketize)
 
     va = sub.add_parser(
         "vacuum",

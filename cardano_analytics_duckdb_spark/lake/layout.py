@@ -1,0 +1,375 @@
+"""Declarative bucketed layouts as a LAKE LIFECYCLE feature.
+
+r11 measured the win (SCALE_PROBE tpch_100x: 2.63x -> 0.97x DuckDB on
+bucketed copies, per-query speedups 2.1-8.1x) but left the layout a
+probe-side artifact: ``lake.tables.bucket_lake`` registered in-process
+copies that nothing produced or maintained, so a real deployment got the
+plain layout unless an operator re-ran the probe's steps by hand (r11
+verdict, "What's missing" #1).  This module makes the layout declarative
+and durable:
+
+- ``set_bucket_spec`` records WHICH tables are bucketed by WHICH key
+  columns (several layouts per table — ``lineitem`` serves the orderkey
+  join family AND the partkey family) in a ``bucket_spec.json`` control
+  file under the lake's ``_layout`` dir (or a per-source derived dir
+  when the source is read-only, e.g. the driver's testdata).
+- ``bucketize`` builds/refreshes the copies INCREMENTALLY: each copy
+  records the source's content signature at build time and is skipped
+  while the source is unchanged.  Copies are external-location bucketed
+  catalog tables, so a FRESH session re-registers them from the status
+  file (``CREATE TABLE ... CLUSTERED BY ... LOCATION ...``) instead of
+  rebuilding — the layout survives process restarts, which is what
+  separates a lifecycle feature from a session trick.
+- ``resolve_bucketed`` is the automatic read-path hook: ``tables
+  .load_table`` (testdata lakes) and ``operators/cardano._lake``
+  (streaming lakes) consult it on every read and serve the bucketed
+  copy ONLY when its recorded source signature still matches the live
+  source — a compaction/rollback/append invalidates the copy by
+  construction (the signature covers the generation-pointer sidecars
+  and every data file one level down), and the read silently falls back
+  to the plain path until the next ``bucketize``/``refresh_layout``.
+  Staleness can therefore never serve wrong rows; it only costs the
+  optimization.
+- ``refresh_layout`` is the maintenance hook ``compact_lake`` calls:
+  a lake with a spec keeps its layout current through the same
+  lifecycle that maintains the data (SURVEY §2 S9/T8 extended to join
+  keys; the reference's compact-later design, ogmios_parquet.py:523-571,
+  stops at file counts).
+
+100 TB posture: a fact-fact join's dominant cost is shuffling both
+sides; a stored co-bucketed layout pays that shuffle once at write and
+never again (bucket_probe_100x: join_speedup 2.11x, breakeven ~14
+joins).  The spec is per-lake metadata exactly like a lakehouse table
+property — queries never change, storage decides.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+from typing import Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .fsutil import LakeFs
+
+SPEC_NAME = "bucket_spec.json"
+STATUS_NAME = "bucket_status.json"
+
+# The join-key families the tpch-shape workload measured (SCALE_PROBE
+# tpch_100x.bucketed_layout): orderkey carries late_ship/nation_part,
+# custkey carries customer_order_distribution/revenue_by_region, partkey
+# carries promo_revenue/distinct_supplier_part_counts.
+DEFAULT_TPCH_SPEC: dict[str, list[list[str]]] = {
+    "orders": [["o_orderkey"], ["o_custkey"]],
+    "lineitem": [["l_orderkey"], ["l_partkey"]],
+    "customer": [["c_custkey"]],
+    "part": [["p_partkey"]],
+}
+
+# Parsed status per layout dir, plus negative entries (None = no layout).
+# Invalidated by every mutation in THIS process; another process building
+# a layout is picked up lazily (next cache miss) or via
+# ``invalidate_layout_cache`` — resolution correctness never depends on
+# it, because the source-signature check below is always live.
+_LAYOUT_CACHE: dict[str, dict | None] = {}
+
+
+def invalidate_layout_cache(layout_dir: str | None = None) -> None:
+    for k in [k for k in _LAYOUT_CACHE if layout_dir is None or k == layout_dir]:
+        del _LAYOUT_CACHE[k]
+
+
+def _derived_dir(source_dir: str) -> str:
+    tag = hashlib.md5(os.path.abspath(source_dir).encode()).hexdigest()[:12]
+    base = os.environ.get("SPARK_GRAFT_LAYOUT_DIR") or os.path.join(
+        os.path.expanduser("~"), ".spark_graft_layouts"
+    )
+    return os.path.join(base, tag)
+
+
+def _layout_candidates(source_dir: str) -> list[str]:
+    """Where a source's layout may live, probe order: inside the lake
+    (``<source>/_layout`` — for lake roots this package writes and
+    maintains) first, then the derived per-source dir (external/file
+    -table sources like the driver's testdata, which this package must
+    NEVER write into — ``set_bucket_spec`` routes those to the derived
+    dir by construction; the in-lake candidate is still probed on read
+    so a lake's layout travels with the lake)."""
+    return [
+        os.path.join(source_dir.rstrip("/"), "_layout"),
+        _derived_dir(source_dir),
+    ]
+
+
+def _is_external_source(lfs: LakeFs, source_dir: str) -> bool:
+    """True when the source serves file-tables (``<name>.parquet`` files
+    directly under the dir) — an EXTERNAL input this package reads but
+    does not own, so its layout lives in the derived dir.  Lake roots
+    (directory-tables this package created and maintains) host their
+    layout in-place, where savepoints/vacuum tooling can see it."""
+    return any(f.endswith(".parquet") for f in lfs.list_files(source_dir))
+
+
+def _find_layout_dir(lfs: LakeFs, source_dir: str) -> str | None:
+    for cand in _layout_candidates(source_dir):
+        if cand in _LAYOUT_CACHE:
+            if _LAYOUT_CACHE[cand] is not None:
+                return cand
+            continue
+        if lfs.exists(os.path.join(cand, SPEC_NAME)):
+            return cand
+        _LAYOUT_CACHE[cand] = None
+    return None
+
+
+def _read_json(lfs: LakeFs, path: str) -> dict | None:
+    if not lfs.exists(path):
+        return None
+    return json.loads(lfs.read_text(path))
+
+
+def _write_json(lfs: LakeFs, path: str, payload: dict) -> None:
+    tmp = path + ".tmp"
+    lfs.write_text(tmp, json.dumps(payload, indent=1, sort_keys=True))
+    if lfs.exists(path):
+        lfs.delete(path)
+    lfs.rename(tmp, path)
+
+
+def set_bucket_spec(
+    spark: SparkSession,
+    source_dir: str,
+    tables: dict[str, Iterable[Iterable[str]]],
+    n_buckets: int = 64,
+) -> str:
+    """Declare the source's bucket layouts ({table: [key-column lists]})
+    and return the layout dir.  Declares only — ``bucketize`` builds.
+    The FIRST listed layout of a table is its primary (served when a
+    reader gives no ``layout_for`` hint)."""
+    lfs = LakeFs(spark, source_dir)
+    norm = {
+        t: [list(cols) for cols in layouts] for t, layouts in tables.items()
+    }
+    for t, layouts in norm.items():
+        if not layouts or any(not cols for cols in layouts):
+            raise ValueError(f"empty bucket-column list for table {t!r}")
+    spec = {"version": 1, "n_buckets": int(n_buckets), "tables": norm}
+    in_lake, derived = _layout_candidates(source_dir)
+    candidates = (
+        [derived] if _is_external_source(lfs, source_dir)
+        else [in_lake, derived]
+    )
+    last_err: Exception | None = None
+    for cand in candidates:
+        try:
+            lfs.mkdirs(cand)
+            _write_json(lfs, os.path.join(cand, SPEC_NAME), spec)
+            invalidate_layout_cache()
+            return cand
+        except Exception as e:  # read-only lake: fall to the derived dir
+            last_err = e
+    raise IOError(
+        f"could not write bucket spec for {source_dir}: {last_err}"
+    )
+
+
+def bucket_spec(spark: SparkSession, source_dir: str) -> dict | None:
+    lfs = LakeFs(spark, source_dir)
+    d = _find_layout_dir(lfs, source_dir)
+    return _read_json(lfs, os.path.join(d, SPEC_NAME)) if d else None
+
+
+def drop_layout(spark: SparkSession, source_dir: str) -> None:
+    """Remove the source's layout: catalog entries, copies, spec."""
+    lfs = LakeFs(spark, source_dir)
+    for cand in _layout_candidates(source_dir):
+        status = _read_json(lfs, os.path.join(cand, STATUS_NAME)) or {}
+        for st in status.get("copies", {}).values():
+            spark.sql(f"DROP TABLE IF EXISTS {st['catalog']}")
+        if lfs.exists(cand):
+            lfs.delete_recursive(cand)
+    invalidate_layout_cache()
+
+
+def _source_path(lfs: LakeFs, source_dir: str, table: str) -> str:
+    file_path = os.path.join(source_dir, f"{table}.parquet")
+    if lfs.exists(file_path):
+        return file_path
+    return os.path.join(source_dir, table)
+
+
+def _source_sig(lfs: LakeFs, source_dir: str, table: str) -> list:
+    # JSON-friendly form of fsutil.content_signature (covers the file, or
+    # a table dir's control sidecars + data files one level down — so a
+    # pointer flip, append, or vacuum all change it)
+    return [list(e) for e in lfs.content_signature(
+        _source_path(lfs, source_dir, table)
+    )]
+
+
+def _source_frame(
+    spark: SparkSession, lfs: LakeFs, source_dir: str, table: str
+) -> DataFrame:
+    file_path = os.path.join(source_dir, f"{table}.parquet")
+    if lfs.exists(file_path):
+        from .tables import load_plain_table
+
+        # the PLAIN frame — never the copy being refreshed
+        return load_plain_table(spark, source_dir, table)
+    from .generations import read_table
+
+    return read_table(spark, os.path.join(source_dir, table))
+
+
+def _catalog_name(source_dir: str, table: str, cols: list[str]) -> str:
+    tag = hashlib.md5(os.path.abspath(source_dir).encode()).hexdigest()[:8]
+    return f"lake_{tag}_{table}_by_{'_'.join(cols)}"
+
+
+def _schema_ddl(df: DataFrame) -> str:
+    return ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+
+
+def bucketize(
+    spark: SparkSession, source_dir: str, tables: Iterable[str] | None = None
+) -> dict[str, str]:
+    """Build/refresh every copy the spec declares (or just ``tables``).
+
+    Incremental: a copy whose recorded source signature matches the live
+    source is skipped — re-running after an append/compaction rebuilds
+    exactly the tables that changed.  Returns {copy_key: catalog name}
+    for the copies that are CURRENT after the call (built or verified).
+    """
+    lfs = LakeFs(spark, source_dir)
+    d = _find_layout_dir(lfs, source_dir)
+    if d is None:
+        raise ValueError(
+            f"no bucket spec for {source_dir} — declare one with "
+            "set_bucket_spec first"
+        )
+    spec = _read_json(lfs, os.path.join(d, SPEC_NAME))
+    status_path = os.path.join(d, STATUS_NAME)
+    status = _read_json(lfs, status_path) or {"copies": {}}
+    n_buckets = int(spec.get("n_buckets", 64))
+    only = set(tables) if tables is not None else None
+    out: dict[str, str] = {}
+    for table, layouts in sorted(spec["tables"].items()):
+        if only is not None and table not in only:
+            continue
+        sig = _source_sig(lfs, source_dir, table)
+        src: DataFrame | None = None
+        for cols in layouts:
+            key = f"{table}_by_{'_'.join(cols)}"
+            st = status["copies"].get(key)
+            cat = _catalog_name(source_dir, table, cols)
+            if st is not None and st["source_sig"] == sig:
+                out[key] = st["catalog"]
+                continue  # copy is current
+            if src is None:
+                src = _source_frame(spark, lfs, source_dir, table)
+            loc = os.path.join(d, key)
+            spark.sql(f"DROP TABLE IF EXISTS {cat}")
+            (
+                # one file per bucket: bucketBy makes every writer task
+                # emit a file per bucket it holds, so hash-repartitioning
+                # on the key first keeps file counts = bucket counts and
+                # lets the stored per-bucket sort survive (elides the
+                # join's Sort as well as its Exchange)
+                src.repartition(n_buckets, *[src[c] for c in cols])
+                .write.mode("overwrite")
+                .bucketBy(n_buckets, *cols)
+                .sortBy(*cols)
+                .option("path", loc)
+                .saveAsTable(cat)
+            )
+            status["copies"][key] = {
+                "table": table,
+                "cols": list(cols),
+                "n_buckets": n_buckets,
+                "catalog": cat,
+                "location": loc,
+                "source_sig": sig,
+                "schema_ddl": _schema_ddl(src),
+            }
+            out[key] = cat
+        _write_json(lfs, status_path, status)
+    invalidate_layout_cache(d)
+    return out
+
+
+def refresh_layout(
+    spark: SparkSession, source_dir: str
+) -> dict[str, str] | None:
+    """Maintenance hook: refresh stale copies IF a spec exists, else a
+    cheap no-op (one existence probe).  ``compact_lake`` calls this so a
+    spec'd lake's layout follows its data through the lifecycle."""
+    lfs = LakeFs(spark, source_dir)
+    if _find_layout_dir(lfs, source_dir) is None:
+        return None
+    return bucketize(spark, source_dir)
+
+
+def _load_status(lfs: LakeFs, source_dir: str) -> dict | None:
+    d = _find_layout_dir(lfs, source_dir)
+    if d is None:
+        return None
+    cached = _LAYOUT_CACHE.get(d)
+    if cached is not None:
+        return cached
+    status = _read_json(lfs, os.path.join(d, STATUS_NAME))
+    _LAYOUT_CACHE[d] = status
+    return status
+
+
+def resolve_bucketed(
+    spark: SparkSession,
+    source_dir: str,
+    table: str,
+    layout_for: Iterable[str] | None = None,
+) -> DataFrame | None:
+    """The read-path hook: the table's CURRENT bucketed copy, or None.
+
+    ``layout_for`` names the key columns the caller's join/aggregation
+    uses; the copy bucketed by exactly those columns is served if fresh.
+    Without a hint the table's primary (first-declared) layout is
+    served.  A copy whose recorded source signature no longer matches
+    the live source is IGNORED — the caller falls back to the plain
+    read, so a stale layout can cost performance but never correctness.
+    """
+    cands = _layout_candidates(source_dir)
+    if all(_LAYOUT_CACHE.get(c, "miss") is None for c in cands):
+        return None  # both candidates known-absent: no JVM traffic at all
+    lfs = LakeFs(spark, source_dir)
+    status = _load_status(lfs, source_dir)
+    if not status:
+        return None
+    want = list(layout_for) if layout_for is not None else None
+    candidates = [
+        st
+        for st in status.get("copies", {}).values()
+        if st["table"] == table and (want is None or st["cols"] == want)
+    ]
+    if not candidates:
+        return None
+    sig = _source_sig(lfs, source_dir, table)
+    for st in candidates:
+        if st["source_sig"] == sig:
+            return _catalog_frame(spark, st)
+    return None
+
+
+def _catalog_frame(spark: SparkSession, st: dict) -> DataFrame:
+    """The copy as a catalog table, re-registering in a fresh session
+    (the files outlive the session; the in-memory catalog does not)."""
+    if not spark.catalog.tableExists(st["catalog"]):
+        cols = ", ".join(f"`{c}`" for c in st["cols"])
+        spark.sql(
+            f"CREATE TABLE {st['catalog']} ({st['schema_ddl']}) "
+            f"USING PARQUET CLUSTERED BY ({cols}) SORTED BY ({cols}) "
+            f"INTO {st['n_buckets']} BUCKETS LOCATION '{st['location']}'"
+        )
+    return spark.table(st["catalog"])

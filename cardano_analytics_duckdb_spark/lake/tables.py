@@ -76,68 +76,74 @@ def unwarm_lake(sf_dir: str | None = None) -> None:
         _WARMED.pop(key).unpersist()
 
 
-# Bucketed-table registry: (sf_dir, name) -> catalog table name.  The
-# cluster-scale counterpart of ``warm_lake``: where warming trades memory
-# for scan parallelism, bucketing trades ONE shuffle-write for every future
-# join/aggregation on the bucket key reading shuffle-free (the stored
-# partitioning satisfies the join's required distribution, so Catalyst
-# drops the Exchange — and the stored sort drops the Sort).  Queries go
-# through ``load_table`` unchanged; registering a bucketed copy re-routes
-# them transparently, exactly how a lakehouse layout change should reach
-# queries (storage decision, not query rewrite).
-_BUCKETED: dict[tuple[str, str], str] = {}
-
-
 def bucket_lake(
     spark: SparkSession,
     sf_dir: str,
     specs: dict[str, tuple[str, ...]],
     n_buckets: int = 32,
 ) -> dict[str, str]:
-    """Materialize bucketed copies of ``specs``' tables ({name: bucket
-    key columns}) into the session catalog and register them so
-    ``load_table(sf_dir, name)`` serves the bucketed copy.  Re-bucketing
-    an already-registered table replaces its registration (one layout per
-    table at a time — pick the key the lake's recurring joins use).
-    Returns {table: catalog name}.
+    """Declare-and-build shorthand over the lake LAYOUT lifecycle
+    (``lake/layout.py``): set each table's bucket spec to exactly the
+    given key columns (replacing any prior layouts for that table) and
+    materialize the copies.  ``load_table`` then serves them
+    automatically while they stay fresh.  Returns {table: catalog name}.
 
     100 TB posture: co-located fact-fact joins are THE answer to the
     recurring-shuffle cost (measured: bucket_probe_100x join_speedup
-    2.11x, breakeven ~14 joins); the registry is how this engine applies
-    that layout without touching query code."""
-    import hashlib
+    2.11x, breakeven ~14 joins); the persisted spec + signature-checked
+    resolution is how the layout reaches queries without touching query
+    code — and survives the session, unlike the r11 in-process registry.
+    """
+    from .layout import bucket_spec, bucketize, set_bucket_spec
 
-    from .bucketing import write_bucketed_df
-
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    spec = bucket_spec(spark, sf_dir) or {"n_buckets": n_buckets, "tables": {}}
+    tables = dict(spec["tables"])
+    for name, cols in specs.items():
+        tables[name] = [list(cols)]
+    set_bucket_spec(spark, sf_dir, tables, n_buckets=n_buckets)
+    built = bucketize(spark, sf_dir, tables=specs.keys())
     out: dict[str, str] = {}
     for name, cols in specs.items():
-        key = (sf_dir, name)
-        if key in _BUCKETED:
-            spark.sql(f"DROP TABLE IF EXISTS {_BUCKETED.pop(key)}")
-        cat = f"lake_{tag}_{name}_by_{'_'.join(cols)}"
-        write_bucketed_df(
-            load_table(spark, sf_dir, name), cat, list(cols), n_buckets
-        )
-        _BUCKETED[key] = cat
-        out[name] = cat
+        out[name] = built[f"{name}_by_{'_'.join(cols)}"]
     return out
 
 
-def unbucket_lake(spark: SparkSession, sf_dir: str | None = None) -> None:
-    """Drop bucketed copies and their registrations (all lakes, or just
-    ``sf_dir``'s); subsequent loads read the plain parquet again."""
-    for key in [k for k in _BUCKETED if sf_dir is None or k[0] == sf_dir]:
-        spark.sql(f"DROP TABLE IF EXISTS {_BUCKETED.pop(key)}")
+def unbucket_lake(spark: SparkSession, sf_dir: str) -> None:
+    """Drop ``sf_dir``'s layout (spec, copies, catalog entries);
+    subsequent loads read the plain parquet again."""
+    from .layout import drop_layout
+
+    drop_layout(spark, sf_dir)
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load_table(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    layout_for: tuple[str, ...] | None = None,
+) -> DataFrame:
+    """The default read path for testdata-lake tables.
+
+    Resolution order: warmed in-memory copy, then a FRESH bucketed copy
+    from the lake's declared layout (``lake/layout.py`` — ``layout_for``
+    names the join/aggregation key the caller wants co-location on; no
+    hint serves the table's primary layout), then the plain parquet.  A
+    stale or absent layout silently falls through to plain — layouts are
+    an optimization, never a correctness dependency."""
     warmed = _WARMED.get((sf_dir, name))
     if warmed is not None:
         return warmed
-    bucketed = _BUCKETED.get((sf_dir, name))
+    from .layout import resolve_bucketed
+
+    bucketed = resolve_bucketed(spark, sf_dir, name, layout_for)
     if bucketed is not None:
-        return spark.table(bucketed)
+        return bucketed
+    return load_plain_table(spark, sf_dir, name)
+
+
+def load_plain_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """The un-resolved parquet read (also the layout builder's source —
+    building a copy must never read through a copy)."""
     path = os.path.join(sf_dir, f"{name}.parquet")
     if not os.path.exists(path):
         raise FileNotFoundError(f"table {name!r} not found at {path}")

@@ -738,8 +738,12 @@ def distinct_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame
     broadcast null-aware anti probe on the fact; count(DISTINCT) is a
     two-stage hash agg on (group keys, suppkey) — one shuffle total.
     """
-    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("li_q16")
-    load_table(spark, sf_dir, "part").createOrReplaceTempView("part_q16")
+    load_table(
+        spark, sf_dir, "lineitem", layout_for=("l_partkey",)
+    ).createOrReplaceTempView("li_q16")
+    load_table(
+        spark, sf_dir, "part", layout_for=("p_partkey",)
+    ).createOrReplaceTempView("part_q16")
     load_table(spark, sf_dir, "supplier").createOrReplaceTempView("supp_q16")
     raw = spark.sql(
         """

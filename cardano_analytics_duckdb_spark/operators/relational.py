@@ -169,8 +169,14 @@ ORDER BY c_custkey
 
 
 def revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders")
-    customer = load_table(spark, sf_dir, "customer")
+    # layout_for: serve the custkey-bucketed copies when the lake's
+    # declared layout (lake/layout.py) has them — Catalyst then drops
+    # both join Exchanges (customer_order_distribution went 0.96x DuckDB
+    # at 100x on this same key family, SCALE_PROBE tpch_100x).
+    orders = load_table(spark, sf_dir, "orders", layout_for=("o_custkey",))
+    customer = load_table(
+        spark, sf_dir, "customer", layout_for=("c_custkey",)
+    )
     # nation⋈region is a 25-row lookup: snapshot it once per lake (see
     # _collected_dim) and fold nationkey→region-name into a literal map,
     # replacing two serial broadcast builds per execution with a codegen'd
@@ -878,14 +884,17 @@ WHERE l_shipdate::DATE >= DATE '1996-01-01'
 
 
 def nation_part_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
+    # orderkey layout (not partkey): the li⋈orders exchange is the big
+    # one — measured best on the orderkey family (1.18 vs 1.60 s at
+    # 100x, SCALE_PROBE tpch_100x.bucketed_layout)
+    li = load_table(spark, sf_dir, "lineitem", layout_for=("l_orderkey",))
     part_keys = (
         load_table(spark, sf_dir, "part")
         .filter(F.col("p_name").like("%red%"))
         .select(F.col("p_partkey").alias("l_partkey"))
     )
     orders = (
-        load_table(spark, sf_dir, "orders")
+        load_table(spark, sf_dir, "orders", layout_for=("o_orderkey",))
         .select("o_orderkey", "o_orderdate")
         # hash join over sort-merge: same rationale as
         # late_ship_priority_counts (measured 2.81 -> 2.58 s at 100x)
@@ -942,10 +951,14 @@ def late_ship_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # both sides' sorts is a measured 17% at 100x (6.97 -> 5.78 s median;
     # SCALE_PROBE tpch_100x).  The recurring-join cluster path for the
     # orderkey family is bucketing (bucket_probe: 2.11x at 100x).
-    orders = load_table(spark, sf_dir, "orders").select(
+    orders = load_table(
+        spark, sf_dir, "orders", layout_for=("o_orderkey",)
+    ).select(
         "o_orderkey", "o_orderdate", "o_orderpriority"
     ).hint("shuffle_hash")
-    li = load_table(spark, sf_dir, "lineitem").select(
+    li = load_table(
+        spark, sf_dir, "lineitem", layout_for=("l_orderkey",)
+    ).select(
         "l_orderkey", "l_shipdate", "l_returnflag"
     )
     high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
@@ -987,9 +1000,11 @@ ORDER BY l_returnflag
 
 
 def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    cust = load_table(
+        spark, sf_dir, "customer", layout_for=("c_custkey",)
+    ).select("c_custkey")
     orders = (
-        load_table(spark, sf_dir, "orders")
+        load_table(spark, sf_dir, "orders", layout_for=("o_custkey",))
         .filter(F.col("o_orderpriority") != "1-URGENT")
         .select("o_custkey", "o_orderkey")
     )
@@ -1028,7 +1043,9 @@ ORDER BY custdist DESC, c_count DESC
 
 
 def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem").filter(
+    li = load_table(
+        spark, sf_dir, "lineitem", layout_for=("l_partkey",)
+    ).filter(
         (F.col("l_shipdate").cast("date") >= F.lit("1996-03-01").cast("date"))
         & (F.col("l_shipdate").cast("date") < F.lit("1996-04-01").cast("date"))
     )
@@ -1038,7 +1055,7 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     # than shuffling the filtered fact (measured 1.71 -> 0.96 s,
     # SCALE_PROBE tpch_100x).  The dim side is the hash build.
     part = (
-        load_table(spark, sf_dir, "part")
+        load_table(spark, sf_dir, "part", layout_for=("p_partkey",))
         .select("p_partkey", "p_type")
         .hint("shuffle_hash")
     )

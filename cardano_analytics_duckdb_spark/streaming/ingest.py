@@ -1034,3 +1034,11 @@ def _compact_lake_locked(
 
         if rewrote and lfs.exists(os.path.join(src, MANIFEST_DIR)):
             refresh_manifest(spark, src)
+    # A lake with a declared bucket layout (lake/layout.py) keeps it
+    # current through the same maintenance window: the compaction just
+    # changed the tables' content signatures, so readers already fell
+    # back to the plain path — this rebuild is what restores the
+    # optimized layout.  Lakes without a spec pay one existence probe.
+    from ..lake.layout import refresh_layout
+
+    refresh_layout(spark, root)

@@ -1,0 +1,303 @@
+"""Bucketed layouts as a lake lifecycle feature (r11 verdict #1).
+
+The r11 probe proved the win (tpch_100x 0.97x DuckDB on bucketed copies)
+but the layout was an in-process registry nothing maintained.  These
+tests pin the lifecycle contract of ``lake/layout.py``:
+
+- declare once (``set_bucket_spec``), build incrementally
+  (``bucketize``), resolve automatically (``load_table`` /
+  ``operators/cardano._lake``) — queries never change;
+- copies are signature-checked: ANY source change makes resolution fall
+  back to the plain read (stale layouts cost performance, never rows);
+- ``compact_lake`` refreshes a spec'd lake's layout in the same
+  maintenance window that rewrote its data;
+- copies survive the session: a fresh catalog re-registers them from
+  the status file (``CREATE TABLE ... CLUSTERED BY ... LOCATION``);
+- the driver's read-only testdata is NEVER written into — external
+  (file-table) sources get the derived layout dir.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from cardano_analytics_duckdb_spark.lake import layout
+from cardano_analytics_duckdb_spark.lake.fixtures import fixture_blocks
+from cardano_analytics_duckdb_spark.lake.fsutil import LakeFs
+from cardano_analytics_duckdb_spark.lake.tables import (
+    bucket_lake,
+    load_table,
+    unbucket_lake,
+)
+
+SF = os.environ.get("TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture()
+def layout_env(monkeypatch, tmp_path):
+    """Route derived layout dirs into the test's tmp dir and start from
+    a clean in-process cache."""
+    monkeypatch.setenv("SPARK_GRAFT_LAYOUT_DIR", str(tmp_path / "layouts"))
+    layout.invalidate_layout_cache()
+    yield tmp_path
+    layout.invalidate_layout_cache()
+
+
+def _below_join_exchange(df) -> bool:
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # after an action, AQE appends an "== Initial Plan ==" copy — judge
+    # the FINAL plan only
+    plan = plan.split("== Initial Plan ==")[0]
+    lines = plan.splitlines()
+    idx = next(i for i, ln in enumerate(lines) if "Join" in ln)
+    return "Exchange" in "\n".join(lines[idx:])
+
+
+def test_external_source_layout_never_touches_source(spark, layout_env):
+    d = layout.set_bucket_spec(
+        spark, SF, {"orders": [["o_orderkey"]]}, n_buckets=4
+    )
+    try:
+        assert not d.startswith(SF)
+        assert not os.path.exists(os.path.join(SF, "_layout"))
+        assert d.startswith(str(layout_env / "layouts"))
+    finally:
+        layout.drop_layout(spark, SF)
+
+
+def test_default_read_path_serves_fresh_copy_and_elides_exchange(
+    spark, layout_env
+):
+    from cardano_analytics_duckdb_spark.operators.relational import (
+        customer_order_distribution,
+        late_ship_priority_counts,
+        revenue_by_region,
+    )
+
+    plain = {
+        "late": late_ship_priority_counts(spark, SF).collect(),
+        "dist": customer_order_distribution(spark, SF).collect(),
+        "rev": revenue_by_region(spark, SF).collect(),
+    }
+    layout.set_bucket_spec(spark, SF, layout.DEFAULT_TPCH_SPEC, n_buckets=4)
+    layout.bucketize(spark, SF)
+    # tiny SF would broadcast and trivially skip the exchange — force the
+    # shuffle path so the assertion is about the BUCKETED distribution
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        late = late_ship_priority_counts(spark, SF)
+        dist = customer_order_distribution(spark, SF)
+        rev = revenue_by_region(spark, SF)
+        # same rows, exchange-free joins, via the UNCHANGED query code
+        assert late.collect() == plain["late"]
+        assert dist.collect() == plain["dist"]
+        assert rev.collect() == plain["rev"]
+        assert not _below_join_exchange(late)
+        assert not _below_join_exchange(dist)
+        assert not _below_join_exchange(rev)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        layout.drop_layout(spark, SF)
+
+
+def test_bucketize_is_incremental_and_resolution_is_signature_checked(
+    spark, layout_env, tmp_path
+):
+    # copy a table so the source can change under the layout
+    src_dir = str(tmp_path / "src")
+    os.makedirs(src_dir)
+    shutil.copy(
+        os.path.join(SF, "orders.parquet"),
+        os.path.join(src_dir, "orders.parquet"),
+    )
+    layout.set_bucket_spec(
+        spark, src_dir, {"orders": [["o_orderkey"]]}, n_buckets=4
+    )
+    layout.bucketize(spark, src_dir)
+    assert layout.resolve_bucketed(spark, src_dir, "orders") is not None
+
+    # unchanged source: second bucketize rebuilds nothing (same catalog,
+    # same recorded signature object)
+    lfs = LakeFs(spark, src_dir)
+    d = layout._find_layout_dir(lfs, src_dir)
+    before = lfs.content_signature(os.path.join(d, "orders_by_o_orderkey"))
+    layout.bucketize(spark, src_dir)
+    after = lfs.content_signature(os.path.join(d, "orders_by_o_orderkey"))
+    assert before == after
+
+    # source rewritten -> copy is STALE -> resolution falls back to plain
+    full = load_table(spark, src_dir, "orders")
+    half = full.filter(F.col("o_orderkey") % 2 == 0)
+    n_half = half.count()
+    half.toPandas().to_parquet(
+        os.path.join(src_dir, "orders.parquet"),
+        coerce_timestamps="us",  # pandas defaults to NANOS, which the
+        allow_truncated_timestamps=True,  # vectorized reader rejects
+    )
+    assert layout.resolve_bucketed(spark, src_dir, "orders") is None
+    assert load_table(spark, src_dir, "orders").count() == n_half
+
+    # refresh rebuilds; resolution serves the new copy with the new rows
+    layout.bucketize(spark, src_dir)
+    served = layout.resolve_bucketed(spark, src_dir, "orders")
+    assert served is not None and served.count() == n_half
+    layout.drop_layout(spark, src_dir)
+
+
+def test_fresh_session_reregisters_from_status(spark, layout_env):
+    layout.set_bucket_spec(
+        spark, SF, {"customer": [["c_custkey"]]}, n_buckets=4
+    )
+    built = layout.bucketize(spark, SF)
+    cat = built["customer_by_c_custkey"]
+    n = load_table(spark, SF, "customer").count()
+    try:
+        # simulate a fresh session: the in-memory catalog forgets the
+        # table; the files and the status sidecar remain
+        spark.sql(f"DROP TABLE IF EXISTS {cat}")
+        layout.invalidate_layout_cache()
+        served = layout.resolve_bucketed(spark, SF, "customer")
+        assert served is not None and served.count() == n
+        # and it is a real BUCKETED table again (exchange-free self-join)
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = served.join(
+                layout.resolve_bucketed(spark, SF, "customer"), "c_custkey"
+            )
+            assert not _below_join_exchange(joined)
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    finally:
+        layout.drop_layout(spark, SF)
+
+
+def test_bucket_lake_shorthand_and_unbucket(spark, layout_env):
+    out = bucket_lake(spark, SF, {"part": ("p_partkey",)}, n_buckets=4)
+    try:
+        assert "part" in out
+        assert load_table(
+            spark, SF, "part", layout_for=("p_partkey",)
+        ).count() == load_table(spark, SF, "part").count()
+    finally:
+        unbucket_lake(spark, SF)
+    assert layout.resolve_bucketed(spark, SF, "part") is None
+
+
+def test_streaming_lake_layout_follows_compaction(spark, layout_env, tmp_path):
+    """The lifecycle on a generation-pointer lake: spec'd copies go stale
+    on append (fallback to plain — correct rows), and compact_lake's
+    refresh hook rebuilds them in the same maintenance window."""
+    from cardano_analytics_duckdb_spark.operators.cardano import _lake
+    from cardano_analytics_duckdb_spark.streaming.ingest import (
+        compact_lake,
+        ingest_blocks,
+    )
+
+    root = str(tmp_path / "lake")
+    ingest_blocks(spark, fixture_blocks()[:8], root, batch_size=1)
+    # lake roots host their layout in-place
+    d = layout.set_bucket_spec(spark, root, {"tx": [["tx_id"]]}, n_buckets=4)
+    assert d == os.path.join(root, "_layout")
+    layout.bucketize(spark, root)
+    n0 = _lake(spark, "tx", root).count()
+    assert layout.resolve_bucketed(spark, root, "tx") is not None
+
+    # append: copy goes stale, the default read path still serves every
+    # row (plain fallback)
+    ingest_blocks(spark, fixture_blocks()[8:12], root, batch_size=1)
+    assert layout.resolve_bucketed(spark, root, "tx") is None
+    n1 = _lake(spark, "tx", root).count()
+    assert n1 > n0
+
+    # compaction refreshes the layout as part of maintenance
+    compact_lake(spark, root)
+    served = layout.resolve_bucketed(spark, root, "tx")
+    assert served is not None and served.count() == n1
+    assert _lake(spark, "tx", root).count() == n1
+
+
+def test_changes_and_bucketize_cli(spark, tmp_path, capsys, monkeypatch):
+    """The CLI surface: multi-table incremental read anchored on a
+    savepoint, across a compaction boundary (refuses loud per-table,
+    --allow-rewrites accepts), and the bucketize verb."""
+    import json
+
+    from cardano_analytics_duckdb_spark.cli import main
+    from cardano_analytics_duckdb_spark.lake.savepoints import (
+        create_savepoint,
+    )
+    from cardano_analytics_duckdb_spark.streaming.ingest import (
+        compact_lake,
+        ingest_blocks,
+    )
+
+    monkeypatch.setenv("SPARK_GRAFT_LAYOUT_DIR", str(tmp_path / "layouts"))
+    layout.invalidate_layout_cache()
+    root = str(tmp_path / "lake")
+    ingest_blocks(spark, fixture_blocks()[:8], root, batch_size=1)
+    sp = create_savepoint(spark, root)
+    ingest_blocks(spark, fixture_blocks()[8:12], root, batch_size=1)
+    create_savepoint(spark, root)
+
+    # pure-append window: every table reports a non-negative delta and
+    # tx grows
+    out_dir = str(tmp_path / "delta")
+    rc = main(
+        [
+            "changes", "--lake", root,
+            "--since-savepoint", str(sp),
+            "--out", out_dir,
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["tx"]["rows_appended"] > 0
+    assert os.path.isdir(rep["tx"]["out"])
+    assert spark.read.parquet(rep["tx"]["out"]).count() == (
+        rep["tx"]["rows_appended"]
+    )
+
+    # compaction inside the window: refuse loud, allow-rewrites accepts
+    compact_lake(spark, root)
+    create_savepoint(spark, root)
+    rc = main(
+        ["changes", "--lake", root, "--since-savepoint", str(sp)],
+        spark=spark,
+    )
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "refused" in rep["tx"] and "REWRITTEN" in rep["tx"]["refused"]
+    rc = main(
+        [
+            "changes", "--lake", root,
+            "--since-savepoint", str(sp),
+            "--allow-rewrites",
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["tx"]["rows_appended"] >= 0
+
+    # bucketize verb: declare + build, then refresh is a cheap no-op
+    rc = main(
+        [
+            "bucketize", "--lake", root,
+            "--spec", '{"tx": [["tx_id"]]}',
+            "--buckets", "4",
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "tx_by_tx_id" in rep["copies"]
+    assert layout.resolve_bucketed(spark, root, "tx") is not None
+    rc = main(["bucketize", "--lake", root], spark=spark)
+    assert rc == 0
