@@ -596,6 +596,28 @@ def prune_files_box(
     return sorted(kept or [])
 
 
+def pruned_row_bound(
+    spark: SparkSession,
+    table_dir: str,
+    preds: list[tuple[str, Bound, Bound]],
+) -> int | None:
+    """UPPER BOUND on the rows matching the box: the sum of ``n_rows``
+    over the files box-pruning keeps.  None when unknowable — no
+    manifest, or a surviving file without a manifest entry (post-build
+    append).  Pure control-plane (the snapshot cache is shared with
+    ``read_pruned_box``, so a query that already pruned pays zero extra
+    jobs); the bound lets size-gated broadcast decisions skip a real
+    count when file stats prove the side small (operators/cardano.py
+    flagship gate, r11 verdict #2)."""
+    effective = [
+        (c, lo, hi) for c, lo, hi in preds
+        if lo is not None or hi is not None
+    ]
+    if not effective:  # no box: "kept files" would be vacuously empty
+        return None
+    return read_pruned_box_with_bound(spark, table_dir, effective)[1]
+
+
 def _read_files(
     spark: SparkSession, table_dir: str, files: list[str]
 ) -> DataFrame:
@@ -645,7 +667,41 @@ def read_pruned_box(
 ) -> DataFrame:
     """The box query itself over surviving files, predicates re-applied
     row-level; equals ``full scan WHERE AND_i(lo_i <= col_i <= hi_i)``."""
+    return read_pruned_box_with_bound(spark, table_dir, preds)[0]
+
+
+def read_pruned_box_with_bound(
+    spark: SparkSession,
+    table_dir: str,
+    preds: list[tuple[str, Bound, Bound]],
+) -> tuple[DataFrame, int | None]:
+    """:func:`read_pruned_box` plus the UPPER BOUND on the surviving
+    rows, from the SAME prune pass (sum of the kept files' manifest
+    ``n_rows``; None when a kept file has no entry or no manifest
+    exists).  One file listing serves both — callers gating a broadcast
+    on the bound (operators/cardano.py flagship, r11 verdict #2) pay
+    zero traffic beyond the read they were already doing; a second
+    listing pass measured ~1.1 s/run at the 2M-tx probe lake (the first
+    flagship_gate_ab_10000x recording)."""
     files = prune_files_box(spark, table_dir, preds)
+    bound: int | None = None
+    lfs = LakeFs(spark, table_dir)
+    snap = _manifest_snapshot(spark, lfs, table_dir)
+    if snap is not None:
+        n_rows: dict[str, int] = {}
+        for rows in snap["by_col"].values():
+            for r in rows:
+                if r.get("n_rows") is not None:
+                    n_rows[r["file"]] = r["n_rows"]
+        rel = _relative(files, lfs, table_dir)
+        total = 0
+        for f in files:
+            nr = n_rows.get(rel[f])
+            if nr is None:
+                total = None  # un-stat'd append: the bound would be a lie
+                break
+            total += nr
+        bound = total
     if not files:
         from .generations import read_table
 
@@ -657,7 +713,7 @@ def read_pruned_box(
             df = df.filter(F.col(column) >= F.lit(lo))
         if hi is not None:
             df = df.filter(F.col(column) <= F.lit(hi))
-    return df
+    return df, bound
 
 
 def read_pruned(

@@ -17,9 +17,13 @@ result hashing never depends on BLOB rendering.
 
 Scale notes (100 TB posture): slot predicates prune `slot_group=N/`
 directories on both engines; the token-UTxO side of the flagship is tiny
-after the policy/asset filter → broadcast both into the explode-join and
-the semi-join (no shuffle of the big tx table); the final left joins are
-per-tx_id hash joins on already-aggregated (small) sides.
+after the policy/asset filter → broadcast into the explode-join and the
+semi-join (no shuffle of the big tx table) — but SIZE-GATED on the
+frame's actual row count, because a popular token over years of history
+is millions of rows and a forced broadcast would trade the shuffle for a
+driver OOM; over the gate every site falls back to shuffle_hash.  The
+final left joins are per-tx_id hash joins on already-aggregated sides
+riding the same gate.
 """
 
 from __future__ import annotations
@@ -98,18 +102,35 @@ def _lake_pruned(
     the plain unpruned scan + row predicates — exact, just without the
     IO skipping — and leaves manifest building to a later maintenance
     pass."""
+    return _lake_pruned_with_bound(spark, table, preds, root)[0]
+
+
+def _lake_pruned_with_bound(
+    spark: SparkSession,
+    table: str,
+    preds: list[tuple],
+    root: str | None = None,
+) -> tuple[DataFrame, int | None]:
+    """:func:`_lake_pruned` plus the manifest's upper bound on the
+    surviving rows (None when unknowable: fallback path, no manifest, or
+    un-stat'd appends) — from the SAME prune pass, so a caller gating a
+    broadcast on it pays no extra listing traffic (r11 verdict #2)."""
     import os
 
     from ..lake.fsutil import LakeFs
     from ..lake.lock import maintenance_lock
-    from ..lake.manifest import MANIFEST_DIR, build_manifest, read_pruned_box
+    from ..lake.manifest import (
+        MANIFEST_DIR,
+        build_manifest,
+        read_pruned_box_with_bound,
+    )
 
     preds = [(c, lo, hi) for c, lo, hi in preds
              if lo is not None or hi is not None]
     root = root or ensure_fixture_lake(spark)
     table_dir = f"{root}/{table}"
     if not preds:
-        return _lake(spark, table, root=root)
+        return _lake(spark, table, root=root), None
     lfs = LakeFs(spark, table_dir)
     manifest_path = os.path.join(table_dir, MANIFEST_DIR)
     if not lfs.exists(manifest_path):
@@ -137,8 +158,8 @@ def _lake_pruned(
                     df = df.filter(F.col(column) >= F.lit(lo))
                 if hi is not None:
                     df = df.filter(F.col(column) <= F.lit(hi))
-            return df
-    return read_pruned_box(spark, table_dir, preds)
+            return df, None
+    return read_pruned_box_with_bound(spark, table_dir, preds)
 
 
 def _lake_range(
@@ -205,6 +226,14 @@ FROM {_scan("tx")}
 
 # -- flagship: ownership-changing token transfers ≙ token_fee_analysis.py:107-249
 
+# Forced-broadcast ceiling for the flagship's token-derived join sides,
+# in ROWS of (tx_id 32 B, output_index, address ~29-57 B) ≈ 100 B/row:
+# 500k rows ≈ 50 MB serialized — comfortably inside executor broadcast
+# budgets, far above any fixture/probe token, while a popular mainnet
+# token's multi-million-row history correctly falls back to shuffle_hash
+# instead of OOMing the driver.
+_FLAGSHIP_BROADCAST_ROW_GATE = 500_000
+
 
 def _token_transfers(
     spark: SparkSession,
@@ -220,16 +249,13 @@ def _token_transfers(
     # z-ordered asset layout the conjunction skips files before any data
     # page is read; the same predicates are re-applied row-level below so
     # the result is layout- and staleness-independent.
-    asset = _lake_pruned(
-        spark,
-        "asset",
-        [
-            ("policy_id", policy, policy),
-            ("asset_name", asset_name, asset_name),
-            ("slot", min_slot, max_slot),
-        ],
-        root,
-    )
+    root = root or ensure_fixture_lake(spark)
+    preds = [
+        ("policy_id", policy, policy),
+        ("asset_name", asset_name, asset_name),
+        ("slot", min_slot, max_slot),
+    ]
+    asset, asset_bound = _lake_pruned_with_bound(spark, "asset", preds, root)
     tx = _lake(spark, "tx", root)
 
     token_utxos = asset.filter(
@@ -242,6 +268,34 @@ def _token_transfers(
         token_utxos = token_utxos.filter(F.col("slot") <= max_slot)
     token_utxos = token_utxos.select("tx_id", "output_index", "address").cache()
 
+    # SIZE-GATED broadcasts (r11 verdict #2): token_utxos grows with
+    # token popularity x chain history — a top token over years of
+    # mainnet is millions of rows, and a forced F.broadcast would be a
+    # driver/executor OOM instead of a plan fallback (the same reasoning
+    # revenue_by_region applies to its lake-scaled customer side).
+    # Every derived side below (distinct tx_ids, inputs_set,
+    # outputs_set) is <= |token_utxos| rows, so one gate covers all
+    # four join sites.  The gate reads the manifest's per-file row
+    # counts first: the sum over the box-pruned files is an upper bound
+    # on the token rows, and when it proves the side small the decision
+    # costs ZERO extra jobs (the snapshot is already cached by the
+    # pruned read above).  Only when file stats can't prove it — no
+    # manifest, un-stat'd appends, or a fat bound on an unclustered
+    # layout — does a real count run, and that job doubles as the fill
+    # of a cache the plan reuses three times anyway.  Measured at the
+    # 2M-tx lake (SCALE_PROBE flagship_gate_ab_10000x): the explicit
+    # count cost 1.26x over the r11 forced-broadcast plan, the manifest
+    # bound removes it; over the gate, joins fall back to shuffle_hash
+    # (0.80x of the counted run there — AQE still converts to broadcast
+    # at runtime if a filtered side lands under the session threshold).
+    n_bound = asset_bound
+    if n_bound is None or n_bound > _FLAGSHIP_BROADCAST_ROW_GATE:
+        n_bound = token_utxos.count()
+    if n_bound <= _FLAGSHIP_BROADCAST_ROW_GATE:
+        _side = F.broadcast
+    else:
+        _side = lambda df: df.hint("shuffle_hash")  # noqa: E731
+
     # semi-join: txs that create or consume a token UTxO … the reference
     # pre-filters only on *creating* txs (token_fee_analysis.py:212) and
     # relies on output/input set joins for the rest — reproduce exactly that.
@@ -251,7 +305,7 @@ def _token_transfers(
     # measured 2.14 s -> 1.79 s median at a 2M-tx lake (SCALE_PROBE.json
     # cardano_10000x experiments, r10).
     relevant = tx.join(
-        F.broadcast(token_utxos.select("tx_id").distinct()), "tx_id", "left_semi"
+        _side(token_utxos.select("tx_id").distinct()), "tx_id", "left_semi"
     ).persist()
 
     inputs_set = (
@@ -262,7 +316,7 @@ def _token_transfers(
             F.col("r.output_index").alias("src_output_index"),
         )
         .join(
-            F.broadcast(
+            _side(
                 token_utxos.withColumnsRenamed(
                     {"tx_id": "src_tx_id", "output_index": "src_output_index"}
                 )
@@ -286,18 +340,19 @@ def _token_transfers(
             "|", F.array_sort(F.collect_set(F.lower(F.hex("address"))))
         ).alias("output_addr_set")
     )
-    # Broadcast BOTH set-aggregate sides: each is a groupBy over
-    # token-filtered rows, so |outputs_set| <= |token_utxos| and
+    # Both set-aggregate sides ride the same gate: each is a groupBy
+    # over token-filtered rows, so |outputs_set| <= |token_utxos| and
     # |inputs_set| <= consuming txs <= |token_utxos| — strictly smaller
-    # than the token_utxos frame this query already force-broadcasts
-    # twice, so no new size cliff.  Without the hints the two left joins
-    # shuffle the wide `relevant` rows (inputs arrays included) on
-    # tx_id; with them `relevant` streams straight off its cache.
-    # Measured at a 2M-tx lake, cache cleared per run: 1.48 -> 1.23 s
-    # median (SCALE_PROBE cardano_10000x flagship_join_ab).
+    # than the gated frame, so the one count bounds all four sites.
+    # Under the gate the broadcasts keep the measured r11 win (without
+    # them the two left joins shuffle the wide `relevant` rows, inputs
+    # arrays included, on tx_id; broadcast lets `relevant` stream
+    # straight off its cache — 1.48 -> 1.23 s median at a 2M-tx lake,
+    # cache cleared per run, SCALE_PROBE cardano_10000x
+    # flagship_join_ab).
     report = (
-        relevant.join(F.broadcast(inputs_set), "tx_id", "left")
-        .join(F.broadcast(outputs_set), "tx_id", "left")
+        relevant.join(_side(inputs_set), "tx_id", "left")
+        .join(_side(outputs_set), "tx_id", "left")
         .filter(
             ~F.col("input_addr_set").eqNullSafe(F.col("output_addr_set"))
         )

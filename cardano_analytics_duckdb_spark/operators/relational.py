@@ -849,10 +849,22 @@ ORDER BY l_returnflag
 
 def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
+    # Compare the raw timestamp, not cast(l_shipdate AS date): the
+    # per-row cast blocked parquet predicate pushdown (a cast expression
+    # is not a pushable filter), forcing a full decode of every row
+    # group before the year filter ran — and burned a cast per row on
+    # the engine's hottest full-lineitem scan.  date(ts) >= D is exactly
+    # ts >= D 00:00:00 (and date(ts) < D is ts < D 00:00:00) for the
+    # half-open year window, so the rewrite is bit-identical; the bounds
+    # now reach PushedFilters and prune row groups on a date-clustered
+    # layout (r11 verdict #3: 2.46x at 100x, scan-bound).
+    ship_ty = li.schema["l_shipdate"].dataType
+    lo = F.lit("1996-01-01 00:00:00").cast(ship_ty)
+    hi = F.lit("1997-01-01 00:00:00").cast(ship_ty)
     return (
         li.filter(
-            (F.col("l_shipdate").cast("date") >= F.lit("1996-01-01").cast("date"))
-            & (F.col("l_shipdate").cast("date") < F.lit("1997-01-01").cast("date"))
+            (F.col("l_shipdate") >= lo)
+            & (F.col("l_shipdate") < hi)
             & (F.col("l_discount") >= 0.015)
             & (F.col("l_discount") <= 0.045)
             & (F.col("l_quantity") < 24.0)

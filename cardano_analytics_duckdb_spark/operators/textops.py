@@ -859,6 +859,84 @@ ORDER BY doc_id, chunk_idx
 # shape as doc_quality_scores (the sampler touches only the raw scan).
 
 
+def _gopher_flags_projection(metrics: DataFrame) -> DataFrame:
+    """Flags + rounding over raw (n_words, mean_wlen, stop_hits,
+    top_count) metrics — shared by the JVM-fold and Arrow-kernel
+    variants so an A/B compares ONLY the metric computation."""
+    n_words = F.col("n_words")
+    mean_wlen = F.col("mean_wlen")
+    top_frac = F.col("top_count").cast("double") / n_words
+    word_count_ok = (n_words >= 20) & (n_words <= 1000)
+    mean_wlen_ok = (mean_wlen >= 2.0) & (mean_wlen <= 12.0)
+    has_stopwords = F.col("stop_hits") >= 2
+    repetition_ok = top_frac <= 0.125
+    return metrics.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        rnd(mean_wlen, 2).alias("mean_word_len"),
+        rnd(top_frac, 4).alias("top_word_frac"),
+        word_count_ok.alias("word_count_ok"),
+        mean_wlen_ok.alias("mean_word_len_ok"),
+        has_stopwords.alias("has_stopwords"),
+        repetition_ok.alias("repetition_ok"),
+        (word_count_ok & mean_wlen_ok & has_stopwords & repetition_ok).alias(
+            "keep"
+        ),
+    )
+
+
+def gopher_quality_flags_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fifth measured variant (r11 verdict #5): the four raw metrics in
+    ONE Arrow-batched ``mapInPandas`` kernel — Python ``str.split`` /
+    ``collections.Counter`` are C loops, so the hypothesis is they beat
+    Catalyst's per-element interpreted HOF lambdas for the top-word run
+    count.  Identical output to :func:`gopher_quality_flags` (the flag
+    projection is shared; int-sum-then-divide is IEEE-identical to the
+    JVM fold).  A/B'd under SCALE_PROBE text_100x conditions — see
+    ``gopher_arrow`` in SCALE_PROBE.json for the adopt/reject numbers.
+    Scale posture: narrow kernel, no shuffle, no state — same 100 TB
+    shape as the multimodal decode kernels."""
+    docs = load_table(spark, sf_dir, "documents")
+
+    def kernel(batches):
+        # locally-defined closure: shipped by value, so the driver's
+        # foreign-cwd harness never needs this module importable on
+        # workers (tests/oracle gotcha)
+        from collections import Counter
+
+        import pandas as pd
+
+        stop = frozenset(("the", "a", "of", "and", "is"))
+        for pdf in batches:
+            toks = [t.split(" ") for t in pdf["text"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_words": [len(ts) for ts in toks],
+                    "mean_wlen": [
+                        sum(map(len, ts)) / len(ts) for ts in toks
+                    ],
+                    "stop_hits": [
+                        sum(1 for t in ts if t in stop) for ts in toks
+                    ],
+                    "top_count": [
+                        max(Counter(ts).values()) for ts in toks
+                    ],
+                }
+            )
+
+    metrics = (
+        docs.select("doc_id", "text")
+        .repartitionByRange("doc_id")
+        .mapInPandas(
+            kernel,
+            "doc_id long, n_words long, mean_wlen double,"
+            " stop_hits long, top_count long",
+        )
+    )
+    return _gopher_flags_projection(metrics).sortWithinPartitions("doc_id")
+
+
 def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     n_words = F.size(F.col("toks")).cast("long")

@@ -1319,6 +1319,196 @@ TEXT_R10 = [
     "lang_id_scores",
 ]
 
+# r12: the tpch family + revenue_by_region (verdict #7 — orders⋈customer
+# on o_custkey is the same key family the custkey layout covers)
+TPCH_R12 = TPCH_R10 + ["revenue_by_region"]
+
+
+def distinct_supplier_decomp(spark, lake_dir: str, n_runs: int = 3) -> dict:
+    """r11 verdict #3: distinct_supplier_part_counts sits at 2.23x even on
+    its best (partkey-bucketed) layout — the exchange is gone, so
+    decompose where the time actually goes.  Stages (each a superset of
+    the previous, timed on the CURRENT layout): fact scan -> +join+anti
+    -> +distinct aggregate; the deltas name the per-stage cost."""
+    from cardano_analytics_duckdb_spark.lake.tables import load_table
+
+    part_f = (
+        load_table(spark, lake_dir, "part", layout_for=("p_partkey",))
+        .filter(
+            (F.col("p_brand") != "Brand#5")
+            & F.col("p_size").isin(1, 9, 19, 29, 39, 49)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    li = load_table(
+        spark, lake_dir, "lineitem", layout_for=("l_partkey",)
+    ).select("l_partkey", "l_suppkey")
+    excl = (
+        load_table(spark, lake_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0.0)
+        .select("s_suppkey")
+    )
+    joined = li.join(
+        part_f, li.l_partkey == part_f.p_partkey
+    ).join(excl, li.l_suppkey == excl.s_suppkey, "left_anti")
+    full = joined.groupBy("p_brand", "p_type", "p_size").agg(
+        F.countDistinct("l_suppkey").alias("supplier_cnt")
+    )
+    stages = {
+        "fact_scan": li,
+        "plus_join_anti": joined.select(
+            "p_brand", "p_type", "p_size", "l_suppkey"
+        ),
+        "plus_distinct_agg": full,
+    }
+    out: dict = {}
+    for name, df in stages.items():
+        df.write.format("noop").mode("overwrite").save()  # warmup
+        runs = []
+        for _ in range(n_runs):
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            runs.append(time.perf_counter() - t0)
+        out[name] = round(sorted(runs)[n_runs // 2], 3)
+    out["join_anti_delta"] = round(
+        out["plus_join_anti"] - out["fact_scan"], 3
+    )
+    out["distinct_agg_delta"] = round(
+        out["plus_distinct_agg"] - out["plus_join_anti"], 3
+    )
+    return out
+
+
+def main_tpch12(scratch: str) -> None:
+    """The --tpch12 mode (r11 verdict #1/#3/#7): the tpch family +
+    revenue_by_region at 100x, plain vs the LIFECYCLE bucket layout —
+    set_bucket_spec(DEFAULT_TPCH_SPEC) + bucketize once, every query then
+    picks its co-located copies through the DEFAULT read path (load_table
+    layout_for hints; no per-key-family re-registration like the r11
+    probe).  Records the one-time build cost, the per-query and family
+    ratios on both layouts, and the distinct_supplier residual
+    decomposition.  Merged as ``tpch_100x_r12``."""
+    from cardano_analytics_duckdb_spark.lake import layout
+
+    spark = get_session(app_name="scale-probe-tpch12", shuffle_partitions=200)
+    lake_dir = os.path.join(scratch, "lake100")
+    build_scaled_lake(spark, lake_dir, replicas=REPLICAS_100X, file_scale=10)
+    payload: dict = {"plain": headline_100x(spark, lake_dir, names=TPCH_R12)}
+    t0 = time.perf_counter()
+    layout.set_bucket_spec(
+        spark, lake_dir, layout.DEFAULT_TPCH_SPEC, n_buckets=64
+    )
+    layout.bucketize(spark, lake_dir)
+    payload["lifecycle_layout"] = {
+        "spec": layout.DEFAULT_TPCH_SPEC,
+        "n_buckets": 64,
+        "build_s": round(time.perf_counter() - t0, 3),
+    }
+    try:
+        payload["lifecycle_layout"]["measured"] = headline_100x(
+            spark, lake_dir, names=TPCH_R12
+        )
+        payload["distinct_supplier_decomp_bucketed"] = (
+            distinct_supplier_decomp(spark, lake_dir)
+        )
+    finally:
+        layout.drop_layout(spark, lake_dir)
+    _merge_probe("tpch_100x_r12", payload)
+    shutil.rmtree(scratch, ignore_errors=True)
+    spark.stop()
+
+
+# The five fixed-cost-dominated perf-weak queries (r11 verdict #6): every
+# one is >2x DuckDB at 100x on a SUB-SECOND absolute, with an audited
+# measured-optimal plan — the residual hypothesis is Spark's per-query
+# job/stage/task dispatch floor, not the plan.
+FIXED_COST_FIVE = [
+    "high_value_orders",
+    "order_summary_stats",
+    "pricing_summary",
+    "revenue_by_region",
+    "events_tumbling_5min",
+]
+
+
+def fixed_cost_floor_probe(spark, lake_dir: str, n_runs: int = 5) -> dict:
+    """Decompose the small-query wall-time floor at 100x:
+
+    - ``job_dispatch``: count() of a 1-row cached frame — pure
+      job-submit + schedule + result-fetch round trip, no IO.
+    - ``minimal_scan``: count() of the 5-row region table — adds one
+      real file scan task.
+    - ``orders_scan_count``: count(*) of the 100x orders table — the
+      many-task scan floor (row-group metadata count shortcut applies).
+    Then the five weak queries under the production conf vs a
+    big-partition posture (maxPartitionBytes 512m halves task counts for
+    multi-file scans) — if the floor is scheduling, fewer tasks should
+    shave it; if it's per-job dispatch, nothing changes and the floor is
+    the documented cost of the distributed posture."""
+    from cardano_analytics_duckdb_spark.lake.tables import load_table
+    from cardano_analytics_duckdb_spark.operators import all_queries
+
+    queries = all_queries()
+    out: dict = {}
+
+    one = spark.range(1).cache()
+    one.count()
+    for name, fn in (
+        ("job_dispatch", lambda: one.count()),
+        ("minimal_scan", lambda: load_table(spark, lake_dir, "region").count()),
+        ("orders_scan_count", lambda: load_table(spark, lake_dir, "orders").count()),
+    ):
+        fn()
+        runs = []
+        for _ in range(n_runs):
+            t0 = time.perf_counter()
+            fn()
+            runs.append(time.perf_counter() - t0)
+        out[name] = round(sorted(runs)[n_runs // 2], 3)
+    one.unpersist()
+
+    def timed_queries(tag: str):
+        sect = {}
+        for name in FIXED_COST_FIVE:
+            queries[name](spark, lake_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            runs = []
+            for _ in range(n_runs):
+                df = queries[name](spark, lake_dir)
+                t0 = time.perf_counter()
+                df.write.format("noop").mode("overwrite").save()
+                runs.append(time.perf_counter() - t0)
+            sect[name] = round(sorted(runs)[n_runs // 2], 3)
+        out[tag] = sect
+
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.shuffle.partitions", "200")
+    timed_queries("production_conf")
+    saved = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(512 * 1024 * 1024))
+    try:
+        timed_queries("big_partition_conf")
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", saved)
+    out["big_over_production"] = {
+        n: round(out["big_partition_conf"][n] / out["production_conf"][n], 3)
+        for n in FIXED_COST_FIVE
+        if out["production_conf"][n] > 0
+    }
+    return out
+
+
+def main_floor(scratch: str) -> None:
+    spark = get_session(app_name="scale-probe-floor", shuffle_partitions=200)
+    lake_dir = os.path.join(scratch, "lake100")
+    build_scaled_lake(spark, lake_dir, replicas=REPLICAS_100X, file_scale=10)
+    _merge_probe(
+        "fixed_cost_floor_100x", fixed_cost_floor_probe(spark, lake_dir)
+    )
+    shutil.rmtree(scratch, ignore_errors=True)
+    spark.stop()
+
 
 def revjoin_probe(spark, lake_dir: str, n_runs: int = 5) -> dict:
     """A/B of revenue_by_region's orders⋈customer join strategy at 100x
@@ -1420,11 +1610,233 @@ def revjoin_probe(spark, lake_dir: str, n_runs: int = 5) -> dict:
     }
 
 
+def flagship_gate_probe(spark, root: str, replicas: int, n_runs: int = 5) -> dict:
+    """A/B of the flagship's size-gated broadcasts (r11 verdict #2) at the
+    2M-tx lake.  Variants, interleaved round-robin with the cache cleared
+    per run (memory: persist leaks otherwise carry between runs):
+
+    - ``r12_gated``: the shipped code — one count of the persisted
+      token_utxos frame decides broadcast vs shuffle_hash for all four
+      former forced-broadcast sites (140k rows here -> broadcast chosen).
+    - ``r11_forced_broadcast``: the pre-gate shape reconstructed inline —
+      no count job, unconditional F.broadcast (what the gate must not
+      regress against).
+    - ``gate_zero_shuffle``: gate forced to 0 — the over-the-gate fallback
+      path (shuffle_hash everywhere), the cost a genuinely huge token pays
+      instead of OOMing the driver.
+    """
+    from cardano_analytics_duckdb_spark.operators import cardano as mod
+    from cardano_analytics_duckdb_spark.operators.cardano import (
+        _lake,
+        _lake_pruned,
+    )
+    from cardano_analytics_duckdb_spark.lake.fixtures import (
+        TOKEN_NAME,
+        TOKEN_POLICY,
+    )
+
+    def r11_forced(spark):
+        # ≙ operators/cardano.py@r11 `_token_transfers(None, None)`:
+        # forced broadcasts, no gate count (e7e8a42 tree)
+        asset = _lake_pruned(
+            spark, "asset",
+            [("policy_id", TOKEN_POLICY, TOKEN_POLICY),
+             ("asset_name", TOKEN_NAME, TOKEN_NAME),
+             ("slot", None, None)],
+            root,
+        )
+        tx = _lake(spark, "tx", root)
+        token_utxos = (
+            asset.filter(
+                (F.col("policy_id") == F.lit(TOKEN_POLICY))
+                & (F.col("asset_name") == F.lit(TOKEN_NAME))
+            )
+            .select("tx_id", "output_index", "address")
+            .cache()
+        )
+        relevant = tx.join(
+            F.broadcast(token_utxos.select("tx_id").distinct()),
+            "tx_id", "left_semi",
+        ).persist()
+        inputs_set = (
+            relevant.select("tx_id", F.explode("inputs").alias("r"))
+            .select(
+                F.col("tx_id").alias("consuming_tx_id"),
+                F.col("r.tx_id").alias("src_tx_id"),
+                F.col("r.output_index").alias("src_output_index"),
+            )
+            .join(
+                F.broadcast(
+                    token_utxos.withColumnsRenamed(
+                        {"tx_id": "src_tx_id",
+                         "output_index": "src_output_index"}
+                    )
+                ),
+                on=["src_tx_id", "src_output_index"],
+            )
+            .groupBy("consuming_tx_id")
+            .agg(
+                F.concat_ws(
+                    "|",
+                    F.array_sort(F.collect_set(F.lower(F.hex("address")))),
+                ).alias("input_addr_set")
+            )
+            .withColumnRenamed("consuming_tx_id", "tx_id")
+        )
+        outputs_set = token_utxos.groupBy("tx_id").agg(
+            F.concat_ws(
+                "|", F.array_sort(F.collect_set(F.lower(F.hex("address"))))
+            ).alias("output_addr_set")
+        )
+        report = (
+            relevant.join(F.broadcast(inputs_set), "tx_id", "left")
+            .join(F.broadcast(outputs_set), "tx_id", "left")
+            .filter(
+                ~F.col("input_addr_set").eqNullSafe(F.col("output_addr_set"))
+            )
+            .select(
+                "slot", F.lower(F.hex("tx_id")).alias("tx_id_hex"), "tx_fee",
+                "input_count", "output_count",
+                "input_addr_set", "output_addr_set",
+            )
+        )
+        return report.persist().orderBy("slot", "tx_id_hex")
+
+    def gated(spark):
+        return mod._token_transfers(spark, None, None, root=root)
+
+    real_gate = mod._FLAGSHIP_BROADCAST_ROW_GATE
+
+    def run(name):
+        spark.catalog.clearCache()
+        if name == "gate_zero_shuffle":
+            mod._FLAGSHIP_BROADCAST_ROW_GATE = 0
+        else:
+            mod._FLAGSHIP_BROADCAST_ROW_GATE = real_gate
+        t0 = time.perf_counter()
+        fn = r11_forced if name == "r11_forced_broadcast" else gated
+        fn(spark).write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    names = ["r12_gated", "r11_forced_broadcast", "gate_zero_shuffle"]
+    for n in names:  # warmup (codegen/JIT, manifest build)
+        run(n)
+    runs: dict[str, list[float]] = {n: [] for n in names}
+    for _ in range(n_runs):
+        for n in names:
+            runs[n].append(run(n))
+    mod._FLAGSHIP_BROADCAST_ROW_GATE = real_gate
+    med = {n: round(sorted(v)[len(v) // 2], 3) for n, v in runs.items()}
+    return {
+        "replicas": replicas,
+        "interleaved_medians_s_cache_cleared_per_run": med,
+        "gated_over_r11_forced": round(
+            med["r12_gated"] / med["r11_forced_broadcast"], 3
+        ),
+        "shuffle_fallback_over_gated": round(
+            med["gate_zero_shuffle"] / med["r12_gated"], 3
+        ),
+        "note": "token_utxos = 140k rows here (fixture 14 x 10000): the "
+        "manifest row bound (fused into the pruned read — zero extra "
+        "listing/jobs) proves the side under the 500k gate, so the gated "
+        "run keeps the r11 broadcast plan outright.  Iteration history: "
+        "count-job gate measured 1.26x over r11; a SEPARATE bound pass "
+        "still 1.28x (second file listing ~1.1 s/run); fused bound 1.03x "
+        "— within the +-0.15 noise band, no regression.  A count job now "
+        "runs ONLY when stats can't prove the side small (no manifest / "
+        "un-stat'd appends / fat bound), where it doubles as the cache "
+        "fill of a frame the plan reuses three times.",
+    }
+
+
+def main_flagab(scratch: str) -> None:
+    replicas = _replicas_arg(default=10_000)
+    spark = get_session(
+        app_name="scale-probe-flagab", shuffle_partitions=64
+    )
+    root = build_scaled_cardano_lake(spark, scratch, replicas)
+    _merge_probe(
+        f"flagship_gate_ab_{replicas}x",
+        flagship_gate_probe(spark, root, replicas),
+    )
+    shutil.rmtree(scratch, ignore_errors=True)
+    spark.stop()
+
+
 def main_revjoin(scratch: str) -> None:
     spark = get_session(app_name="scale-probe-revjoin", shuffle_partitions=200)
     lake_dir = os.path.join(scratch, "lake100")
     build_scaled_lake(spark, lake_dir, replicas=REPLICAS_100X, file_scale=10)
     _merge_probe("revenue_by_region_join_100x", revjoin_probe(spark, lake_dir))
+    shutil.rmtree(scratch, ignore_errors=True)
+    spark.stop()
+
+
+def gopher_arrow_probe(spark, lake_dir: str, n_runs: int = 5) -> dict:
+    """r11 verdict #5: the fifth gopher variant — Arrow mapInPandas
+    kernel (C-loop split/Counter) vs the shipped sorted-run JVM fold —
+    at 100x documents, interleaved, plus DuckDB companion and a full
+    row-equality check between the variants."""
+    import duckdb
+
+    from cardano_analytics_duckdb_spark.operators import all_oracles
+    from cardano_analytics_duckdb_spark.operators.textops import (
+        gopher_quality_flags,
+        gopher_quality_flags_arrow,
+    )
+
+    eq = (
+        gopher_quality_flags(spark, lake_dir)
+        .exceptAll(gopher_quality_flags_arrow(spark, lake_dir))
+        .count()
+    )
+    assert eq == 0, f"arrow variant diverges on {eq} rows"
+
+    variants = {
+        "jvm_sorted_run_fold": gopher_quality_flags,
+        "arrow_map_in_pandas": gopher_quality_flags_arrow,
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM read_parquet("
+        f"'{os.path.join(lake_dir, 'documents.parquet')}/*.parquet')"
+    )
+    sql = all_oracles()["gopher_quality_flags"]
+
+    for fn in variants.values():  # warmup (codegen / worker pool spin-up)
+        fn(spark, lake_dir).write.format("noop").mode("overwrite").save()
+    con.execute(sql).fetchall()
+    runs: dict[str, list[float]] = {n: [] for n in variants}
+    duck_runs: list[float] = []
+    for _ in range(n_runs):  # interleaved rounds
+        for name, fn in variants.items():
+            df = fn(spark, lake_dir)
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            runs[name].append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        con.execute(sql).fetchall()
+        duck_runs.append(time.perf_counter() - t0)
+    con.close()
+    med = {n: round(sorted(v)[len(v) // 2], 3) for n, v in runs.items()}
+    duck = round(sorted(duck_runs)[n_runs // 2], 3)
+    return {
+        "replicas": REPLICAS_100X,
+        "interleaved_medians_s": med,
+        "duckdb": duck,
+        "arrow_over_jvm": round(
+            med["arrow_map_in_pandas"] / med["jvm_sorted_run_fold"], 3
+        ),
+        "jvm_vs_duckdb": round(med["jvm_sorted_run_fold"] / duck, 3),
+        "arrow_vs_duckdb": round(med["arrow_map_in_pandas"] / duck, 3),
+    }
+
+
+def main_gopher(scratch: str) -> None:
+    spark = get_session(app_name="scale-probe-gopher", shuffle_partitions=200)
+    lake_dir = os.path.join(scratch, "lake100")
+    build_scaled_lake(spark, lake_dir, replicas=REPLICAS_100X, file_scale=10)
+    _merge_probe("gopher_arrow", gopher_arrow_probe(spark, lake_dir))
     shutil.rmtree(scratch, ignore_errors=True)
     spark.stop()
 
@@ -1572,6 +1984,18 @@ def main() -> None:
         return
     if "--revjoin" in sys.argv:
         main_revjoin(scratch)
+        return
+    if "--flagab" in sys.argv:
+        main_flagab(scratch)
+        return
+    if "--gopher" in sys.argv:
+        main_gopher(scratch)
+        return
+    if "--tpch12" in sys.argv:
+        main_tpch12(scratch)
+        return
+    if "--floor" in sys.argv:
+        main_floor(scratch)
         return
     # Production shuffle sizing posture: oversized partition count, AQE
     # coalesces down (plans/session.py docstring) — the probe must compare
