@@ -1782,19 +1782,19 @@ def gopher_arrow_probe(spark, lake_dir: str, n_runs: int = 5) -> dict:
     from cardano_analytics_duckdb_spark.operators import all_oracles
     from cardano_analytics_duckdb_spark.operators.textops import (
         gopher_quality_flags,
-        gopher_quality_flags_arrow,
+        gopher_quality_flags_jvm,
     )
 
     eq = (
-        gopher_quality_flags(spark, lake_dir)
-        .exceptAll(gopher_quality_flags_arrow(spark, lake_dir))
+        gopher_quality_flags_jvm(spark, lake_dir)
+        .exceptAll(gopher_quality_flags(spark, lake_dir))
         .count()
     )
     assert eq == 0, f"arrow variant diverges on {eq} rows"
 
     variants = {
-        "jvm_sorted_run_fold": gopher_quality_flags,
-        "arrow_map_in_pandas": gopher_quality_flags_arrow,
+        "jvm_sorted_run_fold": gopher_quality_flags_jvm,
+        "arrow_map_in_pandas": gopher_quality_flags,
     }
     con = duckdb.connect()
     con.execute(

@@ -651,3 +651,45 @@ def test_concurrent_first_reads_race_one_build(spark, tmp_path):
         assert got == expect and len(kept) >= 1
     # and no lock is left behind either way
     assert not os.path.exists(os.path.join(root, "_maintenance.lock"))
+
+
+def test_pruned_row_bound_is_exact_file_sum_and_loud_on_gaps(
+    spark, mtable, tmp_path
+):
+    """r12 (flagship broadcast gate): the bound equals the kept files'
+    n_rows sum (an upper bound on matching rows, >= the true filtered
+    count), shares the prune pass with the read, and degrades to None —
+    never a lying number — when a surviving file has no manifest entry."""
+    from cardano_analytics_duckdb_spark.lake.manifest import (
+        pruned_row_bound,
+        read_pruned_box_with_bound,
+    )
+
+    lo, hi = _full(spark, mtable).agg(
+        F.min("o_totalprice"), F.max("o_totalprice")
+    ).first()
+    width = (hi - lo) / N_FILES
+    preds = [("o_totalprice", lo, lo + width / 2)]
+    df, bound = read_pruned_box_with_bound(spark, mtable, preds)
+    true_n = df.count()
+    assert bound is not None and bound >= true_n > 0
+    kept = prune_files_box(spark, mtable, preds)
+    total = 0
+    import pyarrow.parquet as pq
+
+    for f in kept:
+        total += pq.ParquetFile(f.replace("file:", "")).metadata.num_rows
+    assert bound == total
+    assert pruned_row_bound(spark, mtable, preds) == bound
+    # no effective predicates -> no box -> bound refuses (None)
+    assert pruned_row_bound(spark, mtable, [("o_totalprice", None, None)]) is None
+
+    # an un-stat'd append inside the box makes the bound unknowable
+    import shutil
+
+    t2 = str(tmp_path / "with_append")
+    shutil.copytree(mtable.replace("file:", ""), t2)
+    _full(spark, mtable).limit(5).write.mode("append").parquet(t2)
+    df2, bound2 = read_pruned_box_with_bound(spark, t2, preds)
+    assert bound2 is None
+    assert df2.count() >= true_n  # the read itself still keeps the append
