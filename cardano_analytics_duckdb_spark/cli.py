@@ -403,7 +403,16 @@ def _cmd_bucketize(args, spark: SparkSession) -> int:
     (lake/layout.py).  Without --spec, refreshes the existing spec's
     copies — the verb a scheduler runs after appends, and the manual
     form of the refresh compact_lake performs automatically."""
-    from .lake.layout import bucket_spec, bucketize, set_bucket_spec
+    import contextlib
+
+    from .lake.fsutil import LakeFs
+    from .lake.layout import (
+        _is_external_source,
+        bucket_spec,
+        bucketize,
+        set_bucket_spec,
+    )
+    from .lake.lock import maintenance_lock
 
     if args.spec:
         spec = json.loads(args.spec)
@@ -413,7 +422,17 @@ def _cmd_bucketize(args, spark: SparkSession) -> int:
             f"no bucket spec declared for {args.lake} — pass --spec "
             '\'{"table": [["key_col"]], ...}\' once to declare one'
         )
-    built = bucketize(spark, args.lake)
+    # A lake root gets the single-maintainer lock (same contract as
+    # compaction — whose own refresh hook already runs inside it); an
+    # external file-table source has no lake lock to take (its layout
+    # lives in the derived dir and never touches the source).
+    lock = (
+        contextlib.nullcontext()
+        if _is_external_source(LakeFs(spark, args.lake), args.lake)
+        else maintenance_lock(spark, args.lake, owner="cli bucketize")
+    )
+    with lock:
+        built = bucketize(spark, args.lake)
     print(json.dumps({"lake": args.lake, "copies": built}))
     return 0
 

@@ -243,6 +243,15 @@ def bucketize(
     source is skipped — re-running after an append/compaction rebuilds
     exactly the tables that changed.  Returns {copy_key: catalog name}
     for the copies that are CURRENT after the call (built or verified).
+
+    Writer discipline: layout builds follow the lake's single-maintainer
+    contract like every other maintenance verb — ``compact_lake``'s
+    refresh already runs INSIDE the maintenance lock; a standalone
+    ``bucketize`` (CLI) is scheduled by the operator like a compaction
+    would be.  Readers need no coordination: they resolve through the
+    status sidecar and the signature check, and a half-built copy is
+    never referenced by a committed status entry (status publishes via
+    write-temp-then-rename after each table completes).
     """
     lfs = LakeFs(spark, source_dir)
     d = _find_layout_dir(lfs, source_dir)
@@ -367,9 +376,15 @@ def _catalog_frame(spark: SparkSession, st: dict) -> DataFrame:
     (the files outlive the session; the in-memory catalog does not)."""
     if not spark.catalog.tableExists(st["catalog"]):
         cols = ", ".join(f"`{c}`" for c in st["cols"])
-        spark.sql(
-            f"CREATE TABLE {st['catalog']} ({st['schema_ddl']}) "
-            f"USING PARQUET CLUSTERED BY ({cols}) SORTED BY ({cols}) "
-            f"INTO {st['n_buckets']} BUCKETS LOCATION '{st['location']}'"
-        )
+        try:
+            spark.sql(
+                f"CREATE TABLE {st['catalog']} ({st['schema_ddl']}) "
+                f"USING PARQUET CLUSTERED BY ({cols}) SORTED BY ({cols}) "
+                f"INTO {st['n_buckets']} BUCKETS LOCATION '{st['location']}'"
+            )
+        except Exception:
+            # two threads of one session racing the exists-check: losing
+            # the CREATE race is fine as long as the table is now there
+            if not spark.catalog.tableExists(st["catalog"]):
+                raise
     return spark.table(st["catalog"])
