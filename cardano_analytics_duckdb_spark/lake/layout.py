@@ -51,6 +51,7 @@ import os
 from typing import Iterable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .fsutil import LakeFs
 
@@ -223,6 +224,86 @@ def _source_frame(
     return read_table(spark, os.path.join(source_dir, table))
 
 
+def _partition_col(lfs: LakeFs, source_dir: str, table: str) -> str | None:
+    """The single hive partition column of a DIR-table source (``col=N``
+    entries — the lake's ``slot_group`` layout), else None.  Decides
+    whether a table's copies are built PARTITION-INCREMENTALLY."""
+    path = _source_path(lfs, source_dir, table)
+    if path.endswith(".parquet"):
+        return None
+    cols = {
+        d.split("=", 1)[0]
+        for d in lfs.list_dirs(path)
+        if "=" in d and not d.startswith(("_", "."))
+    }
+    return cols.pop() if len(cols) == 1 else None
+
+
+def _entry_tokens(lfs: LakeFs, table_dir: str) -> dict[str, list]:
+    """Per-partition freshness tokens for a generation-managed table:
+    the entry dir's file signature PLUS the entry's pointer state (gen
+    dir name, gen files, superseded list).  Generation dirs live at the
+    TABLE root, so the entry dir's own listing alone would miss a swap.
+    An entry's token changes on append, compaction/rollback swap, or
+    vacuum of that entry — and ONLY that entry, which is what makes the
+    refresh cost proportional to the changed partitions."""
+    from .generations import current_generations
+
+    gens = current_generations(lfs, table_dir)
+    live = {
+        e
+        for e in lfs.list_dirs(table_dir)
+        if "=" in e and not e.startswith(("_", "."))
+    }
+    out: dict[str, list] = {}
+    for entry in sorted(live | set(gens)):
+        tok: list = [
+            list(x)
+            for x in lfs.content_signature(os.path.join(table_dir, entry))
+        ]
+        st = gens.get(entry)
+        if st is not None:
+            tok.append(["#gen", st.get("gen") or ""])
+            if st.get("gen"):
+                tok.extend(
+                    ["#genfile", *x]
+                    for x in lfs.content_signature(
+                        os.path.join(table_dir, st["gen"])
+                    )
+                )
+            tok.append(["#superseded", *sorted(st.get("superseded", []))])
+        out[entry] = tok
+    return out
+
+
+def _incremental_entries(
+    st: dict | None, tokens: dict | None, pcol: str | None, n_buckets: int
+) -> list[str] | None:
+    """Which partition entries to rewrite, or None for a FULL rebuild.
+
+    Incremental only when the existing copy is partition-aware with the
+    same partition column and bucket count, and no entry DISAPPEARED
+    (dynamic overwrite can replace partitions but not drop them — a
+    removal falls back to the full rebuild, which mode("overwrite")
+    handles).  Returns [] when only table-root control files churned."""
+    if pcol is None or tokens is None or st is None:
+        return None
+    if st.get("partition_col") != pcol or st.get("n_buckets") != n_buckets:
+        return None
+    old = st.get("partition_tokens")
+    if not old:
+        return None
+    if set(old) - set(tokens):
+        return None  # an entry was dropped (rollback to origin + vacuum)
+    return [e for e in sorted(tokens) if tokens[e] != old.get(e)]
+
+
+def _resolve_catalog(spark: SparkSession, st: dict) -> None:
+    """Ensure the copy's catalog entry exists (fresh session) before an
+    incremental insertInto targets it."""
+    _catalog_frame(spark, st)
+
+
 def _catalog_name(source_dir: str, table: str, cols: list[str]) -> str:
     tag = hashlib.md5(os.path.abspath(source_dir).encode()).hexdigest()[:8]
     return f"lake_{tag}_{table}_by_{'_'.join(cols)}"
@@ -270,6 +351,12 @@ def bucketize(
         if only is not None and table not in only:
             continue
         sig = _source_sig(lfs, source_dir, table)
+        pcol = _partition_col(lfs, source_dir, table)
+        tokens = (
+            _entry_tokens(lfs, _source_path(lfs, source_dir, table))
+            if pcol
+            else None
+        )
         src: DataFrame | None = None
         for cols in layouts:
             key = f"{table}_by_{'_'.join(cols)}"
@@ -281,20 +368,70 @@ def bucketize(
             if src is None:
                 src = _source_frame(spark, lfs, source_dir, table)
             loc = os.path.join(d, key)
-            spark.sql(f"DROP TABLE IF EXISTS {cat}")
-            (
-                # one file per bucket: bucketBy makes every writer task
-                # emit a file per bucket it holds, so hash-repartitioning
-                # on the key first keeps file counts = bucket counts and
-                # lets the stored per-bucket sort survive (elides the
-                # join's Sort as well as its Exchange)
-                src.repartition(n_buckets, *[src[c] for c in cols])
-                .write.mode("overwrite")
-                .bucketBy(n_buckets, *cols)
-                .sortBy(*cols)
-                .option("path", loc)
-                .saveAsTable(cat)
-            )
+            changed = _incremental_entries(st, tokens, pcol, n_buckets)
+            if changed is not None and not changed:
+                # control-plane-only churn (savepoint/pointer sidecars at
+                # the table root move the whole-dir signature without any
+                # entry's data changing): no rewrite, just re-record the
+                # signature so resolution serves the copy again
+                pass
+            elif changed is not None:
+                # PARTITION-INCREMENTAL refresh: at 100 TB a steady-state
+                # lake appends/compacts a handful of recent slot_groups
+                # per maintenance cycle — rewriting the whole copy would
+                # make the layout cost proportional to the TABLE, this
+                # keeps it proportional to the changed partitions.
+                # Dynamic partition overwrite into the partitioned+
+                # bucketed table preserves the bucket invariant (one
+                # sorted file per (partition, bucket); join-correctness
+                # and Exchange elision asserted in tests/test_layout.py).
+                _resolve_catalog(spark, st)  # fresh session: re-register
+                part_vals = [int(e.split("=", 1)[1]) for e in changed]
+                delta = src.filter(F.col(pcol).isin(part_vals))
+                ordered = [c for c in src.columns if c != pcol] + [pcol]
+                saved = spark.conf.get(
+                    "spark.sql.sources.partitionOverwriteMode", "static"
+                )
+                spark.conf.set(
+                    "spark.sql.sources.partitionOverwriteMode", "dynamic"
+                )
+                try:
+                    (
+                        delta.select(*ordered)
+                        .repartition(n_buckets, *[F.col(c) for c in cols])
+                        .write.mode("overwrite")
+                        .insertInto(cat, overwrite=True)
+                    )
+                finally:
+                    spark.conf.set(
+                        "spark.sql.sources.partitionOverwriteMode", saved
+                    )
+            else:
+                spark.sql(f"DROP TABLE IF EXISTS {cat}")
+                writer = (
+                    # one file per bucket (and per partition): bucketBy
+                    # makes every writer task emit a file per bucket it
+                    # holds, so hash-repartitioning on the key first
+                    # keeps file counts = bucket counts and lets the
+                    # stored per-bucket sort survive (elides the join's
+                    # Sort as well as its Exchange)
+                    src.repartition(n_buckets, *[src[c] for c in cols])
+                    .write.mode("overwrite")
+                )
+                if pcol:
+                    ordered = [c for c in src.columns if c != pcol] + [pcol]
+                    writer = (
+                        src.select(*ordered)
+                        .repartition(n_buckets, *[F.col(c) for c in cols])
+                        .write.mode("overwrite")
+                        .partitionBy(pcol)
+                    )
+                (
+                    writer.bucketBy(n_buckets, *cols)
+                    .sortBy(*cols)
+                    .option("path", loc)
+                    .saveAsTable(cat)
+                )
             status["copies"][key] = {
                 "table": table,
                 "cols": list(cols),
@@ -302,7 +439,15 @@ def bucketize(
                 "catalog": cat,
                 "location": loc,
                 "source_sig": sig,
-                "schema_ddl": _schema_ddl(src),
+                "schema_ddl": _schema_ddl(
+                    src.select(
+                        *([c for c in src.columns if c != pcol] + [pcol])
+                    )
+                    if pcol
+                    else src
+                ),
+                "partition_col": pcol,
+                "partition_tokens": tokens,
             }
             out[key] = cat
         _write_json(lfs, status_path, status)
@@ -376,12 +521,19 @@ def _catalog_frame(spark: SparkSession, st: dict) -> DataFrame:
     (the files outlive the session; the in-memory catalog does not)."""
     if not spark.catalog.tableExists(st["catalog"]):
         cols = ", ".join(f"`{c}`" for c in st["cols"])
+        pcol = st.get("partition_col")
+        part = f"PARTITIONED BY (`{pcol}`) " if pcol else ""
         try:
             spark.sql(
                 f"CREATE TABLE {st['catalog']} ({st['schema_ddl']}) "
-                f"USING PARQUET CLUSTERED BY ({cols}) SORTED BY ({cols}) "
+                f"USING PARQUET {part}CLUSTERED BY ({cols}) "
+                f"SORTED BY ({cols}) "
                 f"INTO {st['n_buckets']} BUCKETS LOCATION '{st['location']}'"
             )
+            if pcol:
+                # load the on-disk partitions into the fresh catalog —
+                # without this the re-registered table reads empty
+                spark.sql(f"MSCK REPAIR TABLE {st['catalog']}")
         except Exception:
             # two threads of one session racing the exists-check: losing
             # the CREATE race is fine as long as the table is now there

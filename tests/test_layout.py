@@ -301,3 +301,71 @@ def test_changes_and_bucketize_cli(spark, tmp_path, capsys, monkeypatch):
     assert layout.resolve_bucketed(spark, root, "tx") is not None
     rc = main(["bucketize", "--lake", root], spark=spark)
     assert rc == 0
+
+
+def test_lake_layout_refresh_is_partition_incremental(
+    spark, layout_env, tmp_path
+):
+    """100 TB posture: a steady-state lake appends to recent slot_groups;
+    the layout refresh must rewrite ONLY those partitions, not the whole
+    copy — and control-plane-only churn (savepoints) must rewrite
+    nothing."""
+    from cardano_analytics_duckdb_spark.lake.savepoints import (
+        create_savepoint,
+    )
+    from cardano_analytics_duckdb_spark.operators.cardano import _lake
+    from cardano_analytics_duckdb_spark.streaming.ingest import ingest_blocks
+
+    blocks = [
+        b for b in fixture_blocks() if b.get("direction") != "backward"
+    ]
+    root = str(tmp_path / "lake")
+    ingest_blocks(spark, blocks[:150], root, batch_size=50)
+    d = layout.set_bucket_spec(spark, root, {"tx": [["tx_id"]]}, n_buckets=4)
+    layout.bucketize(spark, root)
+    lfs = LakeFs(spark, root)
+    status = layout._read_json(lfs, os.path.join(d, layout.STATUS_NAME))
+    st = status["copies"]["tx_by_tx_id"]
+    assert st["partition_col"] == "slot_group"
+    assert set(st["partition_tokens"]) == {
+        "slot_group=0", "slot_group=200000",
+    }
+    loc = st["location"]
+    g0_before = lfs.content_signature(os.path.join(loc, "slot_group=0"))
+    assert g0_before
+
+    # append ONLY to the newer group, then refresh: the old group's copy
+    # files must be byte-identical (same names, mtimes, lengths)
+    tail = blocks[150:]
+    assert all(b["slot"] >= 200000 for b in tail)
+    ingest_blocks(spark, tail, root, batch_size=50)
+    assert layout.resolve_bucketed(spark, root, "tx") is None  # stale
+    layout.bucketize(spark, root)
+    assert g0_before == lfs.content_signature(
+        os.path.join(loc, "slot_group=0")
+    ), "untouched partition was rewritten"
+    served = layout.resolve_bucketed(spark, root, "tx")
+    n_true = _lake(spark, "tx", root).count()
+    assert served is not None and served.count() == n_true
+    # bucket invariant survives the incremental insert: self-join on the
+    # bucket key stays exchange-free AND row-correct
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = served.select("tx_id", "tx_fee").join(
+            served.select("tx_id", "slot"), "tx_id"
+        )
+        assert j.count() == n_true  # tx_id unique -> 1:1 self join
+        assert not _below_join_exchange(j)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+    # control-plane-only churn: a savepoint moves root sidecars (stale
+    # signature) but no entry's data — refresh must rewrite NOTHING and
+    # still restore resolution
+    create_savepoint(spark, root)
+    assert layout.resolve_bucketed(spark, root, "tx") is None
+    whole_before = lfs.content_signature(loc)
+    layout.bucketize(spark, root)
+    assert lfs.content_signature(loc) == whole_before
+    assert layout.resolve_bucketed(spark, root, "tx") is not None
