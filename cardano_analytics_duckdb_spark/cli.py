@@ -414,6 +414,15 @@ def _cmd_bucketize(args, spark: SparkSession) -> int:
     )
     from .lake.lock import maintenance_lock
 
+    if args.recommend:
+        from .lake.advisor import recommend_bucket_spec
+        from .operators import all_queries
+
+        spec = recommend_bucket_spec(
+            spark, args.lake, all_queries(), min_votes=args.min_votes
+        )
+        print(json.dumps({"recommended_spec": spec}))
+        return 0
     if args.spec:
         spec = json.loads(args.spec)
         set_bucket_spec(spark, args.lake, spec, n_buckets=args.buckets)
@@ -720,6 +729,20 @@ def build_parser() -> argparse.ArgumentParser:
         help='JSON {table: [[key cols], ...]}, e.g. \'{"tx": [["tx_id"]]}\'',
     )
     bz.add_argument("--buckets", type=int, default=64)
+    bz.add_argument(
+        "--recommend",
+        action="store_true",
+        help="print a workload-derived spec instead of building: walks"
+        " every registered query's optimized plan for equi-join keys over"
+        " this source's tables (lake/advisor.py) — review, then pass the"
+        " result back via --spec",
+    )
+    bz.add_argument(
+        "--min-votes",
+        type=int,
+        default=2,
+        help="keep keys joined on by at least this many queries",
+    )
     bz.set_defaults(func=_cmd_bucketize)
 
     va = sub.add_parser(

@@ -369,3 +369,52 @@ def test_lake_layout_refresh_is_partition_incremental(
     layout.bucketize(spark, root)
     assert lfs.content_signature(loc) == whole_before
     assert layout.resolve_bucketed(spark, root, "tx") is not None
+
+
+def test_advisor_recovers_audited_spec_from_workload(spark):
+    """lake/advisor.py: the recommendation derived from the tpch-family
+    queries' own optimized plans must contain every (table, key) the
+    hand-audited DEFAULT_TPCH_SPEC declares — the spec is workload
+    evidence, not folklore.  (The advisor also surfaces suppkey keys
+    from the broadcast-dim joins; it recommends, the operator decides —
+    so the assertion is superset, not equality.)"""
+    from cardano_analytics_duckdb_spark.lake.advisor import (
+        recommend_bucket_spec,
+    )
+    from cardano_analytics_duckdb_spark.operators import all_queries
+
+    qs = all_queries()
+    tpch = {
+        n: qs[n]
+        for n in (
+            "forecast_revenue_change", "nation_part_profit",
+            "late_ship_priority_counts", "customer_order_distribution",
+            "promo_revenue_share", "significant_parts_value",
+            "excess_volume_suppliers", "distinct_supplier_part_counts",
+            "not_in_null_semantics", "revenue_by_region",
+        )
+    }
+    spec = recommend_bucket_spec(spark, SF, tpch, min_votes=2)
+    got = {(t, c) for t, layouts in spec.items() for (c,) in layouts}
+    want = {
+        (t, c)
+        for t, layouts in layout.DEFAULT_TPCH_SPEC.items()
+        for (c,) in layouts
+    }
+    assert want <= got, f"missing: {want - got}"
+
+
+def test_bucketize_recommend_cli(spark, capsys, monkeypatch, tmp_path):
+    import json
+
+    monkeypatch.setenv("SPARK_GRAFT_LAYOUT_DIR", str(tmp_path / "layouts"))
+    layout.invalidate_layout_cache()
+    from cardano_analytics_duckdb_spark.cli import main
+
+    rc = main(["bucketize", "--lake", SF, "--recommend"], spark=spark)
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    spec = rep["recommended_spec"]
+    assert ["o_custkey"] in spec.get("orders", [])
+    # recommend is read-only: no layout was declared or built
+    assert layout.bucket_spec(spark, SF) is None
