@@ -247,7 +247,11 @@ def _entry_tokens(lfs: LakeFs, table_dir: str) -> dict[str, list]:
     An entry's token changes on append, compaction/rollback swap, or
     vacuum of that entry — and ONLY that entry, which is what makes the
     refresh cost proportional to the changed partitions."""
-    from .generations import current_generations
+    from .generations import (
+        current_generations,
+        generation_files,
+        live_partition_files,
+    )
 
     gens = current_generations(lfs, table_dir)
     live = {
@@ -262,9 +266,13 @@ def _entry_tokens(lfs: LakeFs, table_dir: str) -> dict[str, list]:
             for x in lfs.content_signature(os.path.join(table_dir, entry))
         ]
         st = gens.get(entry)
+        n_live = len(live_partition_files(lfs, table_dir, entry, gens))
         if st is not None:
             tok.append(["#gen", st.get("gen") or ""])
             if st.get("gen"):
+                n_live += len(
+                    generation_files(lfs, table_dir, st["gen"])
+                )
                 tok.extend(
                     ["#genfile", *x]
                     for x in lfs.content_signature(
@@ -272,6 +280,13 @@ def _entry_tokens(lfs: LakeFs, table_dir: str) -> dict[str, list]:
                     )
                 )
             tok.append(["#superseded", *sorted(st.get("superseded", []))])
+        # live data-file count: an entry EMPTIED by maintenance (gen
+        # None, every hive file superseded) must force the full rebuild
+        # below — dynamic partition overwrite can only REPLACE a copy
+        # partition, never drop one, so an incremental refresh would
+        # resurrect the emptied partition's old rows (caught by the
+        # layout resolution walk on its first run)
+        tok.append(["#live", n_live])
         out[entry] = tok
     return out
 
@@ -295,7 +310,17 @@ def _incremental_entries(
         return None
     if set(old) - set(tokens):
         return None  # an entry was dropped (rollback to origin + vacuum)
-    return [e for e in sorted(tokens) if tokens[e] != old.get(e)]
+    changed = [e for e in sorted(tokens) if tokens[e] != old.get(e)]
+    for e in changed:
+        live = next(
+            (x[1] for x in tokens[e] if x and x[0] == "#live"), None
+        )
+        if not live:
+            # the entry exists but holds ZERO live files (emptied by a
+            # rollback): overwrite can't drop the copy's partition, so
+            # this must be a full rebuild
+            return None
+    return changed
 
 
 def _resolve_catalog(spark: SparkSession, st: dict) -> None:

@@ -418,3 +418,136 @@ def test_bucketize_recommend_cli(spark, capsys, monkeypatch, tmp_path):
     assert ["o_custkey"] in spec.get("orders", [])
     # recommend is read-only: no layout was declared or built
     assert layout.bucket_spec(spark, SF) is None
+
+
+def test_layout_resolution_walk_never_serves_wrong_rows(spark, tmp_path):
+    """Compositional safety (the test_generations_model pattern): a
+    seeded random sequence of append / compact / upsert / rollback /
+    vacuum / savepoint / bucketize runs against a driver-side model.
+    After EVERY step the layout invariant must hold: resolution either
+    serves EXACTLY the model rows or returns None (plain fallback — the
+    default read path then equals the model via read_table).  After
+    every bucketize, resolution must be live and exact.  This is the
+    'staleness costs performance, never rows' contract checked across
+    arbitrary interleavings rather than pointwise — its FIRST run caught
+    the emptied-partition resurrection bug (dynamic overwrite can't drop
+    a copy partition; rollback-emptied entries now force a full
+    rebuild).  SOAK_SEEDS=N sweeps N extra seeds."""
+    _run_layout_walk(spark, str(tmp_path / "walk"), 20260816, 14)
+    n = int(os.environ.get("SOAK_SEEDS", "0"))
+    off = int(os.environ.get("SOAK_OFFSET", "0"))
+    for i in range(off, off + n):
+        _run_layout_walk(
+            spark, str(tmp_path / f"walk_s{i}"), 20260816 + 1 + i, 14
+        )
+
+
+def _run_layout_walk(spark, root, seed, n_steps):
+    import random
+
+    from cardano_analytics_duckdb_spark.lake.generations import (
+        read_table,
+        vacuum_superseded,
+    )
+    from cardano_analytics_duckdb_spark.lake.lock import maintenance_lock
+    from cardano_analytics_duckdb_spark.lake.savepoints import (
+        create_savepoint,
+    )
+    from cardano_analytics_duckdb_spark.lake.upsert import upsert_partitioned
+    from cardano_analytics_duckdb_spark.streaming.ingest import (
+        _compact_lake_locked,
+        _rollback_lake_locked,
+    )
+
+    SCHEMA = "k long, v string, slot long, slot_group long"
+    rng = random.Random(seed)
+    t = os.path.join(root, "t")
+    model: dict[int, tuple[str, int, int]] = {}
+    next_key = 0
+
+    def fresh_rows(n):
+        nonlocal next_key
+        out = []
+        for _ in range(n):
+            slot = rng.randrange(0, 300)
+            g = (slot // 100) * 100
+            out.append((next_key, f"v{next_key}", slot, g))
+            model[next_key] = (f"v{next_key}", slot, g)
+            next_key += 1
+        return out
+
+    def model_rows():
+        return sorted((k, v, s, g) for k, (v, s, g) in model.items())
+
+    def frame_rows(df):
+        return sorted(
+            map(tuple, df.select("k", "v", "slot", "slot_group").collect())
+        )
+
+    spark.createDataFrame(fresh_rows(6), SCHEMA).write.mode(
+        "append"
+    ).partitionBy("slot_group").parquet(t)
+    layout.set_bucket_spec(spark, root, {"t": [["k"]]}, n_buckets=4)
+    layout.bucketize(spark, root)
+
+    ops = ["append", "compact", "compact_defer", "upsert", "rollback",
+           "vacuum", "savepoint", "bucketize", "bucketize"]
+    history = []
+    for step in range(n_steps):
+        op = rng.choice(ops)
+        history.append(op)
+        if op == "append":
+            spark.createDataFrame(
+                fresh_rows(rng.randint(1, 4)), SCHEMA
+            ).write.mode("append").partitionBy("slot_group").parquet(t)
+        elif op in ("compact", "compact_defer"):
+            # NOTE: _compact_lake_locked ends with refresh_layout — the
+            # lifecycle hook is part of the walk
+            with maintenance_lock(spark, root, owner=f"walk-{step}"):
+                _compact_lake_locked(
+                    spark, root, tables=["t"],
+                    vacuum="end" if op == "compact" else "defer",
+                )
+        elif op == "upsert":
+            if not model:
+                continue
+            victim = rng.choice(sorted(model))
+            _, s_old, g_old = model[victim]
+            model[victim] = (f"u{step}", s_old, g_old)
+            updates = [(victim, f"u{step}", s_old, g_old)] + fresh_rows(1)
+            upsert_partitioned(
+                spark, root, "t",
+                spark.createDataFrame(updates, SCHEMA), ["k"],
+                vacuum=rng.choice(["end", "defer"]),
+            )
+        elif op == "rollback":
+            to_slot = rng.choice([60, 140, 230])
+            with maintenance_lock(spark, root, owner=f"walk-{step}"):
+                _rollback_lake_locked(
+                    spark, root, to_slot, tables=["t"],
+                    vacuum=rng.choice(["end", "defer"]),
+                )
+            for k in [k for k, (_, s, _) in model.items() if s > to_slot]:
+                del model[k]
+        elif op == "vacuum":
+            vacuum_superseded(spark, t)
+        elif op == "savepoint":
+            create_savepoint(spark, root)
+        elif op == "bucketize":
+            if not model:
+                continue  # an emptied source has nothing to copy
+            layout.bucketize(spark, root)
+            served = layout.resolve_bucketed(spark, root, "t")
+            assert served is not None, f"stale right after refresh: {history}"
+        if not model:
+            continue
+        served = layout.resolve_bucketed(spark, root, "t")
+        if served is not None:
+            assert frame_rows(served) == model_rows(), (
+                f"layout served WRONG ROWS after step {step} ({op}); "
+                f"history={history}"
+            )
+        assert frame_rows(read_table(spark, t)) == model_rows(), (
+            f"plain path diverged after step {step} ({op}); "
+            f"history={history}"
+        )
