@@ -1763,6 +1763,82 @@ def main_flagab(scratch: str) -> None:
     spark.stop()
 
 
+def layout_cost_probe(spark, root: str, replicas: int) -> dict:
+    """r12: is the partition-incremental layout refresh actually
+    proportional to the CHANGED partitions?  On the scaled cardano lake
+    (64 slot_group partitions at FOLD 32 x 2 source groups): full build
+    of the tx copy, then a small append into ONE slot_group, then the
+    refresh — which must rewrite only that partition (signature-checked
+    here, not just claimed) and cost a small fraction of the build."""
+    from cardano_analytics_duckdb_spark.lake import layout
+    from cardano_analytics_duckdb_spark.lake.fsutil import LakeFs
+    from cardano_analytics_duckdb_spark.operators.cardano import _lake
+
+    lfs = LakeFs(spark, root)
+    layout.set_bucket_spec(spark, root, {"tx": [["tx_id"]]}, n_buckets=64)
+    t0 = time.perf_counter()
+    layout.bucketize(spark, root)
+    t_full = round(time.perf_counter() - t0, 3)
+
+    d = layout._find_layout_dir(lfs, root)
+    status = layout._read_json(lfs, os.path.join(d, layout.STATUS_NAME))
+    st = status["copies"]["tx_by_tx_id"]
+    loc = st["location"]
+    parts = sorted(lfs.list_dirs(loc))
+    sigs_before = {
+        p: lfs.content_signature(os.path.join(loc, p)) for p in parts
+    }
+
+    # append a handful of rows into ONE source partition
+    tx_dir = os.path.join(root, "tx")
+    target = sorted(lfs.list_dirs(tx_dir))[0]
+    sample = (
+        spark.read.option("basePath", tx_dir).parquet(tx_dir)
+        .filter(f"slot_group = {int(target.split('=')[1])}")
+        .limit(50)
+        .withColumn("tx_id", F.expr("concat(to_binary('fe', 'hex'), substring(tx_id, 2))"))
+    )
+    (
+        sample.drop("slot_group").coalesce(1)
+        .write.mode("append")
+        .parquet(os.path.join(tx_dir, target))
+    )
+
+    n_true = _lake(spark, "tx", root).count()
+    t0 = time.perf_counter()
+    layout.bucketize(spark, root)
+    t_incr = round(time.perf_counter() - t0, 3)
+    rewritten = [
+        p
+        for p in parts
+        if lfs.content_signature(os.path.join(loc, p)) != sigs_before[p]
+    ]
+    served = layout.resolve_bucketed(spark, root, "tx")
+    ok = served is not None and served.count() == n_true
+    return {
+        "replicas": replicas,
+        "tx_partitions": len(parts),
+        "full_build_s": t_full,
+        "incremental_refresh_s": t_incr,
+        "incremental_over_full": round(t_incr / t_full, 3),
+        "partitions_rewritten": rewritten,
+        "rows_match_after_refresh": ok,
+    }
+
+
+def main_layoutcost(scratch: str) -> None:
+    replicas = _replicas_arg(default=10_000)
+    spark = get_session(
+        app_name="scale-probe-layoutcost", shuffle_partitions=64
+    )
+    root = build_scaled_cardano_lake(spark, scratch, replicas)
+    _merge_probe(
+        f"layout_refresh_cost_{replicas}x", layout_cost_probe(spark, root, replicas)
+    )
+    shutil.rmtree(scratch, ignore_errors=True)
+    spark.stop()
+
+
 def main_revjoin(scratch: str) -> None:
     spark = get_session(app_name="scale-probe-revjoin", shuffle_partitions=200)
     lake_dir = os.path.join(scratch, "lake100")
@@ -1996,6 +2072,9 @@ def main() -> None:
         return
     if "--floor" in sys.argv:
         main_floor(scratch)
+        return
+    if "--layoutcost" in sys.argv:
+        main_layoutcost(scratch)
         return
     # Production shuffle sizing posture: oversized partition count, AQE
     # coalesces down (plans/session.py docstring) — the probe must compare
