@@ -10,6 +10,10 @@ the write-once-shuffle, read-many-times-free trade.
 Bucketed output requires the table catalog (``saveAsTable``); the warehouse
 lives under the lake root.  ``tests/test_plans.py`` proves the Exchange
 elision on the physical plan.
+
+This module is the WRITE PRIMITIVE; the lifecycle layer that makes
+bucketed layouts declarative, persisted, signature-fresh, and
+automatically resolved by the default read path is ``lake/layout.py``.
 """
 
 from __future__ import annotations

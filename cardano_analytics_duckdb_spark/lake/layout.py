@@ -383,6 +383,7 @@ def bucketize(
             else None
         )
         src: DataFrame | None = None
+        retired = False
         for cols in layouts:
             key = f"{table}_by_{'_'.join(cols)}"
             st = status["copies"].get(key)
@@ -390,8 +391,31 @@ def bucketize(
             if st is not None and st["source_sig"] == sig:
                 out[key] = st["catalog"]
                 continue  # copy is current
+            if retired:
+                continue
             if src is None:
-                src = _source_frame(spark, lfs, source_dir, table)
+                try:
+                    src = _source_frame(spark, lfs, source_dir, table)
+                except ValueError as e:
+                    if "no live data" not in str(e):
+                        raise
+                    # The source was EMPTIED (rollback to origin): there
+                    # is nothing to copy, and the maintenance hook must
+                    # not blow up the compaction that called it — retire
+                    # every copy of this table so resolution can never
+                    # serve the dead rows (the signature mismatch already
+                    # guarantees that; this reclaims the artifacts too).
+                    for cols2 in layouts:
+                        key2 = f"{table}_by_{'_'.join(cols2)}"
+                        st2 = status["copies"].pop(key2, None)
+                        if st2 is not None:
+                            spark.sql(
+                                f"DROP TABLE IF EXISTS {st2['catalog']}"
+                            )
+                            if lfs.exists(st2["location"]):
+                                lfs.delete_recursive(st2["location"])
+                    retired = True
+                    continue
             loc = os.path.join(d, key)
             changed = _incremental_entries(st, tokens, pcol, n_buckets)
             if changed is not None and not changed:

@@ -534,11 +534,18 @@ def _run_layout_walk(spark, root, seed, n_steps):
         elif op == "savepoint":
             create_savepoint(spark, root)
         elif op == "bucketize":
-            if not model:
-                continue  # an emptied source has nothing to copy
+            # on an EMPTIED source (rollback to origin) this must retire
+            # the copies, not raise — the compaction hook calls it too
             layout.bucketize(spark, root)
             served = layout.resolve_bucketed(spark, root, "t")
-            assert served is not None, f"stale right after refresh: {history}"
+            if model:
+                assert served is not None, (
+                    f"stale right after refresh: {history}"
+                )
+            else:
+                assert served is None, (
+                    f"served a copy of an EMPTIED source: {history}"
+                )
         if not model:
             continue
         served = layout.resolve_bucketed(spark, root, "t")
