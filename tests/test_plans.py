@@ -656,7 +656,8 @@ def test_curation_pipeline_single_fullrow_shuffle(spark, sf_dir):
 
 
 def test_pii_redaction_scrubs_once(spark, sf_dir):
-    """The 3-deep regexp_replace chain feeds BOTH redacted_len and
+    """(On the JVM variant — the default is the Arrow subn kernel since
+    r12.)  The 3-deep regexp_replace chain feeds BOTH redacted_len and
     redacted_md5; staged through its own projection it must appear
     exactly 3 times in the optimized plan (one per pattern), not 6
     (inlined per consumer).  Runtime is measured neutral — codegen's
@@ -664,11 +665,11 @@ def test_pii_redaction_scrubs_once(spark, sf_dir):
     staged plan doesn't depend on that pass (e.g. under codegen
     fallback)."""
     from cardano_analytics_duckdb_spark.operators.textops import (
-        pii_redaction_stats,
+        pii_redaction_stats_jvm,
     )
 
     plan = (
-        pii_redaction_stats(spark, sf_dir)
+        pii_redaction_stats_jvm(spark, sf_dir)
         ._jdf.queryExecution()
         .optimizedPlan()
         .toString()
