@@ -370,6 +370,18 @@ def test_lake_layout_refresh_is_partition_incremental(
     assert lfs.content_signature(loc) == whole_before
     assert layout.resolve_bucketed(spark, root, "tx") is not None
 
+    # fresh-session re-registration of a PARTITIONED copy: the catalog
+    # must relearn the on-disk partitions (CREATE ... PARTITIONED BY +
+    # MSCK REPAIR) — without the repair the table reads empty
+    status = layout._read_json(lfs, os.path.join(d, layout.STATUS_NAME))
+    cat = status["copies"]["tx_by_tx_id"]["catalog"]
+    spark.sql(f"DROP TABLE IF EXISTS {cat}")
+    layout.invalidate_layout_cache()
+    served = layout.resolve_bucketed(spark, root, "tx")
+    assert served is not None and served.count() == n_true
+    # partition pruning works on the re-registered copy
+    assert served.filter(F.col("slot_group") == 0).count() > 0
+
 
 def test_advisor_recovers_audited_spec_from_workload(spark):
     """lake/advisor.py: the recommendation derived from the tpch-family
