@@ -25,13 +25,15 @@ from pyspark.sql import DataFrame, SparkSession
 # pinned + the queries rewritten this round (lang_id pair — 65535-token
 # lane-saturation slice in fold AND oracle; forecast_revenue_change —
 # pushdown-friendly timestamp bounds; gopher_quality_flags — shared flag
-# projection refactor; distinct_supplier_part_counts / revenue_by_region
-# — layout_for hints + the r11 residual asks) + the ENTIRE 29-query
+# projection refactor; pii_redaction_stats — Arrow subn kernel adopted;
+# revenue_by_region — layout_for hints + the r11 #7 ask) + the ENTIRE 29-query
 # r8-vintage block — leaving no query's last driver row older than r9.
-# The four other layout-hinted tpch queries (late_ship_priority_counts,
-# nation_part_profit, customer_order_distribution, promo_revenue_share)
-# carry fresher driver rows and an inert hint at driver scale (no layout
-# declared there), and stay pytest-oracle-green every round like all 147.
+# The five other layout-hinted tpch queries (late_ship_priority_counts,
+# nation_part_profit, customer_order_distribution, promo_revenue_share,
+# distinct_supplier_part_counts) carry an inert hint at driver scale (no
+# layout declared there) — lower re-verification value than the pii
+# kernel swap, which changes the execution path outright — and stay
+# pytest-oracle-green every round like all 147.
 _WINDOW = (
     # reference parity (pinned every round; all changed: broadcast gate)
     "cardano_high_fee_txs",
@@ -54,7 +56,7 @@ _WINDOW = (
     "lang_id_confusion",
     "forecast_revenue_change",
     "gopher_quality_flags",
-    "distinct_supplier_part_counts",
+    "pii_redaction_stats",
     "revenue_by_region",
     # last driver row r8 — the entire oldest block (r11 verdict #4)
     "curated_corpus_sample",
