@@ -225,18 +225,28 @@ def _source_frame(
 
 
 def _partition_col(lfs: LakeFs, source_dir: str, table: str) -> str | None:
-    """The single hive partition column of a DIR-table source (``col=N``
-    entries — the lake's ``slot_group`` layout), else None.  Decides
-    whether a table's copies are built PARTITION-INCREMENTALLY."""
+    """The single INTEGRAL hive partition column of a DIR-table source
+    (``col=N`` entries — the lake's ``slot_group`` layout), else None.
+    Decides whether a table's copies are built PARTITION-INCREMENTALLY;
+    non-integral partition values (the generation layer doesn't manage
+    those either — lake/generations.py's entry contract) fall back to
+    whole-table copies rather than risking a bad value parse."""
     path = _source_path(lfs, source_dir, table)
     if path.endswith(".parquet"):
         return None
-    cols = {
-        d.split("=", 1)[0]
+    entries = [
+        d
         for d in lfs.list_dirs(path)
         if "=" in d and not d.startswith(("_", "."))
-    }
-    return cols.pop() if len(cols) == 1 else None
+    ]
+    cols = {d.split("=", 1)[0] for d in entries}
+    if len(cols) != 1:
+        return None
+    for d in entries:
+        v = d.split("=", 1)[1]
+        if not (v.lstrip("-").isdigit() and v.lstrip("-")):
+            return None
+    return cols.pop()
 
 
 def _entry_tokens(lfs: LakeFs, table_dir: str) -> dict[str, list]:
