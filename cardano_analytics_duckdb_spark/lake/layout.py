@@ -48,6 +48,8 @@ from __future__ import annotations
 import hashlib
 import json
 import os
+import re
+import time
 from typing import Iterable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -69,17 +71,39 @@ DEFAULT_TPCH_SPEC: dict[str, list[list[str]]] = {
     "part": [["p_partkey"]],
 }
 
-# Parsed status per layout dir, plus negative entries (None = no layout).
-# Invalidated by every mutation in THIS process; another process building
-# a layout is picked up lazily (next cache miss) or via
-# ``invalidate_layout_cache`` — resolution correctness never depends on
-# it, because the source-signature check below is always live.
-_LAYOUT_CACHE: dict[str, dict | None] = {}
+# Parsed status per layout dir, plus negative entries (``_NO_SPEC`` = no
+# spec file at that candidate — a DISTINCT sentinel, so a layout that is
+# declared but not yet built (spec present, status absent) is never
+# conflated with "no layout here"; r12 advice: a None-valued status
+# entry used to make every read between set_bucket_spec and the first
+# bucketize see "no layout" until a process restart).  Invalidated by
+# every mutation in THIS process; another process building a layout is
+# picked up lazily (next cache miss) or via ``invalidate_layout_cache``
+# — resolution correctness never depends on it, because the
+# source-signature check below is live (root-token-keyed memo).
+_NO_SPEC = object()
+_LAYOUT_CACHE: dict[str, object] = {}
+
+# Live source-signature memo: path -> (expires, root_token, sig).  The
+# deep signature (every data file one level down) is O(#partition dirs)
+# listing RPCs — a per-query listing storm at object-store scale (r12
+# advice).  Reads re-validate against a ONE-RPC shallow root listing
+# (entry-dir mtimes move on any direct child change on local/HDFS; gen
+# dirs and pointer/snapshot sidecars appear AT the root on every
+# maintenance swap), and a short TTL bounds the residual window on
+# stores with synthetic dir mtimes where a bare append inside an
+# existing entry leaves the root listing unchanged.
+_SIG_CACHE: dict[str, tuple[float, tuple, list]] = {}
+
+
+def _sig_ttl() -> float:
+    return float(os.environ.get("SPARK_GRAFT_LAYOUT_SIG_TTL", "10"))
 
 
 def invalidate_layout_cache(layout_dir: str | None = None) -> None:
     for k in [k for k in _LAYOUT_CACHE if layout_dir is None or k == layout_dir]:
         del _LAYOUT_CACHE[k]
+    _SIG_CACHE.clear()
 
 
 def _derived_dir(source_dir: str) -> str:
@@ -115,13 +139,14 @@ def _is_external_source(lfs: LakeFs, source_dir: str) -> bool:
 
 def _find_layout_dir(lfs: LakeFs, source_dir: str) -> str | None:
     for cand in _layout_candidates(source_dir):
-        if cand in _LAYOUT_CACHE:
-            if _LAYOUT_CACHE[cand] is not None:
-                return cand
+        cached = _LAYOUT_CACHE.get(cand)
+        if cached is _NO_SPEC:
             continue
+        if cached is not None:  # a parsed status dict: layout known here
+            return cand
         if lfs.exists(os.path.join(cand, SPEC_NAME)):
             return cand
-        _LAYOUT_CACHE[cand] = None
+        _LAYOUT_CACHE[cand] = _NO_SPEC
     return None
 
 
@@ -201,13 +226,26 @@ def _source_path(lfs: LakeFs, source_dir: str, table: str) -> str:
     return os.path.join(source_dir, table)
 
 
-def _source_sig(lfs: LakeFs, source_dir: str, table: str) -> list:
+def _source_sig(
+    lfs: LakeFs, source_dir: str, table: str, fresh: bool = False
+) -> list:
     # JSON-friendly form of fsutil.content_signature (covers the file, or
     # a table dir's control sidecars + data files one level down — so a
-    # pointer flip, append, or vacuum all change it)
-    return [list(e) for e in lfs.content_signature(
-        _source_path(lfs, source_dir, table)
-    )]
+    # pointer flip, append, or vacuum all change it).  Hot-read-path
+    # memo: re-validated per read against the ONE-RPC shallow root token
+    # (+ TTL backstop) instead of re-deep-listing every partition dir —
+    # r12 advice, the per-query listing storm at object-store scale.
+    # Writers (``bucketize``) pass fresh=True and always deep-list.
+    path = _source_path(lfs, source_dir, table)
+    now = time.monotonic()
+    root = lfs.shallow_signature(path)
+    if not fresh:
+        ent = _SIG_CACHE.get(path)
+        if ent is not None and now < ent[0] and ent[1] == root:
+            return ent[2]
+    sig = [list(e) for e in lfs.content_signature(path)]
+    _SIG_CACHE[path] = (now + _sig_ttl(), root, sig)
+    return sig
 
 
 def _source_frame(
@@ -243,8 +281,10 @@ def _partition_col(lfs: LakeFs, source_dir: str, table: str) -> str | None:
     if len(cols) != 1:
         return None
     for d in entries:
-        v = d.split("=", 1)[1]
-        if not (v.lstrip("-").isdigit() and v.lstrip("-")):
+        # strict: exactly what the incremental refresh's int() parse
+        # accepts minus signs/whitespace slack — lstrip("-") let values
+        # like "--5" through validation only to crash the parse later
+        if not re.fullmatch(r"-?\d+", d.split("=", 1)[1]):
             return None
     return cols.pop()
 
@@ -382,10 +422,27 @@ def bucketize(
     n_buckets = int(spec.get("n_buckets", 64))
     only = set(tables) if tables is not None else None
     out: dict[str, str] = {}
+    # Prune copies whose (table, cols) the spec no longer declares —
+    # without this a layout removed from the spec left an orphan that
+    # resolve_bucketed kept serving (r12 advice).  Spec membership is
+    # global, so pruning ignores the ``tables`` narrowing.
+    declared = {
+        f"{t}_by_{'_'.join(cols)}"
+        for t, layouts in spec["tables"].items()
+        for cols in layouts
+    }
+    orphans = [k for k in status["copies"] if k not in declared]
+    for k in orphans:
+        st2 = status["copies"].pop(k)
+        spark.sql(f"DROP TABLE IF EXISTS {st2['catalog']}")
+        if lfs.exists(st2["location"]):
+            lfs.delete_recursive(st2["location"])
+    if orphans:
+        _write_json(lfs, status_path, status)
     for table, layouts in sorted(spec["tables"].items()):
         if only is not None and table not in only:
             continue
-        sig = _source_sig(lfs, source_dir, table)
+        sig = _source_sig(lfs, source_dir, table, fresh=True)
         pcol = _partition_col(lfs, source_dir, table)
         tokens = (
             _entry_tokens(lfs, _source_path(lfs, source_dir, table))
@@ -398,7 +455,15 @@ def bucketize(
             key = f"{table}_by_{'_'.join(cols)}"
             st = status["copies"].get(key)
             cat = _catalog_name(source_dir, table, cols)
-            if st is not None and st["source_sig"] == sig:
+            if (
+                st is not None
+                and st["source_sig"] == sig
+                # a spec re-declared with a different bucket count must
+                # rebuild even when the SOURCE is unchanged — otherwise
+                # tables sit at mixed counts and joins silently lose
+                # co-location (r12 advice)
+                and st.get("n_buckets") == n_buckets
+            ):
                 out[key] = st["catalog"]
                 continue  # copy is current
             if retired:
@@ -531,10 +596,15 @@ def _load_status(lfs: LakeFs, source_dir: str) -> dict | None:
     if d is None:
         return None
     cached = _LAYOUT_CACHE.get(d)
-    if cached is not None:
+    if isinstance(cached, dict):
         return cached
     status = _read_json(lfs, os.path.join(d, STATUS_NAME))
-    _LAYOUT_CACHE[d] = status
+    if status is not None:
+        # cache ONLY a real status.  A declared-but-unbuilt layout (spec
+        # present, status absent) stays uncached so the first bucketize
+        # — possibly in another process — is picked up on the very next
+        # read, and so the "no layout" sentinel above is never poisoned.
+        _LAYOUT_CACHE[d] = status
     return status
 
 
@@ -554,7 +624,7 @@ def resolve_bucketed(
     read, so a stale layout can cost performance but never correctness.
     """
     cands = _layout_candidates(source_dir)
-    if all(_LAYOUT_CACHE.get(c, "miss") is None for c in cands):
+    if all(_LAYOUT_CACHE.get(c) is _NO_SPEC for c in cands):
         return None  # both candidates known-absent: no JVM traffic at all
     lfs = LakeFs(spark, source_dir)
     status = _load_status(lfs, source_dir)
