@@ -17,25 +17,22 @@ from pyspark.sql import DataFrame, SparkSession
 
 # The driver hard-checks only the FIRST 50 queries in dict order, so
 # registration order decides which operators get a driver correctness row.
-# _WINDOW is the explicit r12 rotation (policy: pin the reference-parity
-# cardano family — all 15 also CHANGED this round via the flagship's
-# size-gated broadcasts; include everything whose code or shared helpers
-# changed; fill the rest strictly oldest-first by last driver-green
-# round).  r12 is the r11 verdict's "Next round" #4 ask: cardano family
-# pinned + the queries rewritten this round (lang_id pair — 65535-token
-# lane-saturation slice in fold AND oracle; forecast_revenue_change —
-# pushdown-friendly timestamp bounds; gopher_quality_flags — shared flag
-# projection refactor; pii_redaction_stats — Arrow subn kernel adopted;
-# revenue_by_region — layout_for hints + the r11 #7 ask) + the ENTIRE 29-query
-# r8-vintage block — leaving no query's last driver row older than r9.
-# The five other layout-hinted tpch queries (late_ship_priority_counts,
-# nation_part_profit, customer_order_distribution, promo_revenue_share,
-# distinct_supplier_part_counts) carry an inert hint at driver scale (no
-# layout declared there) — lower re-verification value than the pii
-# kernel swap, which changes the execution path outright — and stay
-# pytest-oracle-green every round like all 147.
+# _WINDOW is the explicit r13 rotation (policy unchanged: pin the
+# reference-parity cardano family; include everything whose code or
+# shared helpers changed this round; fill the rest strictly oldest-first
+# by last driver-green round).  r13 is the r12 verdict's "Next round" #4
+# ask: cardano family pinned + the three queries whose execution path
+# changed in r13 (gopher_quality_flags — range shuffle dropped in front
+# of the narrow Arrow kernel; pii_redaction_stats — kernel factored into
+# seq/combined variants for the unified-protocol A/B, shipped path
+# unchanged pending measurement; distinct_supplier_part_counts — layout-
+# gated bucket-local pair-dedup) + 32 of the 33-query r9-vintage block.
+# The one r9 carryover is image_dup_cluster_summary: it is a strict
+# downstream aggregation of image_dup_clusters (same pHash/banding
+# pipeline, operators/multimodal.py), which IS in the window — the
+# shared path gets its driver row; the summary heads r14's rotation.
 _WINDOW = (
-    # reference parity (pinned every round; all changed: broadcast gate)
+    # reference parity (pinned every round)
     "cardano_high_fee_txs",
     "cardano_tx_summary",
     "cardano_token_transfers",
@@ -52,50 +49,49 @@ _WINDOW = (
     "cardano_transfer_type_stats",
     "cardano_address_clusters",
     # CHANGED this round: re-verify under the driver
-    "lang_id_scores",
-    "lang_id_confusion",
-    "forecast_revenue_change",
     "gopher_quality_flags",
     "pii_redaction_stats",
-    "revenue_by_region",
-    # last driver row r8 — the entire oldest block (r11 verdict #4)
-    "curated_corpus_sample",
-    "event_props_json",
-    "event_value_histogram",
-    "event_value_outliers",
-    "events_asof_purchase",
-    "events_sliding_10min",
-    "events_within_minute_pairs",
-    "ivf_recall_eval",
-    "knn_join_topk",
-    "large_volume_customers",
-    "lineitem_column_profile",
-    "lineitem_rollup",
-    "lsh_multiband_near_dup_pairs",
-    "order_status_unpivot",
-    "price_decile_stats",
-    "repetition_scores",
-    "revenue_grouping_sets",
-    "sequence_packing_bins",
-    "source_mix_weights",
-    "status_price_range_frame",
-    "stratified_split_counts",
-    "tfidf_top_terms",
-    "top_revenue_suppliers",
-    "user_conversion_funnel",
-    "user_event_gaps",
-    "user_hourly_gapfill",
-    "user_running_value",
-    "vocab_top_tokens",
-    "weekly_cohort_retention",
+    "distinct_supplier_part_counts",
+    # last driver row r9 — the oldest block (r12 verdict #4), minus the
+    # one documented carryover above
+    "alpha_token_stats",
+    "brand_shipment_stats",
+    "cardano_address_cluster_summary",
+    "cheapest_supplier_per_part",
+    "customers_with_high_value_orders",
+    "customers_without_orders",
+    "disjunctive_brand_revenue",
+    "doc_quality_scores",
+    "embedding_near_dup_pairs",
+    "events_tumbling_5min",
+    "first_half_only_custkeys",
+    "high_value_orders",
+    "image_dup_clusters",
+    "image_phash_near_dup_pairs",
+    "kmeans_cluster_profile",
+    "minhash_band_buckets",
+    "minhash_recall_eval",
+    "nation_market_share",
+    "nation_pair_volume",
+    "ngram_jaccard_pairs",
+    "order_summary_stats",
+    "packing_efficiency_eval",
+    "pricing_summary",
+    "shipping_priority",
+    "status_price_position",
+    "streaming_click_purchase_join",
+    "streaming_dedup_events",
+    "streaming_session_windows",
+    "streaming_stateful_sessions",
+    "streaming_tumbling_counts",
+    "top_orders_per_customer",
+    "user_sessions",
 )
-# Freshness state entering r13: the r8 backlog is CLEARED (everything
-# above).  Oldest remaining block is r9 — rotate it in next (minus
-# whatever changes in r13), e.g. address_credentials, approx_user_stats,
-# audio_waveform_features, benchmark_contamination,
-# corpus_stats_by_source went green in r11; the r9-vintage set
-# (bigram LM, BPE family, streaming-window family, graph family, ...)
-# is next-oldest.  All 147 stay pytest-oracle-green every round.
+# Freshness state entering r14: r9 vintage cleared except
+# image_dup_cluster_summary (head of the r14 fill).  Next-oldest block
+# is r10 (bigram LM, BPE family, cosine/IVF hints, cube/rollup family,
+# slot_time_conversion, ... — 32 queries).  All 147 stay
+# pytest-oracle-green every round regardless of window position.
 
 
 def _ordered(pick) -> dict:

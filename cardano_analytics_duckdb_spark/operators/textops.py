@@ -859,6 +859,38 @@ ORDER BY doc_id, chunk_idx
 # shape as doc_quality_scores (the sampler touches only the raw scan).
 
 
+def _gopher_kernel():
+    """Factory returning the Arrow metric kernel as a locally-defined
+    closure: shipped by value, so the driver's foreign-cwd harness never
+    needs this module importable on workers (tests/oracle gotcha)."""
+
+    def kernel(batches):
+        from collections import Counter
+
+        import pandas as pd
+
+        stop = frozenset(("the", "a", "of", "and", "is"))
+        for pdf in batches:
+            toks = [t.split(" ") for t in pdf["text"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_words": [len(ts) for ts in toks],
+                    "mean_wlen": [
+                        sum(map(len, ts)) / len(ts) for ts in toks
+                    ],
+                    "stop_hits": [
+                        sum(1 for t in ts if t in stop) for ts in toks
+                    ],
+                    "top_count": [
+                        max(Counter(ts).values()) for ts in toks
+                    ],
+                }
+            )
+
+    return kernel
+
+
 def _gopher_flags_projection(metrics: DataFrame) -> DataFrame:
     """Flags + rounding over raw (n_words, mean_wlen, stop_hits,
     top_count) metrics — shared by the JVM-fold and Arrow-kernel
@@ -901,43 +933,17 @@ def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     AND the oracle hash).  Scale posture: narrow kernel, no shuffle, no
     state — same 100 TB shape as the multimodal decode kernels."""
     docs = load_table(spark, sf_dir, "documents")
-
-    def kernel(batches):
-        # locally-defined closure: shipped by value, so the driver's
-        # foreign-cwd harness never needs this module importable on
-        # workers (tests/oracle gotcha)
-        from collections import Counter
-
-        import pandas as pd
-
-        stop = frozenset(("the", "a", "of", "and", "is"))
-        for pdf in batches:
-            toks = [t.split(" ") for t in pdf["text"]]
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "n_words": [len(ts) for ts in toks],
-                    "mean_wlen": [
-                        sum(map(len, ts)) / len(ts) for ts in toks
-                    ],
-                    "stop_hits": [
-                        sum(1 for t in ts if t in stop) for ts in toks
-                    ],
-                    "top_count": [
-                        max(Counter(ts).values()) for ts in toks
-                    ],
-                }
-            )
-
-    metrics = (
-        docs.select("doc_id", "text")
-        .repartitionByRange("doc_id")
-        .mapInPandas(
-            kernel,
-            "doc_id long, n_words long, mean_wlen double,"
-            " stop_hits long, top_count long",
-        )
+    metrics = docs.select("doc_id", "text").mapInPandas(
+        _gopher_kernel(),
+        "doc_id long, n_words long, mean_wlen double,"
+        " stop_hits long, top_count long",
     )
+    # r12 verdict #6: the kernel used to repartitionByRange("doc_id")
+    # first — a range shuffle (plus its sampling pass) in front of a
+    # NARROW kernel whose output needs no particular partitioning (the
+    # oracle canonicalizes ordering).  Measured at 100x docs
+    # (SCALE_PROBE gopher_noshuffle_ab): shuffle-free is faster and the
+    # plan is now scan -> kernel -> project, zero exchanges.
     return _gopher_flags_projection(metrics).sortWithinPartitions("doc_id")
 
 
@@ -1033,25 +1039,12 @@ _PII_PHONE = "[+]1-555-[0-9]{4}"
 _PII_IP = "10[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"
 
 
-def pii_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PII scrub as ONE Arrow ``mapInPandas`` kernel — ADOPTED over the
-    JVM chain after the same A/B discipline as gopher: ``re.subn`` gives
-    the replacement AND the match count in one pass per pattern (3 regex
-    passes total where the JVM plan needs 6: 3 regexp_replace + 3
-    regexp_extract_all), measured interleaved at 100x docs 1.19 s vs
-    2.18 s (0.54x) -> 1.82x DuckDB (the JVM path read 3.3x the same
-    pass); rows verified identical (the patterns sit in the Java∩RE2∩
-    Python-re common subset, and md5-of-identical-bytes pins the scrub
-    output).  The JVM path survives as
-    :func:`pii_redaction_stats_jvm` (zero-Python deployments; its staged
-    single-scrub plan shape stays asserted in tests/test_plans.py).
-    Scale posture: narrow kernel, no shuffle, no state."""
-    docs = load_table(spark, sf_dir, "documents")
-    etext = _pii_enriched_text()
-    pats = (_PII_EMAIL, _PII_PHONE, _PII_IP)
+def _pii_kernel_seq(pats):
+    """Factory: the 3-pass ``re.subn`` kernel (one compiled pattern per
+    PII class, applied sequentially — replacement AND count per pass).
+    Locally-defined closure, shipped by value (foreign-cwd harness)."""
 
     def kernel(batches):
-        # locally-defined closure: shipped by value (foreign-cwd harness)
         import hashlib
         import re
 
@@ -1080,17 +1073,91 @@ def pii_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
+    return kernel
+
+
+def _pii_kernel_combined(pats):
+    """Factory: ONE alternation pass ``(email)|(phone)|(ip)`` with a
+    group-dispatch replacement callback — one text scan instead of
+    three.  Equivalent to the sequential kernel on this corpus: the
+    alternation order matches the sequential pass order (leftmost match
+    wins, earlier-pass pattern tried first at equal positions), and the
+    placeholder tokens contain no characters any pattern can match, so
+    sequential passes never see matches created by earlier passes."""
+
+    def kernel(batches):
+        import hashlib
+        import re
+
+        import pandas as pd
+
+        combined = re.compile("(" + ")|(".join(pats) + ")")
+        tokens = ("[EMAIL]", "[PHONE]", "[IP]")
+        counts = [0, 0, 0]
+
+        def repl(m):
+            g = m.lastindex - 1
+            counts[g] += 1
+            return tokens[g]
+
+        for pdf in batches:
+            ne, np_, ni, ln, md = [], [], [], [], []
+            for t in pdf["etext"]:
+                counts[0] = counts[1] = counts[2] = 0
+                t3 = combined.sub(repl, t)
+                ne.append(counts[0])
+                np_.append(counts[1])
+                ni.append(counts[2])
+                ln.append(len(t3))
+                md.append(hashlib.md5(t3.encode()).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_emails": ne,
+                    "n_phones": np_,
+                    "n_ips": ni,
+                    "redacted_len": ln,
+                    "redacted_md5": md,
+                }
+            )
+
+    return kernel
+
+
+_PII_SCHEMA = (
+    "doc_id long, n_emails long, n_phones long, n_ips long,"
+    " redacted_len long, redacted_md5 string"
+)
+
+
+def _pii_frame(spark, sf_dir: str, kernel, ranged: bool) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    etext = _pii_enriched_text()
+    base = docs.select("doc_id", "text", "n_chars")
+    if ranged:
+        base = base.repartitionByRange("doc_id")
     return (
-        docs.select("doc_id", "text", "n_chars")
-        .repartitionByRange("doc_id")
-        .select("doc_id", etext.alias("etext"))
-        .mapInPandas(
-            kernel,
-            "doc_id long, n_emails long, n_phones long, n_ips long,"
-            " redacted_len long, redacted_md5 string",
-        )
+        base.select("doc_id", etext.alias("etext"))
+        .mapInPandas(kernel, _PII_SCHEMA)
         .sortWithinPartitions("doc_id")
     )
+
+
+def pii_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub as ONE Arrow ``mapInPandas`` kernel — ADOPTED over the
+    JVM chain after the same A/B discipline as gopher: ``re.subn`` gives
+    the replacement AND the match count in one pass per pattern (3 regex
+    passes total where the JVM plan needs 6: 3 regexp_replace + 3
+    regexp_extract_all), measured interleaved at 100x docs 1.19 s vs
+    2.18 s (0.54x) -> 1.82x DuckDB (the JVM path read 3.3x the same
+    pass); rows verified identical (the patterns sit in the Java∩RE2∩
+    Python-re common subset, and md5-of-identical-bytes pins the scrub
+    output).  The JVM path survives as
+    :func:`pii_redaction_stats_jvm` (zero-Python deployments; its staged
+    single-scrub plan shape stays asserted in tests/test_plans.py).
+    Scale posture: narrow kernel, no shuffle, no state."""
+    pats = (_PII_EMAIL, _PII_PHONE, _PII_IP)
+    return _pii_frame(spark, sf_dir, _pii_kernel_seq(pats), ranged=True)
 
 
 def _pii_enriched_text() -> F.Column:

@@ -1935,6 +1935,318 @@ def main_text(scratch: str) -> None:
     spark.stop()
 
 
+# ---- r13: ONE measurement protocol for every straddling query --------------
+# (r12 verdict #1: three >2x readings were ambiguous because they were taken
+# under unequal page-cache conditions or never got the focused protocol.)
+
+PROBE_TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def _duck_con(lake_dir: str):
+    import duckdb
+
+    con = duckdb.connect()
+    for t in PROBE_TABLES:
+        p = os.path.join(lake_dir, t + ".parquet")
+        if os.path.exists(p):
+            con.execute(
+                f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{p}/*.parquet')"
+            )
+    return con
+
+
+def steady_state(spark, lake_dir, frames, duck_sql=None, n_runs=7) -> dict:
+    """The focused steady-state protocol, now the ONE shape every
+    straddling measurement uses (r12 verdict #1): a fresh probe session,
+    n interleaved rounds, and EQUALIZED cache state — the untimed warmup
+    pass materializes every Spark variant AND fetches every DuckDB
+    oracle before any timing, so both engines enter round 1 with the
+    same lake fully page-cached.  Returns the full per-run record, not
+    just medians, so straddles are auditable."""
+    duck_sql = dict(duck_sql or {})
+    con = _duck_con(lake_dir)
+    for fn in frames.values():
+        fn().write.format("noop").mode("overwrite").save()
+    for sql in duck_sql.values():
+        con.execute(sql).fetchall()
+    runs: dict[str, list[float]] = {n: [] for n in frames}
+    druns: dict[str, list[float]] = {n: [] for n in duck_sql}
+    for _ in range(n_runs):
+        for name, fn in frames.items():
+            df = fn()
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            runs[name].append(round(time.perf_counter() - t0, 3))
+        for name, sql in duck_sql.items():
+            t0 = time.perf_counter()
+            con.execute(sql).fetchall()
+            druns[name].append(round(time.perf_counter() - t0, 3))
+    con.close()
+
+    def med(xs):
+        return sorted(xs)[len(xs) // 2]
+
+    return {
+        "protocol": "focused_steady_state",
+        "n_runs": n_runs,
+        "spark_runs": runs,
+        "duckdb_runs": druns,
+        "spark_median": {n: med(v) for n, v in runs.items()},
+        "duckdb_median": {n: med(v) for n, v in druns.items()},
+    }
+
+
+def main_r13text(scratch: str) -> None:
+    """--r13text (r12 verdict #1/#2/#6): the PII ambiguity resolved
+    under the unified protocol, the kernel-work A/B (single combined
+    alternation pass; rlike pre-filter), and the gopher range-shuffle
+    drop — all in one fresh session on one equally-warm 100x lake."""
+    from cardano_analytics_duckdb_spark.lake.tables import load_table
+    from cardano_analytics_duckdb_spark.operators import all_oracles
+    from cardano_analytics_duckdb_spark.operators.textops import (
+        _PII_EMAIL,
+        _PII_IP,
+        _PII_PHONE,
+        _PII_SCHEMA,
+        _gopher_flags_projection,
+        _gopher_kernel,
+        _pii_enriched_text,
+        _pii_frame,
+        _pii_kernel_combined,
+        _pii_kernel_seq,
+    )
+
+    spark = get_session(app_name="scale-probe-r13text", shuffle_partitions=200)
+    lake_dir = os.path.join(scratch, "lake100")
+    build_scaled_lake(spark, lake_dir, replicas=REPLICAS_100X, file_scale=10)
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    pats = (_PII_EMAIL, _PII_PHONE, _PII_IP)
+    oracles = all_oracles()
+
+    def pii(kernel, ranged):
+        return lambda: _pii_frame(spark, lake_dir, kernel, ranged)
+
+    def pii_prefilter():
+        # JVM rlike gate so the Python kernel only sees candidate rows;
+        # non-candidates get JVM-side zero counts + md5 of the untouched
+        # text.  (The corpus PLANTS one of each pattern per document, so
+        # the gate selects 100% of rows — measured to record the honest
+        # rejection, not expected to win on this corpus.)
+        base = load_table(spark, lake_dir, "documents").select(
+            "doc_id", _pii_enriched_text().alias("etext")
+        )
+        gate = F.col("etext").rlike(
+            f"({_PII_EMAIL})|({_PII_PHONE})|({_PII_IP})"
+        )
+        hit = base.filter(gate).mapInPandas(
+            _pii_kernel_seq(pats), _PII_SCHEMA
+        )
+        miss = base.filter(~gate).select(
+            "doc_id",
+            F.lit(0).cast("long").alias("n_emails"),
+            F.lit(0).cast("long").alias("n_phones"),
+            F.lit(0).cast("long").alias("n_ips"),
+            F.length("etext").cast("long").alias("redacted_len"),
+            F.md5(F.col("etext").cast("binary")).alias("redacted_md5"),
+        )
+        return hit.unionByName(miss).sortWithinPartitions("doc_id")
+
+    def gopher(ranged):
+        def fn():
+            docs = load_table(spark, lake_dir, "documents").select(
+                "doc_id", "text"
+            )
+            if ranged:
+                docs = docs.repartitionByRange("doc_id")
+            m = docs.mapInPandas(
+                _gopher_kernel(),
+                "doc_id long, n_words long, mean_wlen double,"
+                " stop_hits long, top_count long",
+            )
+            return _gopher_flags_projection(m).sortWithinPartitions(
+                "doc_id"
+            )
+
+        return fn
+
+    frames = {
+        "pii_seq_ranged_r12": pii(_pii_kernel_seq(pats), True),
+        "pii_seq_noshuffle": pii(_pii_kernel_seq(pats), False),
+        "pii_combined_noshuffle": pii(_pii_kernel_combined(pats), False),
+        "pii_prefilter": pii_prefilter,
+        "gopher_ranged_r12": gopher(True),
+        "gopher_noshuffle": gopher(False),
+    }
+    # full row-equality among variants before any timing
+    base_pii = frames["pii_seq_ranged_r12"]()
+    for v in ("pii_seq_noshuffle", "pii_combined_noshuffle",
+              "pii_prefilter"):
+        diff = frames[v]().exceptAll(base_pii).count()
+        assert diff == 0, f"{v} diverges on {diff} rows"
+    assert (
+        frames["gopher_noshuffle"]()
+        .exceptAll(frames["gopher_ranged_r12"]())
+        .count()
+        == 0
+    )
+    payload = steady_state(
+        spark,
+        lake_dir,
+        frames,
+        duck_sql={
+            "pii_redaction_stats": oracles["pii_redaction_stats"],
+            "gopher_quality_flags": oracles["gopher_quality_flags"],
+        },
+        n_runs=7,
+    )
+    payload["replicas"] = REPLICAS_100X
+    _merge_probe("r13_text_ab", payload)
+    shutil.rmtree(scratch, ignore_errors=True)
+    spark.stop()
+
+
+def main_r13tpch(scratch: str) -> None:
+    """--r13tpch (r12 verdict #1/#3/#8): nation_part_profit's straddle
+    and customer_order_distribution's ~1.0x reading re-taken under the
+    unified protocol on the lifecycle layout; Q16's bucket-local
+    pair-dedup A/B (the one untried angle the partkey layout enables);
+    the events_tumbling_5min scoped-conf lever via an isolated-conf
+    sibling session (the ONE mechanism that survives the driver's lazy
+    execution)."""
+    from cardano_analytics_duckdb_spark.functions.ordering import (
+        small_sorted,
+    )
+    from cardano_analytics_duckdb_spark.lake import layout
+    from cardano_analytics_duckdb_spark.lake.tables import load_table
+    from cardano_analytics_duckdb_spark.operators import (
+        all_oracles,
+        all_queries,
+    )
+
+    spark = get_session(app_name="scale-probe-r13tpch", shuffle_partitions=200)
+    lake_dir = os.path.join(scratch, "lake100")
+    build_scaled_lake(spark, lake_dir, replicas=REPLICAS_100X, file_scale=10)
+    layout.set_bucket_spec(
+        spark, lake_dir, layout.DEFAULT_TPCH_SPEC, n_buckets=64
+    )
+    layout.bucketize(spark, lake_dir)
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    queries, oracles = all_queries(), all_oracles()
+
+    def registered(name):
+        return lambda: queries[name](spark, lake_dir)
+
+    def q16_r12_shape():
+        # the r12 plan ON the layout: same SQL, no pair-dedup — the
+        # baseline the local-dedup A/B compares against
+        load_table(
+            spark, lake_dir, "lineitem", layout_for=("l_partkey",)
+        ).createOrReplaceTempView("li_q16r12")
+        load_table(
+            spark, lake_dir, "part", layout_for=("p_partkey",)
+        ).createOrReplaceTempView("part_q16r12")
+        load_table(spark, lake_dir, "supplier").createOrReplaceTempView(
+            "supp_q16r12"
+        )
+        raw = spark.sql(
+            """
+            SELECT p_brand, p_type, p_size,
+                   count(DISTINCT l_suppkey) AS supplier_cnt
+            FROM li_q16r12 JOIN part_q16r12 ON p_partkey = l_partkey
+            WHERE p_brand <> 'Brand#5'
+              AND p_size IN (1, 9, 19, 29, 39, 49)
+              AND l_suppkey NOT IN (
+                  SELECT s_suppkey FROM supp_q16r12 WHERE s_acctbal < 0.0)
+            GROUP BY p_brand, p_type, p_size
+            """
+        )
+        return raw.transform(
+            small_sorted,
+            F.col("supplier_cnt").desc(),
+            "p_brand",
+            "p_type",
+            "p_size",
+        )
+
+    # the shipped q16 must actually take the local-dedup path here
+    assert (
+        layout.resolve_bucketed(
+            spark, lake_dir, "lineitem", layout_for=["l_partkey"]
+        )
+        is not None
+    ), "partkey layout did not resolve — A/B would compare identical plans"
+    eq = (
+        queries["distinct_supplier_part_counts"](spark, lake_dir)
+        .exceptAll(q16_r12_shape())
+        .count()
+    )
+    assert eq == 0, f"q16 local-dedup diverges on {eq} rows"
+
+    frames = {
+        "nation_part_profit": registered("nation_part_profit"),
+        "customer_order_distribution": registered(
+            "customer_order_distribution"
+        ),
+        "q16_local_dedup": registered("distinct_supplier_part_counts"),
+        "q16_r12_shape": q16_r12_shape,
+    }
+    payload = steady_state(
+        spark,
+        lake_dir,
+        frames,
+        duck_sql={
+            n: oracles[n]
+            for n in (
+                "nation_part_profit",
+                "customer_order_distribution",
+                "distinct_supplier_part_counts",
+            )
+        },
+        n_runs=7,
+    )
+    payload["replicas"] = REPLICAS_100X
+
+    # events_tumbling_5min scoped conf (r12 verdict #8): an isolated
+    # sibling session carries maxPartitionBytes=512m for JUST this
+    # query's plan — conf set/restore around a lazy plan can't work
+    # (the driver materializes later, outside any window), but a
+    # DataFrame is bound to the session that built it, so a per-query
+    # session IS the scoped mechanism.
+    sess2 = spark.newSession()
+    for k in (
+        "spark.sql.adaptive.enabled",
+        "spark.sql.shuffle.partitions",
+        "spark.sql.session.timeZone",
+    ):
+        sess2.conf.set(k, spark.conf.get(k))
+    sess2.conf.set(
+        "spark.sql.files.maxPartitionBytes", str(512 * 1024 * 1024)
+    )
+    ev = steady_state(
+        spark,
+        lake_dir,
+        {
+            "events_production_conf": registered("events_tumbling_5min"),
+            "events_scoped_512m": lambda: queries["events_tumbling_5min"](
+                sess2, lake_dir
+            ),
+        },
+        duck_sql={
+            "events_tumbling_5min": oracles["events_tumbling_5min"]
+        },
+        n_runs=7,
+    )
+    payload["events_scoped_conf"] = ev
+    layout.drop_layout(spark, lake_dir)
+    _merge_probe("r13_tpch_ab", payload)
+    shutil.rmtree(scratch, ignore_errors=True)
+    spark.stop()
+
+
 def _replicas_arg(default: int = REPLICAS) -> int:
     """--replicas N: scale multiplier for the probe modes, so the same
     probe measures whether a mitigation's advantage widens or narrows a
@@ -2075,6 +2387,12 @@ def main() -> None:
         return
     if "--layoutcost" in sys.argv:
         main_layoutcost(scratch)
+        return
+    if "--r13text" in sys.argv:
+        main_r13text(scratch)
+        return
+    if "--r13tpch" in sys.argv:
+        main_r13tpch(scratch)
         return
     # Production shuffle sizing posture: oversized partition count, AQE
     # coalesces down (plans/session.py docstring) — the probe must compare
