@@ -941,8 +941,9 @@ def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r12 verdict #6: the kernel used to repartitionByRange("doc_id")
     # first — a range shuffle (plus its sampling pass) in front of a
     # NARROW kernel whose output needs no particular partitioning (the
-    # oracle canonicalizes ordering).  Measured at 100x docs
-    # (SCALE_PROBE gopher_noshuffle_ab): shuffle-free is faster and the
+    # oracle canonicalizes ordering).  Measured at 100x docs under the
+    # equal-cache steady-state protocol (SCALE_PROBE r13_text_ab, n=7):
+    # shuffle-free 0.887 s vs ranged 1.607 s = 0.82x DuckDB, and the
     # plan is now scan -> kernel -> project, zero exchanges.
     return _gopher_flags_projection(metrics).sortWithinPartitions("doc_id")
 
@@ -1083,7 +1084,13 @@ def _pii_kernel_combined(pats):
     alternation order matches the sequential pass order (leftmost match
     wins, earlier-pass pattern tried first at equal positions), and the
     placeholder tokens contain no characters any pattern can match, so
-    sequential passes never see matches created by earlier passes."""
+    sequential passes never see matches created by earlier passes.
+
+    Measured and REJECTED for the shipped path (SCALE_PROBE
+    r13_text_ab: 0.886 s vs the sequential kernel's 0.713 s at 100x):
+    the per-match Python callback + lastindex dispatch costs more than
+    the two extra compiled-pattern scans it saves.  Kept as the
+    measured alternative the next tuning round starts from."""
 
     def kernel(batches):
         import hashlib
@@ -1155,9 +1162,21 @@ def pii_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     output).  The JVM path survives as
     :func:`pii_redaction_stats_jvm` (zero-Python deployments; its staged
     single-scrub plan shape stays asserted in tests/test_plans.py).
-    Scale posture: narrow kernel, no shuffle, no state."""
+
+    r13 resolved the conflicting r12 ratio readings under ONE equal-
+    cache steady-state protocol (SCALE_PROBE r13_text_ab, n=7): the
+    ambiguity was the leading ``repartitionByRange`` — a range shuffle
+    (plus sampling pass) in front of a narrow kernel.  Shuffle-free
+    sequential kernel 0.713 s = 0.82x DuckDB (shipped ranged shape was
+    1.331 s = 1.54x).  Two work-cut variants measured and REJECTED
+    there: one combined-alternation ``re.subn`` pass (0.886 s — the
+    group-dispatch callback costs more than two extra compiled-pattern
+    scans save) and a JVM ``rlike`` pre-filter (2.141 s — the gate
+    re-scans every row JVM-side before the kernel sees it; on a corpus
+    where most rows carry a candidate match it is pure added work).
+    Scale posture: narrow kernel, zero shuffle, no state."""
     pats = (_PII_EMAIL, _PII_PHONE, _PII_IP)
-    return _pii_frame(spark, sf_dir, _pii_kernel_seq(pats), ranged=True)
+    return _pii_frame(spark, sf_dir, _pii_kernel_seq(pats), ranged=False)
 
 
 def _pii_enriched_text() -> F.Column:

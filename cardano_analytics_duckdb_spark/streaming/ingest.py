@@ -41,6 +41,18 @@ from ..functions.hashes import blake2b_256
 from ..lake.fixtures import SLOT_GROUP_SIZE
 from ..sources.blocks import blocks_to_dataframe
 
+# The streaming lake's own join-key family: every flagship join site
+# (semi, src-UTxO equi, final set-agg lefts) keys on tx_id, and over the
+# broadcast gate (a popular token's multi-million-row history) the
+# shuffle_hash fallback's dominant exchange is the WIDE tx side —
+# exactly what a tx_id bucket layout elides (operators/cardano.py:
+# _FLAGSHIP_BROADCAST_ROW_GATE discussion; A/B in SCALE_PROBE.json
+# r13_cardano_layout_10000x).  asset is deliberately NOT in the spec:
+# its read path is the manifest box-prune on (policy, name, slot) —
+# re-clustering it by tx_id would trade file skipping for one small
+# exchange over already-token-filtered rows (measured, same probe).
+DEFAULT_CARDANO_SPEC: dict[str, list[list[str]]] = {"tx": [["tx_id"]]}
+
 LAKE_TABLES = (
     "tx",
     "utxo",
@@ -391,6 +403,19 @@ def _write_tables_parallel(
         list(ex.map(_write_one, tables.items()))
 
 
+def declare_default_layout(spark: SparkSession, dest: str) -> bool:
+    """Declare :data:`DEFAULT_CARDANO_SPEC` on ``dest`` unless a spec
+    already exists (a user's own spec is never overwritten).  Returns
+    whether a spec was written.  Declaration is metadata-only; the
+    copies build at the next ``compact_lake``/``bucketize``."""
+    from ..lake import layout
+
+    if layout.bucket_spec(spark, dest) is not None:
+        return False
+    layout.set_bucket_spec(spark, dest, DEFAULT_CARDANO_SPEC)
+    return True
+
+
 def ingest_blocks(
     spark: SparkSession,
     blocks: Iterable[dict],
@@ -399,6 +424,7 @@ def ingest_blocks(
     stop_slot: int | None = None,
     slot_group_size: int = SLOT_GROUP_SIZE,
     reconcile_rollbacks: bool = False,
+    declare_layout: bool = False,
 ) -> dict[str, int]:
     """Micro-batch ingestion loop.  Returns counters (blocks, txs,
     rollbacks) ≙ the reference's progress telemetry (T7).
@@ -417,8 +443,16 @@ def ingest_blocks(
     materialization registered over a lake table, the in-stream
     ``rollback_lake`` refuses (already-flushed appends stay committed —
     nothing is lost; ``deregister_materialization`` or recompute the
-    aggregate in batch, then resume from the node's cursor)."""
+    aggregate in batch, then resume from the node's cursor).
+
+    ``declare_layout=True`` writes :data:`DEFAULT_CARDANO_SPEC` at
+    bootstrap if the destination has no bucket spec yet (declare-only —
+    a one-file metadata write; copies are built/refreshed by the
+    ``refresh_layout`` hook :func:`compact_lake` already calls, riding
+    the existing maintenance lifecycle)."""
     stats = {"blocks": 0, "transactions": 0, "rollbacks": 0, "batches": 0}
+    if declare_layout:
+        declare_default_layout(spark, dest)
     if reconcile_rollbacks:
         stats["reconciled_rows"] = 0
     # Bootstrap hygiene: if a table dir this run will (re)create was
@@ -505,6 +539,7 @@ def ingest_blocks_streaming(
     block_json_dir: str,
     dest: str,
     slot_group_size: int = SLOT_GROUP_SIZE,
+    declare_layout: bool = False,
 ) -> None:
     """Structured Streaming ingestion: JSON-lines block files → 13 sinks.
 
@@ -531,6 +566,9 @@ def ingest_blocks_streaming(
     from pyspark.sql import types as T
 
     from ..sources.blocks import BLOCK_SCHEMA
+
+    if declare_layout:
+        declare_default_layout(spark, dest)
 
     # PERMISSIVE parse with an explicit corrupt-record capture: a malformed
     # line must never kill the stream (one poison message would otherwise

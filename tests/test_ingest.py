@@ -601,3 +601,50 @@ def test_materialization_registered_in_check_to_lock_window_is_caught(
     # gate refusal (nothing touched) released the lock; keep-on-raise is
     # reserved for failed rewrites
     assert not os.path.exists(os.path.join(dest, "_maintenance.lock"))
+
+
+def test_bootstrap_declared_layout_lifecycle(spark, tmp_path):
+    """``declare_layout=True`` at ingest bootstrap writes the default
+    tx_id bucket spec (declare-only — no copies yet), the first
+    ``compact_lake`` builds the copy through its existing
+    ``refresh_layout`` hook, and the lake's read path then serves it
+    with row parity.  A user's own pre-declared spec is never
+    overwritten."""
+    from cardano_analytics_duckdb_spark.lake import layout
+    from cardano_analytics_duckdb_spark.lake.generations import read_table
+    from cardano_analytics_duckdb_spark.streaming.ingest import (
+        DEFAULT_CARDANO_SPEC,
+        declare_default_layout,
+    )
+
+    dest = str(tmp_path / "lake_bootstrap_layout")
+    ingest_blocks(
+        spark, fixture_blocks()[:5], dest, batch_size=10,
+        declare_layout=True,
+    )
+    spec = layout.bucket_spec(spark, dest)
+    assert spec is not None
+    assert spec["tables"] == DEFAULT_CARDANO_SPEC
+    # declare-only: nothing built before maintenance runs
+    assert layout.resolve_bucketed(spark, dest, "tx", ["tx_id"]) is None
+
+    compact_lake(spark, dest)
+    served = layout.resolve_bucketed(spark, dest, "tx", ["tx_id"])
+    assert served is not None
+    plain = read_table(spark, f"{dest}/tx")
+    assert served.count() == plain.count()
+    assert served.select("tx_id").exceptAll(plain.select("tx_id")).count() == 0
+
+    # idempotent + non-clobbering: re-declare is a no-op, and a custom
+    # spec present first wins
+    assert declare_default_layout(spark, dest) is False
+    dest2 = str(tmp_path / "lake_custom_spec")
+    os.makedirs(dest2)
+    layout.set_bucket_spec(spark, dest2, {"utxo": [["address"]]})
+    ingest_blocks(
+        spark, fixture_blocks()[:3], dest2, batch_size=10,
+        declare_layout=True,
+    )
+    assert layout.bucket_spec(spark, dest2)["tables"] == {
+        "utxo": [["address"]]
+    }
