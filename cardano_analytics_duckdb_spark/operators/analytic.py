@@ -738,32 +738,22 @@ def distinct_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame
     broadcast null-aware anti probe on the fact; count(DISTINCT) is a
     two-stage hash agg on (group keys, suppkey) — one shuffle total.
 
-    On a LIVE l_partkey bucket layout (lake lifecycle, r12 verdict #3)
-    the fact is pre-deduplicated to distinct (l_partkey, l_suppkey)
-    pairs first: the bucketing satisfies the dedup's clustering
-    requirement (HashPartitioning on a subset of the keys), so the
-    dropDuplicates adds NO exchange — a cheap int-pair hash pass that
-    shrinks the rows entering the string-keyed count-distinct expand
-    (the decomposed residual: 1.22 s of 2.07 s at 100x).  partkey is
-    functionally determined by (p_brand, p_type, p_size)'s source row,
-    so pair-dedup loses nothing the later DISTINCT wouldn't drop.  The
-    plain path (no layout declared — the driver's testdata) keeps the
-    exact r12 plan: pair-dedup there would ADD a 60M-row exchange, the
-    variant r11 measured at 2.0x worse (q16_dedup_first_rejected).
-    """
-    from ..lake.layout import resolve_bucketed
-
-    li = load_table(spark, sf_dir, "lineitem", layout_for=("l_partkey",))
-    if (
-        resolve_bucketed(
-            spark, sf_dir, "lineitem", layout_for=["l_partkey"]
-        )
-        is not None
-    ):
-        li = li.select("l_partkey", "l_suppkey").dropDuplicates(
-            ["l_partkey", "l_suppkey"]
-        )
-    li.createOrReplaceTempView("li_q16")
+    The named residual (DuckDB's specialized perfect-hash distinct vs
+    Spark's generic hash aggregate on an ~8M-combination key) now has
+    TWO measured rejections and stands as a documented engine gap:
+    r11's dedup-first variant was 2.0x worse on the plain path
+    (q16_dedup_first_rejected — the pair-dedup ADDS a 60M-row
+    exchange), and r13's bucket-local variant — dropDuplicates on the
+    live l_partkey bucket layout, where the clustering makes the dedup
+    exchange-FREE — still measured 2.2x worse than this shape on the
+    same layout (SCALE_PROBE r13_tpch_ab: q16_local_dedup 2.796 s vs
+    q16_r12_shape 1.28 s, n=7 equal-cache): even a partition-local
+    int-pair hash pass over 60M rows costs more than it saves the
+    downstream string-keyed distinct agg, which Spark runs as a
+    two-stage partial/final anyway."""
+    load_table(
+        spark, sf_dir, "lineitem", layout_for=("l_partkey",)
+    ).createOrReplaceTempView("li_q16")
     load_table(
         spark, sf_dir, "part", layout_for=("p_partkey",)
     ).createOrReplaceTempView("part_q16")

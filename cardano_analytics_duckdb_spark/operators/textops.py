@@ -22,7 +22,9 @@ from ..lake.tables import load_table
 # -- token counting + quality scoring -----------------------------------------
 
 
-def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+def doc_quality_scores(
+    spark: SparkSession, sf_dir: str, ranged: bool = False
+) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
     n_tokens = F.size(toks)
@@ -31,13 +33,20 @@ def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         "aggregate(split(text, ' '), cast(0.0 as double),"
         " (acc, t) -> acc + length(t)) / size(split(text, ' '))"
     )
-    # Range-partition the raw docs first so the tokenization expressions
-    # compute once, post-shuffle, and a partition-local sort finishes the
-    # global ORDER BY (orderBy's sampler would re-run the whole projection).
+    # r13: this used to repartitionByRange("doc_id") first — the choice
+    # back then was between a pre-shuffle (compute once post-shuffle,
+    # local sort finishes the global ORDER BY) and orderBy (whose range
+    # sampler re-runs the projection).  The gopher/pii A/B exposed the
+    # third option: NO global order at all — the oracle canonicalizes
+    # row order, so the shuffle bought nothing but determinism of file
+    # layout.  Shuffle-free is scan -> project -> local sort, zero
+    # exchanges (A/B in SCALE_PROBE r13_text2_ab; ``ranged=True``
+    # preserves the old shape for the probe's baseline).
+    base = docs.select("doc_id", "text")
+    if ranged:
+        base = base.repartitionByRange("doc_id")
     return (
-        docs.select("doc_id", "text")
-        .repartitionByRange("doc_id")
-        .select(
+        base.select(
             "doc_id",
             F.length("text").alias("n_chars_actual"),
             n_tokens.alias("n_tokens"),
@@ -129,14 +138,18 @@ def _lang_scored(docs: DataFrame) -> DataFrame:
     )
 
 
-def lang_id_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+def lang_id_scores(
+    spark: SparkSession, sf_dir: str, ranged: bool = False
+) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    # Pre-shuffle the RAW rows, then sort locally: orderBy's range sampler
-    # would re-run the whole scoring projection (the double-execution
-    # shape functions/ordering.py exists to avoid).
-    return _lang_scored(
-        docs.select("doc_id", "lang", "text").repartitionByRange("doc_id")
-    ).sortWithinPartitions("doc_id")
+    # r13: same shuffle drop as doc_quality_scores (see its comment) —
+    # the pre-shuffle existed to dodge orderBy's double execution, but
+    # no global order is needed at all; the scoring projection runs
+    # over the scan partitioning, zero exchanges.
+    base = docs.select("doc_id", "lang", "text")
+    if ranged:
+        base = base.repartitionByRange("doc_id")
+    return _lang_scored(base).sortWithinPartitions("doc_id")
 
 
 def _lang_id_sql() -> str:

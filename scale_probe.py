@@ -2247,6 +2247,61 @@ def main_r13tpch(scratch: str) -> None:
     spark.stop()
 
 
+def main_r13text2(scratch: str) -> None:
+    """--r13text2: the gopher/pii shuffle-drop generalized — the same
+    leading ``repartitionByRange`` sits in front of doc_quality_scores'
+    and lang_id_scores' pure narrow projections (no window/groupBy needs
+    the partitioning; the oracle canonicalizes order).  Same unified
+    protocol: equality asserted, then n=7 equal-cache steady state."""
+    from cardano_analytics_duckdb_spark.operators import all_oracles
+    from cardano_analytics_duckdb_spark.operators.textops import (
+        doc_quality_scores,
+        lang_id_scores,
+    )
+
+    spark = get_session(
+        app_name="scale-probe-r13text2", shuffle_partitions=200
+    )
+    lake_dir = os.path.join(scratch, "lake100")
+    build_scaled_lake(spark, lake_dir, replicas=REPLICAS_100X, file_scale=10)
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    oracles = all_oracles()
+    frames = {
+        "doc_quality_ranged_r12": lambda: doc_quality_scores(
+            spark, lake_dir, ranged=True
+        ),
+        "doc_quality_noshuffle": lambda: doc_quality_scores(
+            spark, lake_dir, ranged=False
+        ),
+        "lang_id_ranged_r12": lambda: lang_id_scores(
+            spark, lake_dir, ranged=True
+        ),
+        "lang_id_noshuffle": lambda: lang_id_scores(
+            spark, lake_dir, ranged=False
+        ),
+    }
+    for a, b in (
+        ("doc_quality_noshuffle", "doc_quality_ranged_r12"),
+        ("lang_id_noshuffle", "lang_id_ranged_r12"),
+    ):
+        diff = frames[a]().exceptAll(frames[b]()).count()
+        assert diff == 0, f"{a} diverges on {diff} rows"
+    payload = steady_state(
+        spark,
+        lake_dir,
+        frames,
+        duck_sql={
+            "doc_quality_scores": oracles["doc_quality_scores"],
+            "lang_id_scores": oracles["lang_id_scores"],
+        },
+        n_runs=7,
+    )
+    payload["replicas"] = REPLICAS_100X
+    _merge_probe("r13_text2_ab", payload)
+    shutil.rmtree(scratch, ignore_errors=True)
+    spark.stop()
+
+
 def main_r13cardano(scratch: str) -> None:
     """--r13cardano (r12 verdict #5): does a default tx_id bucket layout
     on the streaming lake's own join keys pay for itself?  At 10,000x
@@ -2454,34 +2509,35 @@ _WEAK_CANDIDATES = [
         "query": "events_tumbling_5min",
         "pairs": [
             (
-                "r13_tpch_ab.events_scoped_conf.spark_median.events_scoped_512m",
-                "r13_tpch_ab.events_scoped_conf.duckdb_median.events_tumbling_5min",
-            ),
-            (
                 "r13_tpch_ab.events_scoped_conf.spark_median.events_production_conf",
                 "r13_tpch_ab.events_scoped_conf.duckdb_median.events_tumbling_5min",
             ),
         ],
         "ratio_paths": ["headline_100x.per_query_spark_over_duckdb.events_tumbling_5min"],
-        "residual": "worst floor entry (DuckDB denominator 0.17 s); "
-        "scoped 512m maxPartitionBytes via a per-query sibling session "
-        "measured in r13_tpch_ab.events_scoped_conf.",
+        "residual": "worst floor entry (DuckDB denominator ~0.2 s "
+        "in-process).  Floor file CLOSED: the last scoped lever — "
+        "512m maxPartitionBytes via a per-query sibling session — "
+        "measured NO better than production conf (0.891 vs 0.849 s "
+        "median, r13_tpch_ab.events_scoped_conf), so the r12 "
+        "big-partition reading was conf-interaction, not a win.",
         "floor": True,
     },
     {
         "query": "distinct_supplier_part_counts",
         "pairs": [
             (
-                "r13_tpch_ab.spark_median.q16_local_dedup",
+                "r13_tpch_ab.spark_median.q16_r12_shape",
                 "r13_tpch_ab.duckdb_median.distinct_supplier_part_counts",
             )
         ],
         "ratio_paths": [],
-        "residual": "DuckDB's specialized perfect-hash distinct vs "
-        "Spark's generic hash agg on an ~8M-combination key "
-        "(tpch_100x_r12.distinct_supplier_decomp_bucketed); r13 tries "
-        "the layout-gated bucket-local pair-dedup.",
-        "floor": False,
+        "residual": "documented engine gap: DuckDB's specialized "
+        "perfect-hash distinct vs Spark's generic hash agg on an "
+        "~8M-combination key.  TWO measured rejections close the file: "
+        "dedup-first 2.0x worse (r11 q16_dedup_first_rejected), "
+        "bucket-local exchange-free dedup 2.2x worse (r13_tpch_ab "
+        "q16_local_dedup 2.796 s vs shipped 1.28 s).",
+        "floor": True,
     },
     {
         "query": "nation_part_profit",
@@ -2753,6 +2809,9 @@ def main() -> None:
         return
     if "--r13cardano" in sys.argv:
         main_r13cardano(scratch)
+        return
+    if "--r13text2" in sys.argv:
+        main_r13text2(scratch)
         return
     if "--weakledger" in sys.argv:
         main_weakledger()

@@ -678,6 +678,24 @@ def test_pii_redaction_scrubs_once(spark, sf_dir):
     assert plan.count("regexp_extract_all") == 3
 
 
+def test_arrow_kernels_are_shuffle_free(spark, sf_dir):
+    """gopher_quality_flags and pii_redaction_stats (r13): both Arrow
+    ``mapInPandas`` kernels are narrow — scan -> kernel -> project, ZERO
+    exchanges.  The r12 shapes carried a leading ``repartitionByRange``
+    (a range shuffle plus its sampling pass) that the equal-cache A/B
+    measured at ~2x the whole query (SCALE_PROBE r13_text_ab: pii 1.331
+    -> 0.713 s, gopher 1.607 -> 0.887 s at 100x)."""
+    from cardano_analytics_duckdb_spark.operators.textops import (
+        gopher_quality_flags,
+        pii_redaction_stats,
+    )
+
+    for fn in (gopher_quality_flags, pii_redaction_stats):
+        plan = _plan(fn(spark, sf_dir))
+        assert "Exchange" not in plan, f"{fn.__name__}:\n{plan}"
+        assert "MapInPandas" in plan
+
+
 def test_collected_dim_fails_fast_on_fact_tables(spark, sf_dir):
     """The tiny-dimension snapshot helper must raise, not silently collect,
     when pointed at a domain larger than its cap (the same fail-fast
