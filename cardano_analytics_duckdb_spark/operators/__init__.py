@@ -21,16 +21,19 @@ from pyspark.sql import DataFrame, SparkSession
 # reference-parity cardano family; include everything whose code or
 # shared helpers changed this round; fill the rest strictly oldest-first
 # by last driver-green round).  r13 is the r12 verdict's "Next round" #4
-# ask: cardano family pinned + the three queries whose execution path
+# ask: cardano family pinned + the four queries whose execution path
 # changed in r13 (gopher_quality_flags — range shuffle dropped in front
-# of the narrow Arrow kernel; pii_redaction_stats — kernel factored into
-# seq/combined variants for the unified-protocol A/B, shipped path
-# unchanged pending measurement; distinct_supplier_part_counts — layout-
-# gated bucket-local pair-dedup) + 32 of the 33-query r9-vintage block.
-# The one r9 carryover is image_dup_cluster_summary: it is a strict
-# downstream aggregation of image_dup_clusters (same pHash/banding
-# pipeline, operators/multimodal.py), which IS in the window — the
-# shared path gets its driver row; the summary heads r14's rotation.
+# of the narrow Arrow kernel; pii_redaction_stats — same shuffle drop
+# adopted after the equal-cache A/B; distinct_supplier_part_counts — layout-
+# gated bucket-local pair-dedup, measured-rejected and reverted;
+# lang_id_scores — leading range shuffle dropped) + 31 of the 33-query
+# r9-vintage block.  Two documented r9 carryovers head r14's rotation:
+# image_dup_cluster_summary (a strict downstream aggregation of
+# image_dup_clusters — same pHash/banding pipeline,
+# operators/multimodal.py — which IS in the window, so the shared path
+# gets its driver row) and status_price_position (whose
+# operators/windows.py window-frame machinery is covered by r12-green
+# status_price_range_frame; displaced by the changed lang_id_scores).
 _WINDOW = (
     # reference parity (pinned every round)
     "cardano_high_fee_txs",
@@ -52,6 +55,7 @@ _WINDOW = (
     "gopher_quality_flags",
     "pii_redaction_stats",
     "distinct_supplier_part_counts",
+    "lang_id_scores",
     # last driver row r9 — the oldest block (r12 verdict #4), minus the
     # one documented carryover above
     "alpha_token_stats",
@@ -78,7 +82,6 @@ _WINDOW = (
     "packing_efficiency_eval",
     "pricing_summary",
     "shipping_priority",
-    "status_price_position",
     "streaming_click_purchase_join",
     "streaming_dedup_events",
     "streaming_session_windows",
@@ -87,8 +90,8 @@ _WINDOW = (
     "top_orders_per_customer",
     "user_sessions",
 )
-# Freshness state entering r14: r9 vintage cleared except
-# image_dup_cluster_summary (head of the r14 fill).  Next-oldest block
+# Freshness state entering r14: r9 vintage cleared except the two
+# carryovers above (head of the r14 fill).  Next-oldest block
 # is r10 (bigram LM, BPE family, cosine/IVF hints, cube/rollup family,
 # slot_time_conversion, ... — 32 queries).  All 147 stay
 # pytest-oracle-green every round regardless of window position.

@@ -42,15 +42,23 @@ from ..lake.fixtures import SLOT_GROUP_SIZE
 from ..sources.blocks import blocks_to_dataframe
 
 # The streaming lake's own join-key family: every flagship join site
-# (semi, src-UTxO equi, final set-agg lefts) keys on tx_id, and over the
-# broadcast gate (a popular token's multi-million-row history) the
-# shuffle_hash fallback's dominant exchange is the WIDE tx side —
-# exactly what a tx_id bucket layout elides (operators/cardano.py:
-# _FLAGSHIP_BROADCAST_ROW_GATE discussion; A/B in SCALE_PROBE.json
-# r13_cardano_layout_10000x).  asset is deliberately NOT in the spec:
-# its read path is the manifest box-prune on (policy, name, slot) —
-# re-clustering it by tx_id would trade file skipping for one small
-# exchange over already-token-filtered rows (measured, same probe).
+# (semi, src-UTxO equi, final set-agg lefts) keys on tx_id.  Declaring
+# this spec at ingest bootstrap is deliberately OPT-IN
+# (``declare_layout=False`` default): the A/B at the 2M-tx lake
+# (SCALE_PROBE r13_cardano_layout_10000x) REJECTED default-on — the
+# bucketed tx copy lost on every path, including the over-gate
+# shuffle_hash shape it exists to serve (gate0 1.399 -> 2.377 s,
+# flagship 1.511 -> 2.662 s, windowed 0.651 -> 2.004 s): at this
+# per-partition volume the n_buckets x slot_group file fan-out turns a
+# ~100-file scan into a few thousand small files, and the scan
+# overhead swamps the elided exchange.  asset is NOT in the spec for a
+# second, measured reason: its read path is the manifest box-prune on
+# (policy, name, slot), and re-clustering by tx_id trades that file
+# skipping for one small exchange over already-token-filtered rows
+# (asset_aggpath 0.34 s box-pruned vs 1.54 s on the copy, same probe).
+# The spec remains the right call on a lake whose per-partition volume
+# makes per-bucket files parquet-sized (tens of MB) — a real mainnet
+# history, not this probe's — which is exactly what the opt-in is for.
 DEFAULT_CARDANO_SPEC: dict[str, list[list[str]]] = {"tx": [["tx_id"]]}
 
 LAKE_TABLES = (

@@ -2569,19 +2569,16 @@ _WEAK_CANDIDATES = [
         "query": "pii_redaction_stats",
         "pairs": [
             (
-                "r13_text_ab.spark_median.pii_combined_noshuffle",
-                "r13_text_ab.duckdb_median.pii_redaction_stats",
-            ),
-            (
-                "r13_text_ab.spark_median.pii_seq_ranged_r12",
+                "r13_text_ab.spark_median.pii_seq_noshuffle",
                 "r13_text_ab.duckdb_median.pii_redaction_stats",
             ),
         ],
         "ratio_paths": [],
         "residual": "r12 readings conflicted (1.82x adoption probe vs "
         "2.83x family re-measure, unequal page cache); r13_text_ab "
-        "equalizes cache state and A/Bs seq vs combined-alternation vs "
-        "rlike-prefilter kernels.",
+        "equalized cache state: the leading range shuffle was the "
+        "cost.  SHIPPED = pii_seq_noshuffle (combined-alternation and "
+        "rlike-prefilter kernels measured and rejected, same entry).",
         "floor": False,
     },
     {
