@@ -21,19 +21,23 @@ from pyspark.sql import DataFrame, SparkSession
 # reference-parity cardano family; include everything whose code or
 # shared helpers changed this round; fill the rest strictly oldest-first
 # by last driver-green round).  r13 is the r12 verdict's "Next round" #4
-# ask: cardano family pinned + the four queries whose execution path
+# ask: cardano family pinned + the five queries whose execution path
 # changed in r13 (gopher_quality_flags — range shuffle dropped in front
 # of the narrow Arrow kernel; pii_redaction_stats — same shuffle drop
 # adopted after the equal-cache A/B; distinct_supplier_part_counts — layout-
 # gated bucket-local pair-dedup, measured-rejected and reverted;
-# lang_id_scores — leading range shuffle dropped) + 31 of the 33-query
-# r9-vintage block.  Two documented r9 carryovers head r14's rotation:
+# lang_id_scores — leading range shuffle dropped; events_sliding_10min
+# — rewritten agg-first, 3.1x, measured in r13_events_ab) + 30 of the
+# 33-query r9-vintage block.  Three documented r9 carryovers head r14's
+# rotation:
 # image_dup_cluster_summary (a strict downstream aggregation of
 # image_dup_clusters — same pHash/banding pipeline,
 # operators/multimodal.py — which IS in the window, so the shared path
 # gets its driver row) and status_price_position (whose
 # operators/windows.py window-frame machinery is covered by r12-green
-# status_price_range_frame; displaced by the changed lang_id_scores).
+# status_price_range_frame; displaced by the changed lang_id_scores)
+# and streaming_tumbling_counts (streaming/windows.py keeps four other
+# r9 entries in-window; displaced by the changed events_sliding_10min).
 _WINDOW = (
     # reference parity (pinned every round)
     "cardano_high_fee_txs",
@@ -56,8 +60,9 @@ _WINDOW = (
     "pii_redaction_stats",
     "distinct_supplier_part_counts",
     "lang_id_scores",
+    "events_sliding_10min",
     # last driver row r9 — the oldest block (r12 verdict #4), minus the
-    # one documented carryover above
+    # three documented carryovers above
     "alpha_token_stats",
     "brand_shipment_stats",
     "cardano_address_cluster_summary",
@@ -86,11 +91,10 @@ _WINDOW = (
     "streaming_dedup_events",
     "streaming_session_windows",
     "streaming_stateful_sessions",
-    "streaming_tumbling_counts",
     "top_orders_per_customer",
     "user_sessions",
 )
-# Freshness state entering r14: r9 vintage cleared except the two
+# Freshness state entering r14: r9 vintage cleared except the three
 # carryovers above (head of the r14 fill).  Next-oldest block
 # is r10 (bigram LM, BPE family, cosine/IVF hints, cube/rollup family,
 # slot_time_conversion, ... — 32 queries).  All 147 stay

@@ -568,6 +568,79 @@ ORDER BY doc_a, doc_b
 # fingerprint is set iff sum over tokens of (±1 by bit b of h16) is positive.
 
 
+def _simhash_frame_fold(docs: DataFrame) -> DataFrame:
+    """Shuffle-free twin of :func:`_simhash_frame`: the per-doc ±1 bit
+    sums as a narrow HOF fold instead of explode + grouped agg.
+
+    Shape: ONE ``transform`` pass computes h16 per token (the md5 — the
+    expensive part — exactly once per token, same as the explode path),
+    then four cheap folds accumulate ones-counts packed FOUR LANES PER
+    LONG (16 bits each, lane k of long j = ones of fingerprint bit
+    4j+k; the lang_id lesson — per-element allocation in HOF lambdas
+    costs as much as lambda count — rules out a 16-field struct
+    accumulator).  Bit b is set iff ±1-sum > 0 iff 2*ones_b > n_tokens.
+    The 65535-token slice is the same lane-saturation guard as lang_id
+    (textops.py): a lane is 16 bits, so ones-counts stay exact below
+    65536 tokens.  Zero exchanges: the whole frame is scan -> project.
+
+    Measured and REJECTED — emphatically (SCALE_PROBE r13_simhash_ab,
+    n=7 equal-cache at 100x docs): 99.7 s vs the explode shape's
+    1.814 s, a 55x loss.  Catalyst evaluates HOF lambdas interpreted
+    per element, and an md5 call inside ``transform`` runs through the
+    interpreted expression path for every one of ~50M tokens, where
+    the explode shape keeps md5 + the ±1 sums inside whole-stage
+    codegen and pays only a per-doc partial-row exchange.  The
+    shuffle-drop lever (gopher/pii/doc_quality/lang_id) only wins when
+    the replacement work stays compiled — a narrow shape bought with
+    interpreted per-element eval is the wrong trade at ANY scale.
+    Kept (unshipped) as the measured boundary of that generalization.
+    The explode shape itself re-measured 1.29x DuckDB under the same
+    protocol — the old 1.81x reading carried cache-state noise."""
+    toks = F.slice(F.split(F.col("text"), " "), 1, 65535)
+    hs = F.transform(
+        toks,
+        lambda t: F.conv(
+            F.substring(F.md5(t.cast("binary")), 1, 4), 16, 10
+        ).cast("int"),
+    )
+    n_tok = F.size(toks)
+
+    def ones_long(j: int) -> F.Column:
+        # fold: acc + sum_k ((h >> (4j+k)) & 1) << 16k
+        return F.aggregate(
+            hs,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + sum(
+                (
+                    F.shiftright(h, 4 * j + k).bitwiseAND(1).cast("long")
+                    * F.lit(1 << (16 * k)).cast("long")
+                )
+                for k in range(4)
+            ),
+        )
+
+    packed = docs.select(
+        "doc_id",
+        n_tok.alias("_n"),
+        *[ones_long(j).alias(f"_o{j}") for j in range(4)],
+    )
+    fp = sum(
+        [
+            F.when(
+                F.shiftright(F.col(f"_o{b // 4}"), 16 * (b % 4))
+                .bitwiseAND(65535)
+                * 2
+                > F.col("_n"),
+                F.lit(1 << b),
+            ).otherwise(F.lit(0))
+            for b in range(16)
+        ],
+        F.lit(0),
+    )
+    return packed.select("doc_id", fp.cast("int").alias("simhash16"))
+
+
 def _simhash_frame(docs: DataFrame) -> DataFrame:
     """Unordered (doc_id, simhash16) — shared by the fingerprint report
     and the recall eval."""

@@ -218,14 +218,22 @@ def events_sliding_10min(spark: SparkSession, sf_dir: str) -> DataFrame:
     ms = F.unix_millis(F.col("ts"))
     base = (F.floor(ms / 300_000) * 300_000).cast("long")
     starts = F.array(base - 300_000, base)
+    # Aggregate FIRST (r13 — the shape events_tumbling_5min measured 2x
+    # better and this query never got): the old range-shuffle-then-agg
+    # moved every EXPLODED row (2x raw) through the exchange; agg-first
+    # partials combine ~7x map-side (625k rows/task over ~86k group
+    # keys at 100x), the hash exchange moves partials only, and the
+    # span-bounded finished rows take the same repartition(1) local
+    # sort as tumbling.  A/B'd at 100x events in SCALE_PROBE
+    # r13_events_ab, n=7 equal-cache: agg-first 0.738 s vs
+    # merged-shuffle 2.271 s (3.1x) — 0.42x DuckDB's 1.745 s.
     return (
         events.select(
             F.explode(starts).alias("window_start_ms"), "event_type", "value"
         )
-        # merged shuffle: see events_tumbling_5min
-        .repartitionByRange("window_start_ms", "event_type")
         .groupBy("window_start_ms", "event_type")
         .agg(F.count("*").alias("n"), cent_sum(F.col("value")).alias("total_value"))
+        .repartition(1)
         .sortWithinPartitions("window_start_ms", "event_type")
     )
 

@@ -2302,6 +2302,125 @@ def main_r13text2(scratch: str) -> None:
     spark.stop()
 
 
+def main_r13events(scratch: str) -> None:
+    """--r13events: events_sliding_10min never got the agg-first shape
+    its tumbling sibling measured 2x better — the merged range shuffle
+    moves every EXPLODED row (2x raw) where agg-first moves map-side
+    partials.  Unified protocol A/B at 100x events."""
+    from cardano_analytics_duckdb_spark.functions.rounding import cent_sum
+    from cardano_analytics_duckdb_spark.lake.tables import load_table
+    from cardano_analytics_duckdb_spark.operators import all_oracles
+    from cardano_analytics_duckdb_spark.operators.windows import (
+        events_sliding_10min,
+        events_tumbling_5min,
+    )
+
+    spark = get_session(
+        app_name="scale-probe-r13events", shuffle_partitions=200
+    )
+    lake_dir = os.path.join(scratch, "lake100")
+    build_scaled_lake(spark, lake_dir, replicas=REPLICAS_100X, file_scale=10)
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+    def sliding_merged_r12():
+        events = load_table(spark, lake_dir, "events")
+        ms = F.unix_millis(F.col("ts"))
+        base = (F.floor(ms / 300_000) * 300_000).cast("long")
+        starts = F.array(base - 300_000, base)
+        return (
+            events.select(
+                F.explode(starts).alias("window_start_ms"),
+                "event_type", "value",
+            )
+            .repartitionByRange("window_start_ms", "event_type")
+            .groupBy("window_start_ms", "event_type")
+            .agg(
+                F.count("*").alias("n"),
+                cent_sum(F.col("value")).alias("total_value"),
+            )
+            .sortWithinPartitions("window_start_ms", "event_type")
+        )
+
+    frames = {
+        "sliding_aggfirst": lambda: events_sliding_10min(spark, lake_dir),
+        "sliding_merged_r12": sliding_merged_r12,
+        "tumbling_reference": lambda: events_tumbling_5min(spark, lake_dir),
+    }
+    diff = frames["sliding_aggfirst"]().exceptAll(sliding_merged_r12()).count()
+    assert diff == 0, f"agg-first diverges on {diff} rows"
+    oracles = all_oracles()
+    payload = steady_state(
+        spark,
+        lake_dir,
+        frames,
+        duck_sql={
+            "events_sliding_10min": oracles["events_sliding_10min"],
+            "events_tumbling_5min": oracles["events_tumbling_5min"],
+        },
+        n_runs=7,
+    )
+    payload["replicas"] = REPLICAS_100X
+    _merge_probe("r13_events_ab", payload)
+    shutil.rmtree(scratch, ignore_errors=True)
+    spark.stop()
+
+
+def main_r13simhash(scratch: str) -> None:
+    """--r13simhash: simhash_fingerprints reads 1.81x at 100x — the
+    explode + grouped-agg shape shuffles one partial row per doc and
+    runs the hash-agg machinery over 50M token rows.  The HOF-fold twin
+    (one transform pass for the md5s, four packed-lane folds) is
+    exchange-FREE but pays interpreted-lambda eval per token.  Unified
+    protocol decides."""
+    from cardano_analytics_duckdb_spark.lake.tables import load_table
+    from cardano_analytics_duckdb_spark.operators import all_oracles
+    from cardano_analytics_duckdb_spark.operators.dedup import (
+        _simhash_frame,
+        _simhash_frame_fold,
+    )
+    from cardano_analytics_duckdb_spark.functions.ordering import (
+        small_sorted,
+    )
+
+    spark = get_session(
+        app_name="scale-probe-r13simhash", shuffle_partitions=200
+    )
+    lake_dir = os.path.join(scratch, "lake100")
+    build_scaled_lake(spark, lake_dir, replicas=REPLICAS_100X, file_scale=10)
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+    def docs():
+        return load_table(spark, lake_dir, "documents")
+
+    frames = {
+        "simhash_explode_r12": lambda: _simhash_frame(docs()).transform(
+            small_sorted, "doc_id"
+        ),
+        "simhash_hof_fold": lambda: _simhash_frame_fold(docs()).transform(
+            small_sorted, "doc_id"
+        ),
+    }
+    diff = (
+        frames["simhash_hof_fold"]()
+        .exceptAll(frames["simhash_explode_r12"]())
+        .count()
+    )
+    assert diff == 0, f"fold diverges on {diff} rows"
+    payload = steady_state(
+        spark,
+        lake_dir,
+        frames,
+        duck_sql={
+            "simhash_fingerprints": all_oracles()["simhash_fingerprints"]
+        },
+        n_runs=7,
+    )
+    payload["replicas"] = REPLICAS_100X
+    _merge_probe("r13_simhash_ab", payload)
+    shutil.rmtree(scratch, ignore_errors=True)
+    spark.stop()
+
+
 def main_r13cardano(scratch: str) -> None:
     """--r13cardano (r12 verdict #5): does a default tx_id bucket layout
     on the streaming lake's own join keys pay for itself?  At 10,000x
@@ -2809,6 +2928,12 @@ def main() -> None:
         return
     if "--r13text2" in sys.argv:
         main_r13text2(scratch)
+        return
+    if "--r13events" in sys.argv:
+        main_r13events(scratch)
+        return
+    if "--r13simhash" in sys.argv:
+        main_r13simhash(scratch)
         return
     if "--weakledger" in sys.argv:
         main_weakledger()
