@@ -88,7 +88,49 @@ def _query_vec(
     return _QUERY_VEC_CACHE[key]
 
 
+def _cosine_scores_kernel(q: tuple) -> "callable":
+    """Factory: Arrow ``mapInPandas`` cosine scores against a fixed
+    query vector — per batch, ONE numpy matmul replaces ~64 interpreted
+    HOF lambda evals per row (the zip_with/aggregate in ``_dot``).
+    Locally-defined closure, shipped by value (foreign-cwd harness).
+    Rounding reproduces functions/rounding.rnd: floor(x*1e4+0.5)/1e4."""
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        qv = np.asarray(q, dtype=np.float64)
+        qn = np.sqrt((qv * qv).sum())
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            sims = (mat @ qv) / (np.sqrt((mat * mat).sum(axis=1)) * qn)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "cos_sim": np.floor(sims * 10000.0 + 0.5) / 10000.0,
+                }
+            )
+
+    return kernel
+
+
 def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k — the ANN baseline.  ONE job, joinless:
+    the query vector folds to a plan literal (see _QUERY_VEC_CACHE),
+    the HOF dot product runs as a JVM column expression, TakeOrdered
+    finishes — scan -> projection -> TakeOrdered, zero exchanges.
+
+    r13: an Arrow numpy-matmul kernel was measured and REJECTED
+    (SCALE_PROBE r13_cosine_ab, n=7 equal-cache at 200k vectors:
+    kernel 0.421 s vs this shape 0.344 s = 1.45x DuckDB).  The ~64
+    interpreted lambda evals/row the kernel saves are outweighed by
+    Arrow-transferring the full 200k x 64-double embedding column to
+    Python (~100 MB/pass) — the work-per-transferred-byte ratio
+    decides, the same generalization as the lang_id kernel rejection;
+    :func:`cosine_topk_arrow` keeps the measured twin.  exact_dedup
+    re-read 1.67x in the same probe — its old 1.63x was accurate."""
     emb = load_table(spark, sf_dir, "embeddings")
     q = _query_vec(spark, sf_dir, vec_id=0)
     q_lit = "array(" + ", ".join(f"cast({v!r} as double)" for v in q) + ")"
@@ -97,6 +139,23 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         emb.filter(F.col("vec_id") != 0)
         .select("vec_id", rnd(sim, 4).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .limit(10)
+    )
+
+
+def cosine_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The measured-rejected Arrow twin of :func:`cosine_topk` (see its
+    docstring for the numbers and the transfer-ratio generalization).
+    Unshipped; kept for re-measurement at higher dims, where the
+    work-per-byte ratio shifts toward the kernel (at 64 dims transfer
+    wins; at 1024+ dims the matmul amortizes it)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _query_vec(spark, sf_dir, vec_id=0)
+    return (
+        emb.filter(F.col("vec_id") != 0)
+        .select("vec_id", "embedding")
+        .mapInPandas(_cosine_scores_kernel(q), "vec_id long, cos_sim double")
         .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
         .limit(10)
     )

@@ -2421,6 +2421,56 @@ def main_r13simhash(scratch: str) -> None:
     spark.stop()
 
 
+def main_r13cosine(scratch: str) -> None:
+    """--r13cosine: the last two >1.5x headline readings re-taken under
+    the unified protocol — cosine_topk with its r13 Arrow numpy kernel
+    vs the JVM HOF twin (interpreted zip_with/aggregate dot), and
+    exact_dedup_groups as-is (clean reading; its 1.63x entry predates
+    the protocol and may be cache-state noise like simhash's 1.81x
+    was)."""
+    from cardano_analytics_duckdb_spark.operators import all_oracles
+    from cardano_analytics_duckdb_spark.operators.dedup import (
+        exact_dedup_groups,
+    )
+    from cardano_analytics_duckdb_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_arrow,
+    )
+
+    spark = get_session(
+        app_name="scale-probe-r13cosine", shuffle_partitions=200
+    )
+    lake_dir = os.path.join(scratch, "lake100")
+    build_scaled_lake(spark, lake_dir, replicas=REPLICAS_100X, file_scale=10)
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    frames = {
+        "cosine_numpy_kernel": lambda: cosine_topk_arrow(spark, lake_dir),
+        "cosine_hof_jvm": lambda: cosine_topk(spark, lake_dir),
+        "exact_dedup_groups": lambda: exact_dedup_groups(spark, lake_dir),
+    }
+    diff = (
+        frames["cosine_numpy_kernel"]()
+        .exceptAll(frames["cosine_hof_jvm"]())
+        .count()
+    )
+    assert diff == 0, f"numpy kernel diverges on {diff} rows"
+    oracles = all_oracles()
+    payload = steady_state(
+        spark,
+        lake_dir,
+        frames,
+        duck_sql={
+            "cosine_topk": oracles["cosine_topk"],
+            "exact_dedup_groups": oracles["exact_dedup_groups"],
+        },
+        n_runs=7,
+    )
+    payload["replicas"] = REPLICAS_100X
+    _merge_probe("r13_cosine_ab", payload)
+    shutil.rmtree(scratch, ignore_errors=True)
+    spark.stop()
+
+
 def main_r13cardano(scratch: str) -> None:
     """--r13cardano (r12 verdict #5): does a default tx_id bucket layout
     on the streaming lake's own join keys pay for itself?  At 10,000x
@@ -2934,6 +2984,9 @@ def main() -> None:
         return
     if "--r13simhash" in sys.argv:
         main_r13simhash(scratch)
+        return
+    if "--r13cosine" in sys.argv:
+        main_r13cosine(scratch)
         return
     if "--weakledger" in sys.argv:
         main_weakledger()
