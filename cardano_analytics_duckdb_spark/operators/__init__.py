@@ -21,15 +21,16 @@ from pyspark.sql import DataFrame, SparkSession
 # reference-parity cardano family; include everything whose code or
 # shared helpers changed this round; fill the rest strictly oldest-first
 # by last driver-green round).  r13 is the r12 verdict's "Next round" #4
-# ask: cardano family pinned + the five queries whose execution path
+# ask: cardano family pinned + the six queries whose execution path
 # changed in r13 (gopher_quality_flags — range shuffle dropped in front
 # of the narrow Arrow kernel; pii_redaction_stats — same shuffle drop
 # adopted after the equal-cache A/B; distinct_supplier_part_counts — layout-
 # gated bucket-local pair-dedup, measured-rejected and reverted;
 # lang_id_scores — leading range shuffle dropped; events_sliding_10min
-# — rewritten agg-first, 3.1x, measured in r13_events_ab) + 30 of the
-# 33-query r9-vintage block.  Three documented r9 carryovers head r14's
-# rotation:
+# — rewritten agg-first, 3.1x, measured in r13_events_ab;
+# knn_join_topk — batch-matmul Arrow kernel adopted, 2.7x, measured in
+# r13_knn_ab) + 29 of the 33-query r9-vintage block.  Four documented
+# r9 carryovers head r14's rotation:
 # image_dup_cluster_summary (a strict downstream aggregation of
 # image_dup_clusters — same pHash/banding pipeline,
 # operators/multimodal.py — which IS in the window, so the shared path
@@ -37,7 +38,10 @@ from pyspark.sql import DataFrame, SparkSession
 # operators/windows.py window-frame machinery is covered by r12-green
 # status_price_range_frame; displaced by the changed lang_id_scores)
 # and streaming_tumbling_counts (streaming/windows.py keeps four other
-# r9 entries in-window; displaced by the changed events_sliding_10min).
+# r9 entries in-window; displaced by the changed events_sliding_10min)
+# and image_phash_near_dup_pairs (in-window image_dup_clusters builds
+# directly on the same pairs helper; displaced by the changed
+# knn_join_topk).
 _WINDOW = (
     # reference parity (pinned every round)
     "cardano_high_fee_txs",
@@ -61,8 +65,9 @@ _WINDOW = (
     "distinct_supplier_part_counts",
     "lang_id_scores",
     "events_sliding_10min",
+    "knn_join_topk",
     # last driver row r9 — the oldest block (r12 verdict #4), minus the
-    # three documented carryovers above
+    # four documented carryovers above
     "alpha_token_stats",
     "brand_shipment_stats",
     "cardano_address_cluster_summary",
@@ -76,7 +81,6 @@ _WINDOW = (
     "first_half_only_custkeys",
     "high_value_orders",
     "image_dup_clusters",
-    "image_phash_near_dup_pairs",
     "kmeans_cluster_profile",
     "minhash_band_buckets",
     "minhash_recall_eval",
@@ -94,7 +98,7 @@ _WINDOW = (
     "top_orders_per_customer",
     "user_sessions",
 )
-# Freshness state entering r14: r9 vintage cleared except the three
+# Freshness state entering r14: r9 vintage cleared except the four
 # carryovers above (head of the r14 fill).  Next-oldest block
 # is r10 (bigram LM, BPE family, cosine/IVF hints, cube/rollup family,
 # slot_time_conversion, ... — 32 queries).  All 147 stay

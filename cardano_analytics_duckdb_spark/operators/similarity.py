@@ -844,7 +844,55 @@ def _local_topk_reducer(k: int):
     return reduce
 
 
-def knn_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _knn_batch_kernel(q_ids: list, q_mat: list, k: int):
+    """Factory (shipped by value): per Arrow batch, ONE numpy matmul
+    scores the batch against ALL queries (B x dims @ dims x Q) and
+    emits only each query's batch-local top-k — the crossJoin's B x Q
+    row expansion and its per-expanded-row HOF sim never materialize.
+    Rounding reproduces functions/rounding.rnd."""
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        Q = np.asarray(q_mat, dtype=np.float64).T  # dims x Q
+        qn = np.sqrt((Q * Q).sum(axis=0))  # Q
+        qi = np.asarray(q_ids)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            en = np.sqrt((mat * mat).sum(axis=1))
+            sims = (mat @ Q) / np.outer(en, qn)  # B x Q
+            sims = np.floor(sims * 10000.0 + 0.5) / 10000.0
+            vid = pdf["vec_id"].to_numpy()
+            out_q, out_v, out_s = [], [], []
+            kk = min(k, len(pdf))
+            for j in range(sims.shape[1]):
+                col = sims[:, j]
+                # ties resolve later in the global window (cos_sim
+                # desc, vec_id asc) — keep k per tie-group by taking
+                # top-k on (sim desc, vec_id asc) lexicographic
+                idx = np.lexsort((vid, -col))[:kk]
+                out_q.extend([qi[j]] * len(idx))
+                out_v.extend(vid[idx])
+                out_s.extend(col[idx])
+            yield pd.DataFrame(
+                {"q_id": out_q, "vec_id": out_v, "cos_sim": out_s}
+            )
+
+    return kernel
+
+
+def knn_join_topk_jvm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pre-r13 zero-Python twin: broadcast crossJoin expands B x Q
+    candidate rows, the HOF sim scores each, a streaming per-partition
+    reducer keeps Q x k, the global window finishes.  Demoted after the
+    equal-cache A/B (SCALE_PROBE r13_knn_ab: 3.191 s vs the shipped
+    batch-matmul kernel's 1.201 s at 200k x 10) — the expansion plus
+    ~64 interpreted lambda evals per EXPANDED row is 10x the work the
+    kernel does per transferred embedding.  Kept for deployments that
+    ban Python workers."""
     from pyspark.sql import Window as W
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -866,6 +914,58 @@ def knn_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rk",
             F.row_number()
             .over(W.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), "vec_id"))
+            .cast("long"),
+        )
+        .filter(F.col("rk") <= _KNN_K)
+        .orderBy("q_id", "rk")
+    )
+
+
+def knn_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN join (Q=10 queries x 200k corpus, top-k=3) — SHIPPED as the
+    batch-matmul Arrow kernel since r13: the Q query vectors (a bounded
+    Q x dims collect, same contract as ``_query_vec``) fold into the
+    kernel, so the broadcast-crossJoin's B x Q row expansion — and the
+    interpreted HOF sim per expanded row — never exist; each batch
+    emits <= Q x k rows and the same global window finishes.
+
+    Equal-cache A/B (SCALE_PROBE r13_knn_ab, n=7 at 200k vectors):
+    1.201 s vs the crossJoin+HOF shape's 3.191 s (2.7x).  This is the
+    transfer-ratio generalization confirming itself from the winning
+    side: one transferred embedding buys Q sims here (the rejected
+    cosine kernel got exactly one), so the Arrow transfer amortizes.
+    The zero-Python twin survives as :func:`knn_join_topk_jvm`.
+    Scale posture: narrow kernel over the corpus scan, <= Q x k rows
+    per batch into one small window — no candidate materialization at
+    any corpus size; Q bounded by the driver-collect contract."""
+    from pyspark.sql import Window as W
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qrows = (
+        emb.filter(F.col("vec_id") < _KNN_QUERIES)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    if len(qrows) != _KNN_QUERIES:
+        raise ValueError(f"expected {_KNN_QUERIES} queries, got {len(qrows)}")
+    qrows.sort(key=lambda r: r["vec_id"])
+    q_ids = [int(r["vec_id"]) for r in qrows]
+    q_mat = [[float(v) for v in r["embedding"]] for r in qrows]
+    local_topk = (
+        emb.filter(F.col("vec_id") >= _KNN_QUERIES)
+        .select("vec_id", "embedding")
+        .mapInPandas(
+            _knn_batch_kernel(q_ids, q_mat, _KNN_K),
+            "q_id long, vec_id long, cos_sim double",
+        )
+    )
+    return (
+        local_topk.withColumn(
+            "rk",
+            F.row_number()
+            .over(
+                W.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), "vec_id")
+            )
             .cast("long"),
         )
         .filter(F.col("rk") <= _KNN_K)
