@@ -888,8 +888,8 @@ def knn_join_topk_jvm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The pre-r13 zero-Python twin: broadcast crossJoin expands B x Q
     candidate rows, the HOF sim scores each, a streaming per-partition
     reducer keeps Q x k, the global window finishes.  Demoted after the
-    equal-cache A/B (SCALE_PROBE r13_knn_ab: 3.191 s vs the shipped
-    batch-matmul kernel's 1.201 s at 200k x 10) — the expansion plus
+    equal-cache A/B (SCALE_PROBE r13_knn_ab: 1.897 s vs the shipped
+    batch-matmul kernel's 0.542 s at 200k x 10) — the expansion plus
     ~64 interpreted lambda evals per EXPANDED row is 10x the work the
     kernel does per transferred embedding.  Kept for deployments that
     ban Python workers."""
@@ -929,11 +929,13 @@ def knn_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     interpreted HOF sim per expanded row — never exist; each batch
     emits <= Q x k rows and the same global window finishes.
 
-    Equal-cache A/B (SCALE_PROBE r13_knn_ab, n=7 at 200k vectors):
-    1.201 s vs the crossJoin+HOF shape's 3.191 s (2.7x).  This is the
-    transfer-ratio generalization confirming itself from the winning
-    side: one transferred embedding buys Q sims here (the rejected
-    cosine kernel got exactly one), so the Arrow transfer amortizes.
+    Equal-cache A/B (SCALE_PROBE r13_knn_ab, n=7 at 200k vectors,
+    quiet-host read; a first read under load agreed at 2.7x): 0.542 s
+    vs the crossJoin+HOF shape's 1.897 s (3.5x) — 1.56x DuckDB.  This
+    is the transfer-ratio generalization confirming itself from the
+    winning side: one transferred embedding buys Q sims here (the
+    rejected cosine kernel got exactly one), so the Arrow transfer
+    amortizes.
     The zero-Python twin survives as :func:`knn_join_topk_jvm`.
     Scale posture: narrow kernel over the corpus scan, <= Q x k rows
     per batch into one small window — no candidate materialization at

@@ -2800,13 +2800,11 @@ _WEAK_CANDIDATES = [
             )
         ],
         "ratio_paths": [],
-        "residual": "NEW entry by evidentiary standard, not regression: "
-        "the batch-matmul kernel improved the query 2.7x (3.191 -> "
-        "1.201 s) but the first same-session DuckDB comparison reads "
-        "2.87x.  Denominator is bimodal across the n=7 record "
-        "(0.265-1.086 s) — ratio needs a quieter-host re-read; "
-        "residual if real: Arrow transfer of the 200k x 64-double "
-        "corpus vs DuckDB's in-process list_cosine_similarity.",
+        "residual": "batch-matmul kernel adopted in r13 (3.5x over the "
+        "crossJoin+HOF shape).  A first loaded-host read put the ratio "
+        "at 2.87x on a bimodal denominator; the prescribed quiet-host "
+        "re-read (the canonical r13_knn_ab) lands 0.542 vs 0.348 s — "
+        "under the bar.",
         "floor": False,
     },
     {
