@@ -610,22 +610,31 @@ def test_levenshtein_blocking_uses_composite_canopy(spark, sf_dir):
 
 
 def test_knn_join_phase1_is_narrow(spark, sf_dir):
-    """knn_join_topk's phase 1 (broadcast queries x corpus sims -> local
-    top-k reducer) must not shuffle: the only Exchange below the Python
-    reducer is the broadcast of the query vectors.  The per-query rank
-    shuffles only the P*Q*k survivors above it."""
+    """knn_join_topk's phase 1 (r13: the batch-matmul kernel straight
+    over the corpus scan — the query matrix folds into the kernel, so
+    there is no broadcast and no crossJoin at all) must not shuffle:
+    NO Exchange of any kind below the kernel.  The per-query rank
+    shuffles only the P*Q*k survivors above it.  The zero-Python twin
+    keeps the old broadcast-crossJoin contract."""
     from cardano_analytics_duckdb_spark.operators.similarity import (
         knn_join_topk,
+        knn_join_topk_jvm,
     )
 
     plan = _plan(knn_join_topk(spark, sf_dir))
     head, _, tail = plan.partition("MapInPandas")
+    assert tail, "expected a MapInPandas batch-matmul stage"
+    # below the kernel (printed after it): narrow scan, zero exchanges
+    assert "Exchange" not in tail and "Join" not in tail
+    # above it: exactly the per-query rank shuffle over the survivors
+    assert "Window" in head
+
+    plan_jvm = _plan(knn_join_topk_jvm(spark, sf_dir))
+    head, _, tail = plan_jvm.partition("MapInPandas")
     assert tail, "expected a MapInPandas local top-k stage"
-    # below the reducer (printed after it): broadcast exchange only
     assert "BroadcastExchange" in tail
     assert "Exchange hashpartitioning" not in tail
     assert "Exchange rangepartitioning" not in tail
-    # above it: exactly the per-query rank shuffle over the survivors
     assert "Window" in head
 
 
