@@ -2853,11 +2853,17 @@ def main_weakledger() -> None:
                 if r is not None:
                     ratio, source = r, rp.split(".")[0]
                     break
+        # Floor entries keep their tag regardless of the latest point
+        # reading: their ratios breathe with the DuckDB denominator
+        # (0.07-0.33 s against a ~0.18 s/job dispatch floor), so a
+        # sub-2.0 reading under one host condition would flap back next
+        # round — the decomposition, not the point estimate, is the
+        # evidence (fixed_cost_floor_100x).
         status = (
             "no-measurement"
             if ratio is None
             else "documented-floor"
-            if cand["floor"] and ratio > 2.0
+            if cand["floor"]
             else "cleared"
             if ratio <= 2.0
             else "fix-pending"
