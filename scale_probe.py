@@ -1993,6 +1993,10 @@ def steady_state(spark, lake_dir, frames, duck_sql=None, n_runs=7) -> dict:
     return {
         "protocol": "focused_steady_state",
         "n_runs": n_runs,
+        # the knn lesson: a loaded host bent one ratio 2.87x -> 1.56x;
+        # stamping load makes quiet-vs-loaded readings distinguishable
+        # in the artifact instead of in a prose note
+        "loadavg_at_end": [round(x, 2) for x in os.getloadavg()],
         "spark_runs": runs,
         "duckdb_runs": druns,
         "spark_median": {n: med(v) for n, v in runs.items()},
