@@ -705,6 +705,25 @@ def test_arrow_kernels_are_shuffle_free(spark, sf_dir):
         assert "MapInPandas" in plan
 
 
+def test_event_window_aggs_shuffle_partials_not_raw_rows(spark, sf_dir):
+    """events_tumbling_5min and events_sliding_10min (r13): aggregate
+    FIRST — the only full-row exchange is the hash agg's partial-row
+    exchange; no range shuffle of raw (or exploded) rows may precede
+    the aggregation.  The old sliding shape moved every exploded row
+    (2x raw) through a range exchange to serve the final order —
+    measured 3.1x slower (SCALE_PROBE r13_events_ab)."""
+    from cardano_analytics_duckdb_spark.operators.windows import (
+        events_sliding_10min,
+        events_tumbling_5min,
+    )
+
+    for fn in (events_tumbling_5min, events_sliding_10min):
+        plan = _plan(fn(spark, sf_dir))
+        assert "Exchange rangepartitioning" not in plan, fn.__name__
+        # exactly one keyed exchange: the agg's partial->final boundary
+        assert plan.count("Exchange hashpartitioning") == 1, fn.__name__
+
+
 def test_collected_dim_fails_fast_on_fact_tables(spark, sf_dir):
     """The tiny-dimension snapshot helper must raise, not silently collect,
     when pointed at a domain larger than its cap (the same fail-fast
