@@ -242,6 +242,7 @@ def _token_transfers(
     root: str | None = None,
     policy: bytes = TOKEN_POLICY,
     asset_name: bytes = TOKEN_NAME,
+    ordered: bool = False,
 ) -> DataFrame:
     # Box-pruned read (r8 verdict #4+#8): the policy/name equality prunes
     # as a [v, v] range over the manifest's hex-encoded BINARY bounds, the
@@ -366,15 +367,19 @@ def _token_transfers(
             "output_addr_set",
         )
     )
-    # Persist BEFORE the global sort: orderBy's RangePartitioner runs a
-    # bounds-sampling job over its child, so an uncached child executes
-    # the entire join pipeline twice.  The pre-sort report is the bounded
-    # deliverable (rows ∝ token activity, not chain size), so caching it
-    # is safe at any scale — measured 2.14 s -> 1.15 s median (with the
-    # `relevant` stage above) at a 2M-tx lake; small_sorted is NOT used
-    # here because a hot token's report can outgrow the one-partition
-    # shape it assumes.
-    return report.persist().orderBy("slot", "tx_id_hex")
+    # r13 sort-drop, sweep 3: the r9-r12 shape was
+    # ``report.persist().orderBy("slot", "tx_id_hex")`` — the persist
+    # existed ONLY to feed the orderBy's range sampler from cache instead
+    # of re-running the join pipeline (measured 2.14 s -> 1.15 s then).
+    # The global order itself buys nothing (the driver/oracle
+    # canonicalizes row order), so dropping the sort removes the range
+    # exchange of every report row, the sampling job, AND the cache
+    # materialization + memory footprint (the old entry also lingered
+    # across bench iterations).  ``ordered=True`` reproduces the r12
+    # shape for the A/B baseline (SCALE_PROBE r13_sortdrop3_cardano).
+    if ordered:
+        return report.persist().orderBy("slot", "tx_id_hex")
+    return report.sortWithinPartitions("slot", "tx_id_hex")
 
 
 def cardano_token_transfers(spark: SparkSession, sf_dir: str) -> DataFrame:

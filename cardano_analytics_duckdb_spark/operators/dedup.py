@@ -1036,7 +1036,15 @@ ORDER BY component
 _LEN_BAND = 4
 
 
-def part_name_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def part_name_levenshtein_pairs(
+    spark: SparkSession, sf_dir: str, ordered: bool = False
+) -> DataFrame:
+    # r13 sort-drop, sweep 3: the banded join is broadcast-only (no data
+    # exchange anywhere), so the final global ORDER BY's range sampler
+    # re-executed the ENTIRE levenshtein band join — the most expensive
+    # upstream in the sweep running twice per execution — then range-
+    # exchanged the pair rows for an order the oracle canonicalizes.
+    # A/B: SCALE_PROBE r13_sortdrop3_ab.
     part = load_table(spark, sf_dir, "part").select(
         "p_partkey", "p_brand", "p_name", F.length("p_name").alias("nlen")
     )
@@ -1061,7 +1069,7 @@ def part_name_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nlen").alias("nlen_b"),
         F.floor(F.col("nlen") / _LEN_BAND).alias("len_band"),
     )
-    return (
+    pairs = (
         a.join(b, ["p_brand", "len_band"])
         .filter(
             (F.col("pk_a") < F.col("pk_b"))
@@ -1075,8 +1083,10 @@ def part_name_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("pk_b").alias("part_b"),
             "edit_dist",
         )
-        .orderBy("p_brand", "part_a", "part_b")
     )
+    if ordered:
+        return pairs.orderBy("p_brand", "part_a", "part_b")
+    return pairs.sortWithinPartitions("p_brand", "part_a", "part_b")
 
 
 _LEVENSHTEIN_SQL = """
@@ -1159,7 +1169,13 @@ ORDER BY c.doc_id
 _SPAN_N = 8  # tokens per gram — long enough that a shared gram means copying
 
 
-def duplicated_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+def duplicated_ngram_coverage(
+    spark: SparkSession, sf_dir: str, ordered: bool = False
+) -> DataFrame:
+    # r13 sort-drop, sweep 3: the final ORDER BY's range sampler re-ran
+    # the probe side of the last broadcast join (docs scan + left join)
+    # and the exchange carried every per-doc row, buying an order the
+    # oracle canonicalizes.  A/B: SCALE_PROBE r13_sortdrop3_ab.
     n = _SPAN_N
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
@@ -1183,7 +1199,7 @@ def duplicated_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when(F.col("cnt") > 1, F.lit(1))).alias("dup_grams"),
         )
     )
-    return (
+    frame = (
         docs.select("doc_id")
         .join(per_doc, "doc_id", "left")
         .select(
@@ -1196,8 +1212,10 @@ def duplicated_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(rnd(F.col("dup_grams") / F.col("n_grams").cast("double"), 6))
             .alias("dup_fraction"),
         )
-        .orderBy("doc_id")
     )
+    if ordered:
+        return frame.orderBy("doc_id")
+    return frame.sortWithinPartitions("doc_id")
 
 
 _SPAN_COVERAGE_SQL = f"""
@@ -1240,7 +1258,14 @@ _MIN_TOKENS = 5
 _MAX_DUP_FRACTION = 0.5
 
 
-def corpus_keep_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+def corpus_keep_decisions(
+    spark: SparkSession, sf_dir: str, ordered: bool = False
+) -> DataFrame:
+    # r13 sort-drop, sweep 3: the final ORDER BY's range sampler re-ran
+    # everything after the md5-window's hash exchange — the docs re-scan
+    # (with text), the token count, and both broadcast joins — and the
+    # exchange carried every per-doc decision row.  The order is oracle-
+    # canonicalized.  A/B: SCALE_PROBE r13_sortdrop3_ab.
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
@@ -1269,17 +1294,17 @@ def corpus_keep_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .otherwise(F.lit("keep"))
     )
-    return (
-        attrs.select(
-            "doc_id",
-            "n_tokens",
-            "is_canonical",
-            "dup_fraction",
-            reason.alias("reason"),
-            (reason == "keep").alias("keep"),
-        )
-        .orderBy("doc_id")
+    frame = attrs.select(
+        "doc_id",
+        "n_tokens",
+        "is_canonical",
+        "dup_fraction",
+        reason.alias("reason"),
+        (reason == "keep").alias("keep"),
     )
+    if ordered:
+        return frame.orderBy("doc_id")
+    return frame.sortWithinPartitions("doc_id")
 
 
 _KEEP_DECISIONS_SQL = f"""

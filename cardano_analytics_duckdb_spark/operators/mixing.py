@@ -49,22 +49,45 @@ _GRAMS = (
 )
 
 
-def repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+def repetition_scores(
+    spark: SparkSession, sf_dir: str, shape: str = "hash"
+) -> DataFrame:
     """Per-document repetition diagnostics: top-word fraction, duplicate-word
     fraction, top-bigram fraction — the Gopher/MassiveText repetition
-    filters used to drop boilerplate and degenerate generations."""
+    filters used to drop boilerplate and degenerate generations.
+
+    r13: THREE shapes measured at 100x (SCALE_PROBE r13_aggfirst_ab /
+    r13_aggfirst2_ab), shipped = ``hash``:
+
+    - ``range`` (the r12 shape): one range exchange of every raw
+      EXPLODED gram row serves both agg levels and the global order —
+      but its sampler re-executes the whole explode pipeline to pick
+      boundaries, and the order it buys is oracle-canonicalized.
+    - ``aggfirst`` (the events_sliding lesson): planned aggs, partial
+      (doc_id, gram) count before the exchange.  Measured and REJECTED
+      at 100x: 14.743 s vs range's 12.795 s — per-doc grams are
+      near-unique within a map task's slice, so the partial hash table
+      folds little and its overhead beats the sampler saving.  The
+      agg-first lever needs LOW group-key cardinality (events_sliding:
+      ~86k keys, 7x fold, 3.1x win; here: millions of keys, ~1x fold).
+    - ``hash`` (shipped): the range shape minus its defects — ONE
+      explicit hash exchange on doc_id (satisfies both agg levels'
+      clustering exactly like range partitioning did), both aggs run
+      complete post-shuffle, NO sampling job, no global order."""
+    if shape not in ("hash", "range", "aggfirst"):
+        raise ValueError(f"unknown shape: {shape}")
     docs = load_table(spark, sf_dir, "documents")
     is_u = F.col("gram").startswith("u:")
+    exploded = docs.select(
+        "doc_id",
+        F.expr("filter(split(text, ' '), t -> t != '')").alias("w"),
+    ).select("doc_id", F.explode(F.expr(_GRAMS)).alias("gram"))
+    if shape == "range":
+        exploded = exploded.repartitionByRange("doc_id")
+    elif shape == "hash":
+        exploded = exploded.repartition("doc_id")
     counts = (
-        docs.select(
-            "doc_id",
-            F.expr("filter(split(text, ' '), t -> t != '')").alias("w"),
-        )
-        .select("doc_id", F.explode(F.expr(_GRAMS)).alias("gram"))
-        # One range shuffle satisfies BOTH grouping levels and the final
-        # ORDER BY (grams of a doc stay in the doc's partition).
-        .repartitionByRange("doc_id")
-        .groupBy("doc_id", "gram")
+        exploded.groupBy("doc_id", "gram")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .groupBy("doc_id")
         .agg(

@@ -28,20 +28,31 @@ from ..lake.tables import load_table
 # -- payload metadata: pure column ops (JVM-side, no UDF) ---------------------
 
 
-def payload_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+def payload_metadata(
+    spark: SparkSession, sf_dir: str, ordered: bool = False
+) -> DataFrame:
+    # r13 sort-drop (the doc_quality/gopher generalization applied to the
+    # whole multimodal family): the final global ORDER BY bought nothing —
+    # the oracle canonicalizes row order — and its range sampler is a
+    # SECOND full execution of the shuffle-free upstream (there is no
+    # exchange whose map output the sampler could reuse), plus a range
+    # exchange of every output row.  sortWithinPartitions keeps the rows
+    # deterministic per partition at zero exchanges.  A/B'd family-wide
+    # in SCALE_PROBE r13_sortdrop_ab; ``ordered=True`` preserves the old
+    # shape for the probe baseline.
     docs = load_table(spark, sf_dir, "documents")
     payload = F.col("text").cast("binary")
-    return (
-        docs.select(
-            "doc_id",
-            F.length(payload).alias("payload_bytes"),
-            F.lower(F.hex(F.substring(payload, 1, 8))).alias("header_hex"),
-            F.when(F.length(payload) % 2 == 0, F.lit("even-container"))
-            .otherwise(F.lit("odd-container"))
-            .alias("container_kind"),
-        )
-        .orderBy("doc_id")
+    frame = docs.select(
+        "doc_id",
+        F.length(payload).alias("payload_bytes"),
+        F.lower(F.hex(F.substring(payload, 1, 8))).alias("header_hex"),
+        F.when(F.length(payload) % 2 == 0, F.lit("even-container"))
+        .otherwise(F.lit("odd-container"))
+        .alias("container_kind"),
     )
+    if ordered:
+        return frame.orderBy("doc_id")
+    return frame.sortWithinPartitions("doc_id")
 
 
 # NOTE: DuckDB has no substring/md5 over BLOB, so the oracle operates on the
@@ -155,8 +166,18 @@ def _decoded_frame(
     )
 
 
-def image_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _decoded_frame(spark, sf_dir).orderBy("doc_id")
+def image_decode_features(
+    spark: SparkSession, sf_dir: str, ordered: bool = False
+) -> DataFrame:
+    # r13 sort-drop: the old orderBy's range sampler re-ran the DECODE
+    # KERNEL itself (shuffle-free upstream — nothing for the sampler to
+    # reuse), so every image was decoded twice and the decoded rows then
+    # crossed a range exchange.  See payload_metadata; A/B in
+    # SCALE_PROBE r13_sortdrop_ab.
+    frame = _decoded_frame(spark, sf_dir)
+    if ordered:
+        return frame.orderBy("doc_id")
+    return frame.sortWithinPartitions("doc_id")
 
 
 _IMAGE_DECODE_SQL = """
@@ -293,11 +314,19 @@ def phash_near_dup_pairs(
     )
 
 
-def image_phash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def image_phash_near_dup_pairs(
+    spark: SparkSession, sf_dir: str, ordered: bool = False
+) -> DataFrame:
+    # r13 sort-drop, sweep 3: the final ORDER BY sat above the pair-
+    # dedup's hash exchange, so its sampler re-ran only the distinct
+    # final + hamming filter (cheap) — but the range exchange still
+    # moved every pair row and the sampler was a whole extra job, for
+    # an order the oracle canonicalizes.  A/B: r13_sortdrop3_ab.
     decoded = _decoded_frame(spark, sf_dir).select("doc_id", "fingerprint")
-    return phash_near_dup_pairs(decoded, band_nibbles=1).orderBy(
-        "doc_a", "doc_b"
-    )
+    pairs = phash_near_dup_pairs(decoded, band_nibbles=1)
+    if ordered:
+        return pairs.orderBy("doc_a", "doc_b")
+    return pairs.sortWithinPartitions("doc_a", "doc_b")
 
 
 def _phash_sql(band_nibbles: int = 1) -> str:
@@ -425,7 +454,9 @@ def _image_cluster_summary_sql() -> str:
 # -- frame sampling stub (video-shaped): fixed-stride byte windows ------------
 
 
-def frame_sample_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+def frame_sample_features(
+    spark: SparkSession, sf_dir: str, ordered: bool = False
+) -> DataFrame:
     """Sample every 64th byte-window of the payload as a 'frame' and
     fingerprint each — the video-frame-sampling plan shape (explode of
     per-frame rows from one payload row, all JVM-side)."""
@@ -435,14 +466,16 @@ def frame_sample_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "transform(sequence(1, greatest(length(cast(text as binary)) div 64, 1)),"
         " i -> md5(substring(cast(text as binary), (i - 1) * 64 + 1, 64)))"
     )
-    return (
-        docs.select(
-            "doc_id",
-            F.posexplode(frames).alias("frame_no", "frame_md5"),
-        )
-        .withColumn("frame_no", F.col("frame_no").cast("int"))
-        .orderBy("doc_id", "frame_no")
-    )
+    frame = docs.select(
+        "doc_id",
+        F.posexplode(frames).alias("frame_no", "frame_md5"),
+    ).withColumn("frame_no", F.col("frame_no").cast("int"))
+    if ordered:
+        return frame.orderBy("doc_id", "frame_no")
+    # r13 sort-drop: was orderBy(doc_id, frame_no) — the sampler re-ran
+    # the per-frame md5 explode and the exchange carried every frame row
+    # (see payload_metadata; r13_sortdrop_ab)
+    return frame.sortWithinPartitions("doc_id", "frame_no")
 
 
 _FRAME_SAMPLE_SQL = """
@@ -464,7 +497,9 @@ ORDER BY doc_id, frame_no
 # shuffle, one Arrow batch in flight per core.
 
 
-def audio_waveform_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+def audio_waveform_features(
+    spark: SparkSession, sf_dir: str, ordered: bool = False
+) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.col("text").cast("binary").alias("payload")
     )
@@ -503,13 +538,18 @@ def audio_waveform_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="doc_id long, rms double, n_samples long, peak long,"
         " zero_crossings long",
     )
-    return raw.select(
+    frame = raw.select(
         "doc_id",
         "n_samples",
         rnd(F.col("rms"), 4).alias("rms"),
         "peak",
         "zero_crossings",
-    ).orderBy("doc_id")
+    )
+    if ordered:
+        return frame.orderBy("doc_id")
+    # r13 sort-drop: was orderBy(doc_id) — the sampler re-ran the numpy
+    # waveform kernel (see payload_metadata; r13_sortdrop_ab)
+    return frame.sortWithinPartitions("doc_id")
 
 
 _AUDIO_SQL = """
@@ -539,20 +579,24 @@ ORDER BY s.doc_id
 # a narrow whole-stage-codegen projection over the payload column.
 
 
-def image_resize_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+def image_resize_features(
+    spark: SparkSession, sf_dir: str, ordered: bool = False
+) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     thumb = F.expr(
         "concat_ws('', transform(sequence(0, 63),"
         " k -> substring(text, 1 + (k * length(text)) div 64, 1)))"
     )
-    return (
-        docs.select(
-            "doc_id",
-            F.md5(thumb.cast("binary")).alias("thumb_md5"),
-            F.length(thumb).alias("thumb_len"),
-        )
-        .orderBy("doc_id")
+    frame = docs.select(
+        "doc_id",
+        F.md5(thumb.cast("binary")).alias("thumb_md5"),
+        F.length(thumb).alias("thumb_len"),
     )
+    if ordered:
+        return frame.orderBy("doc_id")
+    # r13 sort-drop: was orderBy(doc_id) — the sampler re-ran the 64-way
+    # nearest-neighbor HOF (see payload_metadata; r13_sortdrop_ab)
+    return frame.sortWithinPartitions("doc_id")
 
 
 _RESIZE_SQL = """

@@ -300,7 +300,9 @@ _BITSET_DECODE = (
 )
 
 
-def order_brand_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+def order_brand_sets(
+    spark: SparkSession, sf_dir: str, ranged: bool = False
+) -> DataFrame:
     # Small-domain set aggregate as a BITSET: p_brand has ~25 distinct
     # values, so instead of shuffling brand strings into collect_set (heavy
     # rows, per-group set buffers), attach an alphabetical bit index on the
@@ -330,16 +332,24 @@ def order_brand_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     decode = _BITSET_DECODE.format(
         n=len(domain), mask="brand_mask", names=_sql_str_array(domain)
     )
-    return (
+    rows = (
         li.select("l_orderkey", "l_partkey")
         .join(F.broadcast(part_dim), F.col("l_partkey") == F.col("p_partkey"))
         .select("l_orderkey", F.expr("shiftleft(1L, bit)").alias("brand_bit"))
-        # ONE range shuffle serves both the agg (range partitioning on the
-        # group key satisfies its clustering requirement) and the global
-        # ORDER BY (range partitions are ordered, so a partition-local sort
-        # finishes the job).
-        .repartitionByRange("l_orderkey")
-        .groupBy("l_orderkey")
+    )
+    # r13 agg-first (the events_sliding lesson applied to the bitset
+    # aggs): the old shape pre-shuffled RAW (orderkey, bit) rows through
+    # one range exchange — every lineitem row crossed the wire, and the
+    # range sampler re-executed the broadcast join to pick boundaries.
+    # Letting the groupBy plan itself gives partial bit_or BEFORE the
+    # exchange (~4 lineitems/order fold map-side), a HASH exchange of
+    # partials only, no sampler — the global order the range bought is
+    # canonicalized away by the oracle.  ``ranged=True`` keeps the old
+    # shape for the A/B baseline (SCALE_PROBE r13_aggfirst_ab).
+    if ranged:
+        rows = rows.repartitionByRange("l_orderkey")
+    return (
+        rows.groupBy("l_orderkey")
         .agg(F.bit_or("brand_bit").alias("brand_mask"))
         .select("l_orderkey", F.expr(decode).alias("brand_set"))
         .sortWithinPartitions("l_orderkey")
@@ -362,7 +372,9 @@ ORDER BY l_orderkey
 #   ("output side"); orders with no lineitem have a NULL input side (≙ mint).
 
 
-def cross_nation_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+def cross_nation_orders(
+    spark: SparkSession, sf_dir: str, ranged: bool = False
+) -> DataFrame:
     # Both the supplier side (from lineitem) and the customer side (from
     # orders) key on the SAME id, so instead of aggregating one side and
     # fact-fact-joining the other (two shuffles + a sort-merge join whose
@@ -415,9 +427,18 @@ def cross_nation_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"element_at({key_to_bit}, c_nationkey)").alias("cust_idx"),
         )
     )
+    # r13 agg-first (see order_brand_sets): the old range pre-shuffle
+    # moved every raw union row (≈5 per order: ~4 lineitem-supplier +
+    # 1 customer) through one exchange, and the range sampler re-executed
+    # BOTH broadcast joins to pick boundaries.  Planned agg gives partial
+    # bit_or/max per union branch BEFORE the exchange, a hash exchange of
+    # partials only, no sampler; the global order is oracle-canonicalized.
+    # ``ranged=True`` keeps the old shape (SCALE_PROBE r13_aggfirst_ab).
+    unioned = supp_rows.unionByName(cust_rows)
+    if ranged:
+        unioned = unioned.repartitionByRange("o_orderkey")
     return (
-        supp_rows.unionByName(cust_rows)
-        .repartitionByRange("o_orderkey")
+        unioned
         .groupBy("o_orderkey")
         .agg(
             F.bit_or("nation_bit").alias("supp_mask"),
@@ -502,7 +523,14 @@ ORDER BY n DESC, token
 # ≙ the multi-file view concat (token_fee_analysis.py:76-80)
 
 
-def priority_order_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+def priority_order_union(
+    spark: SparkSession, sf_dir: str, ordered: bool = False
+) -> DataFrame:
+    # r13 sort-drop, sweep 3 (see multimodal.payload_metadata): the
+    # upstream is shuffle-free (two pushed-filter scans unioned), so the
+    # final global ORDER BY made the range sampler re-execute BOTH scans
+    # and then range-exchanged ~40% of orders rows — for an order the
+    # oracle canonicalizes.  A/B: SCALE_PROBE r13_sortdrop3_ab.
     orders = load_table(spark, sf_dir, "orders")
     urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
         "o_orderkey", "o_orderpriority"
@@ -510,7 +538,10 @@ def priority_order_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     high = orders.filter(F.col("o_orderpriority") == "2-HIGH").select(
         "o_orderkey", "o_orderpriority"
     )
-    return urgent.unionByName(high).orderBy("o_orderkey")
+    frame = urgent.unionByName(high)
+    if ordered:
+        return frame.orderBy("o_orderkey")
+    return frame.sortWithinPartitions("o_orderkey")
 
 
 _PRIORITY_UNION_SQL = """

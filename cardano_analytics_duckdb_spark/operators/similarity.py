@@ -209,7 +209,9 @@ def _plane_lit(p: list[float]) -> str:
     return "array(" + ", ".join(f"cast({v!r} as double)" for v in p) + ")"
 
 
-def lsh_bucket_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+def lsh_bucket_assignments(
+    spark: SparkSession, sf_dir: str, ranged: bool = False
+) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     bucket = sum(
         [
@@ -220,21 +222,23 @@ def lsh_bucket_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         F.lit(0),
     )
-    # Project to the NARROW (vec_id, bucket) pair and PERSIST it before
-    # the range exchange: the shuffle then moves 12 bytes/row instead of
-    # the 64-float embedding (~270 bytes/row), and the range sampler
-    # reads the cached projection instead of re-running the scan + 8
-    # hyperplane dot products (each an allocation-heavy zip_with HOF).
-    # Measured at 200k vectors: 0.89 s (wide-shuffle shape) -> 0.68 s;
-    # the unpersisted narrow shape sits between (1.07 s — sampler redoes
-    # the dots).  The cache is 12 bytes/vector, linear and tiny relative
-    # to the embeddings themselves at any N.
-    return (
-        emb.select("vec_id", bucket.cast("int").alias("bucket"))
-        .persist()
-        .repartitionByRange("vec_id")
-        .sortWithinPartitions("vec_id")
-    )
+    # r13 sort-drop: the r10 shape persisted the narrow (vec_id, bucket)
+    # projection and range-exchanged it so the sampler would not re-run
+    # the 8 hyperplane HOF dots (0.68 s vs 0.89/1.07 s then).  The
+    # gopher/pii lesson makes all three of those shapes moot: the global
+    # order was never needed (the oracle canonicalizes), so the dots run
+    # ONCE over the scan partitioning with no exchange, no sampler and —
+    # critically — NO persist on the query path (the old cache entry
+    # lingered across bench runs).  ``ranged=True`` keeps the r10 shape
+    # for the A/B baseline (SCALE_PROBE r13_sortdrop_ab).
+    frame = emb.select("vec_id", bucket.cast("int").alias("bucket"))
+    if ranged:
+        return (
+            frame.persist()
+            .repartitionByRange("vec_id")
+            .sortWithinPartitions("vec_id")
+        )
+    return frame.sortWithinPartitions("vec_id")
 
 
 def _lsh_sql() -> str:

@@ -217,19 +217,25 @@ ORDER BY labeled_lang, predicted_lang
 # -- regex token filtering ----------------------------------------------------
 
 
-def alpha_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def alpha_token_stats(
+    spark: SparkSession, sf_dir: str, ordered: bool = False
+) -> DataFrame:
+    # r13 sort-drop (see multimodal.payload_metadata): the final global
+    # ORDER BY re-ran the per-token rlike filter in its range sampler
+    # (shuffle-free upstream) and range-exchanged every row, buying only
+    # an order the oracle canonicalizes.  A/B: r13_sortdrop_ab.
     docs = load_table(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
     alpha = F.expr("size(filter(split(text, ' '), t -> t rlike '^[a-z]+$'))")
-    return (
-        docs.select(
-            "doc_id",
-            F.size(toks).alias("n_tokens"),
-            alpha.alias("n_alpha_tokens"),
-            rnd(alpha / F.size(toks), 4).alias("alpha_ratio"),
-        )
-        .orderBy("doc_id")
+    frame = docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        alpha.alias("n_alpha_tokens"),
+        rnd(alpha / F.size(toks), 4).alias("alpha_ratio"),
     )
+    if ordered:
+        return frame.orderBy("doc_id")
+    return frame.sortWithinPartitions("doc_id")
 
 
 _ALPHA_SQL = """
@@ -251,20 +257,25 @@ ORDER BY doc_id
 _BPE_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
 
 
-def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+def bpe_token_counts(
+    spark: SparkSession, sf_dir: str, ordered: bool = False
+) -> DataFrame:
+    # r13 sort-drop (see multimodal.payload_metadata): the sampler used
+    # to re-run the BPE regexp_extract_all — the expensive part — once
+    # more per execution.  A/B: r13_sortdrop_ab.
     docs = load_table(spark, sf_dir, "documents")
     bpe = F.regexp_extract_all(F.col("text"), F.lit(_BPE_PATTERN), 0)
     ws = F.split(F.col("text"), " ")
-    return (
-        docs.select(
-            "doc_id",
-            F.size(ws).alias("n_ws_tokens"),
-            F.size(bpe).alias("n_bpe_tokens"),
-            F.size(F.array_distinct(bpe)).alias("n_distinct_bpe"),
-            rnd(F.size(bpe) / F.size(ws), 4).alias("bpe_per_ws_token"),
-        )
-        .orderBy("doc_id")
+    frame = docs.select(
+        "doc_id",
+        F.size(ws).alias("n_ws_tokens"),
+        F.size(bpe).alias("n_bpe_tokens"),
+        F.size(F.array_distinct(bpe)).alias("n_distinct_bpe"),
+        rnd(F.size(bpe) / F.size(ws), 4).alias("bpe_per_ws_token"),
     )
+    if ordered:
+        return frame.orderBy("doc_id")
+    return frame.sortWithinPartitions("doc_id")
 
 
 _BPE_SQL = f"""
@@ -284,13 +295,21 @@ ORDER BY doc_id
 # survives small edits at the ends (document fingerprinting per driver spec).
 
 
-def rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+def rolling_fingerprints(
+    spark: SparkSession, sf_dir: str, ordered: bool = False
+) -> DataFrame:
+    # r13 sort-drop (see multimodal.payload_metadata): the sampler used
+    # to re-run the per-window md5 transform — one md5 per CHARACTER of
+    # the corpus — a second time.  A/B: r13_sortdrop_ab.
     docs = load_table(spark, sf_dir, "documents")
     fp = F.expr(
         "array_min(transform(sequence(1, greatest(length(text) - 15, 1)),"
         " i -> md5(cast(substring(text, i, 16) as binary))))"
     )
-    return docs.select("doc_id", fp.alias("rolling_fp")).orderBy("doc_id")
+    frame = docs.select("doc_id", fp.alias("rolling_fp"))
+    if ordered:
+        return frame.orderBy("doc_id")
+    return frame.sortWithinPartitions("doc_id")
 
 
 _ROLLING_FP_SQL = """
@@ -386,7 +405,10 @@ def doc_regex_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "padded_first"
             ),
         )
-        .orderBy("doc_id")
+        # r13 sort-drop: was orderBy(doc_id); the doc_id<200 pushdown
+        # keeps this small, but the sampler still re-ran the four regex
+        # ops (see multimodal.payload_metadata)
+        .sortWithinPartitions("doc_id")
     )
 
 
@@ -826,23 +848,31 @@ _CHUNK_SIZE = 200
 _CHUNK_STRIDE = 150  # 50-char overlap
 
 
-def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+def doc_chunks(
+    spark: SparkSession, sf_dir: str, ordered: bool = False
+) -> DataFrame:
+    # r13 sort-drop (see multimodal.payload_metadata): the old global
+    # ORDER BY re-ran the chunk explode in its sampler AND range-
+    # exchanged every chunk row WITH its full chunk_text payload — the
+    # heaviest bytes in the family crossing a shuffle for ordering the
+    # oracle canonicalizes.  A/B: r13_sortdrop_ab.
     docs = load_table(spark, sf_dir, "documents")
     chunks = F.expr(
         f"transform(sequence(1, greatest(length(text), 1), {_CHUNK_STRIDE}),"
         f" s -> struct(s AS start, substring(text, s, {_CHUNK_SIZE}) AS chunk))"
     )
-    return (
-        docs.select("doc_id", F.posexplode(chunks).alias("chunk_idx", "c"))
-        .select(
-            "doc_id",
-            "chunk_idx",
-            F.col("c.start").alias("chunk_start"),
-            F.length("c.chunk").alias("chunk_len"),
-            F.col("c.chunk").alias("chunk_text"),
-        )
-        .orderBy("doc_id", "chunk_idx")
+    frame = docs.select(
+        "doc_id", F.posexplode(chunks).alias("chunk_idx", "c")
+    ).select(
+        "doc_id",
+        "chunk_idx",
+        F.col("c.start").alias("chunk_start"),
+        F.length("c.chunk").alias("chunk_len"),
+        F.col("c.chunk").alias("chunk_text"),
     )
+    if ordered:
+        return frame.orderBy("doc_id", "chunk_idx")
+    return frame.sortWithinPartitions("doc_id", "chunk_idx")
 
 
 _DOC_CHUNKS_SQL = f"""

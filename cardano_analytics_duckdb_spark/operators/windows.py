@@ -26,19 +26,32 @@ from ..lake.tables import load_table
 # -- top-k per group ----------------------------------------------------------
 
 
-def top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+def top_orders_per_customer(
+    spark: SparkSession, sf_dir: str, ranged: bool = True
+) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     w = W.partitionBy("o_custkey").orderBy(
         F.col("o_totalprice").desc(), F.col("o_orderkey")
     )
     # One range shuffle on the RAW scan serves the window's clustering
-    # requirement (range partitioning on o_custkey satisfies it), and range
-    # partitions are ordered, so a partition-local sort finishes the global
-    # ORDER BY.  orderBy-after-window would add a sampling pass that
-    # re-executes the whole window pipeline (see functions/ordering.py).
+    # requirement; range partitions being ordered, a partition-local sort
+    # gives total order in the same pass.
+    #
+    # r13 measured the implicit-hash-exchange alternative (drop the
+    # explicit repartition, let EnsureRequirements insert the window's
+    # hash exchange — no range-boundary sampling job) and REJECTED it:
+    # wash under load (2.607 vs 2.545 s, r13_sortdrop_ab), 0.87x on the
+    # quiet-host re-read (1.960 vs 1.704 s, r13_sortdrop2_ab).  Named
+    # cause: an ENSURE_REQUIREMENTS exchange is AQE-coalescible, and the
+    # ~200 MB orders shuffle coalesces far below the core count, so the
+    # window stage loses parallelism; the user-specified range exchange
+    # pins the partition count (the same structure WINS 11% for
+    # user_sessions, whose events shuffle is 10x bigger and never
+    # coalesces below the cores).  ``ranged=False`` keeps the rejected
+    # shape reproducible for the probe."""
+    base = orders.repartitionByRange("o_custkey") if ranged else orders
     return (
-        orders.repartitionByRange("o_custkey")
-        .withColumn("rn", F.row_number().over(w))
+        base.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
         .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
         .sortWithinPartitions("o_custkey", "rn")
@@ -60,21 +73,29 @@ ORDER BY o_custkey, rn
 # -- running aggregate --------------------------------------------------------
 
 
-def user_running_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+def user_running_value(
+    spark: SparkSession, sf_dir: str, ordered: bool = False
+) -> DataFrame:
+    # r13 sort-drop: the final orderBy added a SECOND exchange (range,
+    # carrying every output row) on top of the window's own hash
+    # exchange, and its sampler re-ran the window evaluation (the
+    # window's shuffle files are reused, but everything after them is
+    # not).  The oracle canonicalizes order; one exchange suffices.
+    # A/B: r13_sortdrop_ab.
     events = load_table(spark, sf_dir, "events")
     w = (
         W.partitionBy("user_id")
         .orderBy("ts", "event_id")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    return (
-        events.select(
-            "user_id",
-            "event_id",
-            rnd(F.sum("value").over(w), 2).alias("running_value"),
-        )
-        .orderBy("user_id", "event_id")
+    frame = events.select(
+        "user_id",
+        "event_id",
+        rnd(F.sum("value").over(w), 2).alias("running_value"),
     )
+    if ordered:
+        return frame.orderBy("user_id", "event_id")
+    return frame.sortWithinPartitions("user_id", "event_id")
 
 
 _RUNNING_VALUE_SQL = """
@@ -89,18 +110,22 @@ ORDER BY user_id, event_id
 # -- lag / inter-event gaps ---------------------------------------------------
 
 
-def user_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+def user_event_gaps(
+    spark: SparkSession, sf_dir: str, ordered: bool = False
+) -> DataFrame:
+    # r13 sort-drop: same second-exchange + window-re-evaluation cost as
+    # user_running_value (see its comment).  A/B: r13_sortdrop_ab.
     events = load_table(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     prev_ts = F.lag("ts").over(w)
-    return (
-        events.select(
-            "user_id",
-            "event_id",
-            (F.unix_millis(F.col("ts")) - F.unix_millis(prev_ts)).alias("gap_ms"),
-        )
-        .orderBy("user_id", "event_id")
+    frame = events.select(
+        "user_id",
+        "event_id",
+        (F.unix_millis(F.col("ts")) - F.unix_millis(prev_ts)).alias("gap_ms"),
     )
+    if ordered:
+        return frame.orderBy("user_id", "event_id")
+    return frame.sortWithinPartitions("user_id", "event_id")
 
 
 _EVENT_GAPS_SQL = """
@@ -115,7 +140,9 @@ ORDER BY user_id, event_id
 # lag + conditional cumsum — the batch expression of session_window().
 
 
-def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+def user_sessions(
+    spark: SparkSession, sf_dir: str, ranged: bool = False
+) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     gap_ms = F.unix_millis(F.col("ts")) - F.unix_millis(F.lag("ts").over(w))
@@ -123,15 +150,17 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     cum = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
         W.unboundedPreceding, W.currentRow
     )
-    # Single range shuffle up front: satisfies the window's user_id
-    # clustering, the groupBy's (user_id, session_id) clustering (user_id
-    # alone co-locates every session of a user), and — partitions being
-    # ordered ranges — the global ORDER BY via a partition-local sort.
-    # orderBy-after-agg would re-execute the window+agg pipeline for range
-    # sampling (see functions/ordering.py).
+    # r13: the explicit range shuffle becomes the window's implicit HASH
+    # exchange — still ONE shuffle (hashpartitioning(user_id) satisfies
+    # both windows' clustering AND the groupBy's (user_id, session_id)
+    # clustering, so the agg stays single-stage post-window), but the
+    # range-boundary sampling pass over the raw scan is gone, and the
+    # global order it bought is canonicalized away by the oracle (the
+    # gopher/pii lesson).  ``ranged=True`` keeps the old shape for the
+    # A/B baseline (SCALE_PROBE r13_sortdrop_ab).
+    base = events.repartitionByRange("user_id") if ranged else events
     return (
-        events.repartitionByRange("user_id")
-        .withColumn("new_sess", is_new)
+        base.withColumn("new_sess", is_new)
         .withColumn("session_id", F.sum("new_sess").over(cum))
         .groupBy("user_id", "session_id")
         .agg(

@@ -2836,6 +2836,537 @@ def _probe_get(probe: dict, dotted: str):
     return cur
 
 
+def main_r13sortdrop(scratch: str) -> None:
+    """--r13sortdrop: the gopher/pii/doc_quality shuffle-drop generalized
+    to every remaining final-global-ORDER-BY over a shuffle-free or
+    single-exchange upstream.  The range sampler re-executes everything
+    after the last shuffle boundary (there is none in the narrow
+    kernels/HOF projections — so the whole pipeline ran twice), and the
+    exchange carried every output row, all for an order the oracle
+    canonicalizes.  Representatives per sub-family, old shape via the
+    ``ordered=True``/``ranged=True`` params; equality asserted before
+    timing; unified n=7 equal-cache steady state."""
+    from cardano_analytics_duckdb_spark.operators import all_oracles
+    from cardano_analytics_duckdb_spark.operators.multimodal import (
+        image_decode_features,
+    )
+    from cardano_analytics_duckdb_spark.operators.similarity import (
+        lsh_bucket_assignments,
+    )
+    from cardano_analytics_duckdb_spark.operators.textops import (
+        bpe_token_counts,
+        doc_chunks,
+        rolling_fingerprints,
+    )
+    from cardano_analytics_duckdb_spark.operators.windows import (
+        top_orders_per_customer,
+        user_running_value,
+        user_sessions,
+    )
+
+    spark = get_session(
+        app_name="scale-probe-r13sortdrop", shuffle_partitions=200
+    )
+    lake_dir = os.path.join(scratch, "lake100")
+    build_scaled_lake(spark, lake_dir, replicas=REPLICAS_100X, file_scale=10)
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    oracles = all_oracles()
+    frames = {
+        # headline members first (these move the bench gate)
+        "lsh_noshuffle": lambda: lsh_bucket_assignments(spark, lake_dir),
+        "lsh_ranged_r10": lambda: lsh_bucket_assignments(
+            spark, lake_dir, ranged=True
+        ),
+        "top_orders_hash": lambda: top_orders_per_customer(
+            spark, lake_dir, ranged=False
+        ),
+        "top_orders_ranged_r12": lambda: top_orders_per_customer(
+            spark, lake_dir, ranged=True
+        ),
+        "sessions_hash": lambda: user_sessions(spark, lake_dir),
+        "sessions_ranged_r12": lambda: user_sessions(
+            spark, lake_dir, ranged=True
+        ),
+        # window family: trailing orderBy was a SECOND exchange
+        "running_noshuffle": lambda: user_running_value(spark, lake_dir),
+        "running_ordered_r12": lambda: user_running_value(
+            spark, lake_dir, ordered=True
+        ),
+        # kernel family representative (covers audio/payload/resize)
+        "image_decode_noshuffle": lambda: image_decode_features(
+            spark, lake_dir
+        ),
+        "image_decode_ordered_r12": lambda: image_decode_features(
+            spark, lake_dir, ordered=True
+        ),
+        # explode-with-payload representative
+        "doc_chunks_noshuffle": lambda: doc_chunks(spark, lake_dir),
+        "doc_chunks_ordered_r12": lambda: doc_chunks(
+            spark, lake_dir, ordered=True
+        ),
+        # regex-projection representative (covers alpha_token_stats)
+        "bpe_counts_noshuffle": lambda: bpe_token_counts(spark, lake_dir),
+        "bpe_counts_ordered_r12": lambda: bpe_token_counts(
+            spark, lake_dir, ordered=True
+        ),
+    }
+    for a, b in (
+        ("lsh_noshuffle", "lsh_ranged_r10"),
+        ("top_orders_hash", "top_orders_ranged_r12"),
+        ("sessions_hash", "sessions_ranged_r12"),
+        ("running_noshuffle", "running_ordered_r12"),
+        ("doc_chunks_noshuffle", "doc_chunks_ordered_r12"),
+    ):
+        diff = frames[a]().exceptAll(frames[b]()).count()
+        assert diff == 0, f"{a} diverges on {diff} rows"
+    payload = steady_state(
+        spark,
+        lake_dir,
+        frames,
+        duck_sql={
+            n: oracles[n]
+            for n in (
+                "lsh_bucket_assignments",
+                "top_orders_per_customer",
+                "user_sessions",
+                "user_running_value",
+                "image_decode_features",
+                "doc_chunks",
+                "bpe_token_counts",
+            )
+        },
+        n_runs=7,
+    )
+    payload["replicas"] = REPLICAS_100X
+    # rolling_fingerprints costs one interpreted md5 per corpus CHARACTER
+    # (~50M at even 10x) — n=3 at 10x keeps the probe bounded; the
+    # decision criterion is the variant-vs-variant ratio, which does not
+    # need the 100x denominator.
+    lake10 = os.path.join(scratch, "lake10")
+    build_scaled_lake(spark, lake10, replicas=10, file_scale=2)
+    payload["rolling_fp_10x"] = steady_state(
+        spark,
+        lake10,
+        {
+            "rolling_noshuffle": lambda: rolling_fingerprints(spark, lake10),
+            "rolling_ordered_r12": lambda: rolling_fingerprints(
+                spark, lake10, ordered=True
+            ),
+        },
+        n_runs=3,
+    )
+    _merge_probe("r13_sortdrop_ab", payload)
+    shutil.rmtree(scratch, ignore_errors=True)
+    spark.stop()
+
+
+def main_r13aggfirst(scratch: str) -> None:
+    """--r13aggfirst: the events_sliding agg-first lesson applied to the
+    remaining pre-shuffle-raw-rows aggregations — the bitset set-aggs
+    (order_brand_sets, cross_nation_orders: partial bit_or folds ~4-5
+    raw rows/order map-side and the exchange moves partials; the old
+    range sampler re-executed the broadcast joins) and repetition_scores
+    (the exchange moved one raw row per TOKEN+BIGRAM of the corpus, and
+    the sampler re-ran the explode).  Old shapes via ``ranged=True``;
+    equality asserted; unified n=7 equal-cache steady state."""
+    from cardano_analytics_duckdb_spark.operators import all_oracles
+    from cardano_analytics_duckdb_spark.operators.mixing import (
+        repetition_scores,
+    )
+    from cardano_analytics_duckdb_spark.operators.relational import (
+        cross_nation_orders,
+        order_brand_sets,
+    )
+
+    spark = get_session(
+        app_name="scale-probe-r13aggfirst", shuffle_partitions=200
+    )
+    lake_dir = os.path.join(scratch, "lake100")
+    build_scaled_lake(spark, lake_dir, replicas=REPLICAS_100X, file_scale=10)
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    oracles = all_oracles()
+    frames = {
+        "brand_sets_aggfirst": lambda: order_brand_sets(spark, lake_dir),
+        "brand_sets_ranged_r12": lambda: order_brand_sets(
+            spark, lake_dir, ranged=True
+        ),
+        "cross_nation_aggfirst": lambda: cross_nation_orders(spark, lake_dir),
+        "cross_nation_ranged_r12": lambda: cross_nation_orders(
+            spark, lake_dir, ranged=True
+        ),
+        "repetition_aggfirst": lambda: repetition_scores(
+            spark, lake_dir, shape="aggfirst"
+        ),
+        "repetition_ranged_r12": lambda: repetition_scores(
+            spark, lake_dir, shape="range"
+        ),
+    }
+    for a, b in (
+        ("brand_sets_aggfirst", "brand_sets_ranged_r12"),
+        ("cross_nation_aggfirst", "cross_nation_ranged_r12"),
+        ("repetition_aggfirst", "repetition_ranged_r12"),
+    ):
+        diff = frames[a]().exceptAll(frames[b]()).count()
+        assert diff == 0, f"{a} diverges on {diff} rows"
+    payload = steady_state(
+        spark,
+        lake_dir,
+        frames,
+        duck_sql={
+            n: oracles[n]
+            for n in (
+                "order_brand_sets",
+                "cross_nation_orders",
+                "repetition_scores",
+            )
+        },
+        n_runs=7,
+    )
+    payload["replicas"] = REPLICAS_100X
+    _merge_probe("r13_aggfirst_ab", payload)
+    shutil.rmtree(scratch, ignore_errors=True)
+    spark.stop()
+
+
+def build_scaled_documents(spark, scratch: str, replicas: int,
+                           file_scale: int = 1) -> None:
+    """Documents table only, same replication recipe as
+    build_scaled_lake — for text-family probes that touch nothing else
+    (a full 100x lake build costs ~40 min wall; this costs ~3)."""
+    from cardano_analytics_duckdb_spark.lake.tables import load_table
+
+    if os.path.exists(scratch):
+        shutil.rmtree(scratch)
+    os.makedirs(scratch)
+    rep = spark.range(replicas).select(F.col("id").alias("rep"))
+    docs = load_table(spark, SF_DIR, "documents")
+    dspan = docs.agg(F.max("doc_id")).first()[0] + 1
+    suffix = F.concat(F.lit(" r"), F.col("rep").cast("string"))
+    (
+        docs.crossJoin(F.broadcast(rep))
+        .withColumn("doc_id", F.col("doc_id") + F.col("rep") * dspan)
+        .withColumn("n_chars", F.col("n_chars") + F.length(suffix))
+        .withColumn("text", F.concat(F.col("text"), suffix))
+        .drop("rep")
+        .repartition(32 * file_scale)
+        .write.parquet(os.path.join(scratch, "documents.parquet"))
+    )
+
+
+def main_r13aggfirst2(scratch: str) -> None:
+    """--r13aggfirst2: repetition_scores three-shape decider.  The
+    r13_aggfirst_ab probe REJECTED agg-first for this query (14.743 s vs
+    the range shape's 12.795 s at 100x — per-doc grams are near-unique
+    within a map task, so the partial hash table folds ~nothing and its
+    overhead beats the sampler saving).  The third shape — explicit HASH
+    repartition on doc_id — is the range shape minus its two defects
+    (no range-boundary sampling job re-running the explode, no global
+    order) with everything else identical.  Documents-only 100x lake;
+    equality asserted; unified n=7 equal-cache protocol."""
+    from cardano_analytics_duckdb_spark.operators import all_oracles
+    from cardano_analytics_duckdb_spark.operators.mixing import (
+        repetition_scores,
+    )
+
+    spark = get_session(
+        app_name="scale-probe-r13aggfirst2", shuffle_partitions=200
+    )
+    lake_dir = os.path.join(scratch, "docs100")
+    build_scaled_documents(
+        spark, lake_dir, replicas=REPLICAS_100X, file_scale=10
+    )
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    frames = {
+        "repetition_hash": lambda: repetition_scores(
+            spark, lake_dir, shape="hash"
+        ),
+        "repetition_range_r12": lambda: repetition_scores(
+            spark, lake_dir, shape="range"
+        ),
+        "repetition_aggfirst": lambda: repetition_scores(
+            spark, lake_dir, shape="aggfirst"
+        ),
+    }
+    diff = (
+        frames["repetition_hash"]()
+        .exceptAll(frames["repetition_range_r12"]())
+        .count()
+    )
+    assert diff == 0, f"hash shape diverges on {diff} rows"
+    payload = steady_state(
+        spark,
+        lake_dir,
+        frames,
+        duck_sql={
+            "repetition_scores": all_oracles()["repetition_scores"]
+        },
+        n_runs=7,
+    )
+    payload["replicas"] = REPLICAS_100X
+    _merge_probe("r13_aggfirst2_ab", payload)
+    shutil.rmtree(scratch, ignore_errors=True)
+    spark.stop()
+
+
+def main_r13sortdrop2(scratch: str) -> None:
+    """--r13sortdrop2: quiet-host re-read of the two r13_sortdrop_ab
+    entries whose rounds were contention-contaminated (the probe's own
+    loadavg stamp read 12-13, and BOTH engines show 3-10x outlier runs
+    mid-round: duckdb top_orders 4.4 -> 48.2 s, image_decode_noshuffle
+    bimodal 0.5 / 4.4 s).  Same prescription as the r13 knn re-read:
+    repeat the pair on a quiet host before believing a median.  Builds
+    only the two tables the pairs touch."""
+    from cardano_analytics_duckdb_spark.operators import all_oracles
+    from cardano_analytics_duckdb_spark.operators.multimodal import (
+        image_decode_features,
+    )
+    from cardano_analytics_duckdb_spark.operators.windows import (
+        top_orders_per_customer,
+    )
+
+    spark = get_session(
+        app_name="scale-probe-r13sortdrop2", shuffle_partitions=200
+    )
+    lake_dir = os.path.join(scratch, "lake100")
+    build_scaled_documents(
+        spark, lake_dir, replicas=REPLICAS_100X, file_scale=10
+    )
+    # orders, same replication recipe as build_scaled_lake
+    from cardano_analytics_duckdb_spark.lake.tables import load_table
+
+    rep = spark.range(REPLICAS_100X).select(F.col("id").alias("rep"))
+    orders = load_table(spark, SF_DIR, "orders")
+    customer = load_table(spark, SF_DIR, "customer")
+    ospan = orders.agg(F.max("o_orderkey")).first()[0] + 1
+    cspan = customer.agg(F.max("c_custkey")).first()[0] + 1
+    (
+        orders.crossJoin(F.broadcast(rep))
+        .withColumn("o_orderkey", F.col("o_orderkey") + F.col("rep") * ospan)
+        .withColumn("o_custkey", F.col("o_custkey") + F.col("rep") * cspan)
+        .drop("rep")
+        .repartition(64 * 10)
+        .write.parquet(os.path.join(lake_dir, "orders.parquet"))
+    )
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    oracles = all_oracles()
+    frames = {
+        "image_decode_noshuffle": lambda: image_decode_features(
+            spark, lake_dir
+        ),
+        "image_decode_ordered_r12": lambda: image_decode_features(
+            spark, lake_dir, ordered=True
+        ),
+        "top_orders_hash": lambda: top_orders_per_customer(
+            spark, lake_dir, ranged=False
+        ),
+        "top_orders_ranged_r12": lambda: top_orders_per_customer(
+            spark, lake_dir, ranged=True
+        ),
+    }
+    payload = steady_state(
+        spark,
+        lake_dir,
+        frames,
+        duck_sql={
+            n: oracles[n]
+            for n in ("image_decode_features", "top_orders_per_customer")
+        },
+        n_runs=7,
+    )
+    payload["replicas"] = REPLICAS_100X
+    _merge_probe("r13_sortdrop2_ab", payload)
+    shutil.rmtree(scratch, ignore_errors=True)
+    spark.stop()
+
+
+def main_r13sortdrop3(scratch: str) -> None:
+    """--r13sortdrop3: sweep 3 of the sort-drop lever — the residual
+    final global ORDER BYs found by the round's grep audit, each above a
+    broadcast-only or post-exchange upstream the range sampler re-runs:
+
+    - priority_order_union: shuffle-free union of two pushed-filter
+      scans — the sampler re-ran BOTH scans, the exchange carried ~40%
+      of orders rows.
+    - part_name_levenshtein_pairs: broadcast band join, NO exchange
+      anywhere — the sampler re-ran the whole levenshtein join.
+    - duplicated_ngram_coverage / corpus_keep_decisions: sampler re-ran
+      the probe-side docs scan + joins above the last hash exchange.
+    - image_phash_near_dup_pairs: sampler re-ran only the pair-dedup
+      final (cheap) — measured to bound the family's small end.
+
+    Old shapes via ``ordered=True``; equality asserted; unified n=7
+    equal-cache steady state at the 100x lake."""
+    from cardano_analytics_duckdb_spark.operators import all_oracles
+    from cardano_analytics_duckdb_spark.operators.dedup import (
+        corpus_keep_decisions,
+        duplicated_ngram_coverage,
+        part_name_levenshtein_pairs,
+    )
+    from cardano_analytics_duckdb_spark.operators.multimodal import (
+        image_phash_near_dup_pairs,
+    )
+    from cardano_analytics_duckdb_spark.operators.relational import (
+        priority_order_union,
+    )
+
+    spark = get_session(
+        app_name="scale-probe-r13sortdrop3", shuffle_partitions=200
+    )
+    lake_dir = os.path.join(scratch, "lake100")
+    build_scaled_lake(spark, lake_dir, replicas=REPLICAS_100X, file_scale=10)
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    oracles = all_oracles()
+    frames = {
+        "priority_union_noshuffle": lambda: priority_order_union(
+            spark, lake_dir
+        ),
+        "priority_union_ordered_r12": lambda: priority_order_union(
+            spark, lake_dir, ordered=True
+        ),
+        "levenshtein_noshuffle": lambda: part_name_levenshtein_pairs(
+            spark, lake_dir
+        ),
+        "levenshtein_ordered_r12": lambda: part_name_levenshtein_pairs(
+            spark, lake_dir, ordered=True
+        ),
+        "ngram_coverage_noshuffle": lambda: duplicated_ngram_coverage(
+            spark, lake_dir
+        ),
+        "ngram_coverage_ordered_r12": lambda: duplicated_ngram_coverage(
+            spark, lake_dir, ordered=True
+        ),
+        "keep_decisions_noshuffle": lambda: corpus_keep_decisions(
+            spark, lake_dir
+        ),
+        "keep_decisions_ordered_r12": lambda: corpus_keep_decisions(
+            spark, lake_dir, ordered=True
+        ),
+        "phash_pairs_noshuffle": lambda: image_phash_near_dup_pairs(
+            spark, lake_dir
+        ),
+        "phash_pairs_ordered_r12": lambda: image_phash_near_dup_pairs(
+            spark, lake_dir, ordered=True
+        ),
+    }
+    for a, b in (
+        ("priority_union_noshuffle", "priority_union_ordered_r12"),
+        ("levenshtein_noshuffle", "levenshtein_ordered_r12"),
+        ("ngram_coverage_noshuffle", "ngram_coverage_ordered_r12"),
+        ("keep_decisions_noshuffle", "keep_decisions_ordered_r12"),
+        ("phash_pairs_noshuffle", "phash_pairs_ordered_r12"),
+    ):
+        diff = frames[a]().exceptAll(frames[b]()).count()
+        assert diff == 0, f"{a} diverges on {diff} rows"
+    payload = steady_state(
+        spark,
+        lake_dir,
+        frames,
+        duck_sql={
+            n: oracles[n]
+            for n in (
+                "priority_order_union",
+                "part_name_levenshtein_pairs",
+                "duplicated_ngram_coverage",
+                "corpus_keep_decisions",
+                "image_phash_near_dup_pairs",
+            )
+        },
+        n_runs=7,
+    )
+    payload["replicas"] = REPLICAS_100X
+    _merge_probe("r13_sortdrop3_ab", payload)
+    shutil.rmtree(scratch, ignore_errors=True)
+    spark.stop()
+
+
+def main_r13sortdrop3cardano(scratch: str) -> None:
+    """--r13sortdrop3cardano: the flagship's third persist + final
+    global ORDER BY dropped (the r9 shape persisted the report ONLY to
+    feed the orderBy's range sampler from cache; with the sort gone both
+    the range exchange of every report row and the cache
+    materialization disappear).  A/B old (ordered=True) vs shipped at
+    the 2M-tx probe lake, flagship + windowed, DuckDB interleaved,
+    cache cleared per run (the ordered variant's persist would
+    otherwise serve later rounds from memory — its per-execution cost
+    IS the cache population)."""
+    import duckdb
+
+    from cardano_analytics_duckdb_spark.lake.fixtures import (
+        DEFAULT_LAKE_ROOT,
+    )
+    from cardano_analytics_duckdb_spark.operators import cardano as mod
+    from cardano_analytics_duckdb_spark.operators.cardano import (
+        _token_transfers_sql,
+    )
+
+    replicas = _replicas_arg(default=10_000)
+    spark = get_session(
+        app_name="scale-probe-r13sortdrop3cardano", shuffle_partitions=64
+    )
+    root = build_scaled_cardano_lake(spark, scratch, replicas)
+    con = duckdb.connect()
+    con.execute(f"SET threads TO {os.cpu_count()}")
+    sqls = {
+        "flagship": _token_transfers_sql(None, None).replace(
+            DEFAULT_LAKE_ROOT, root
+        ),
+        "windowed": _token_transfers_sql(100_000, 199_999).replace(
+            DEFAULT_LAKE_ROOT, root
+        ),
+    }
+
+    def build(name):
+        spark.catalog.clearCache()
+        win = (100_000, 199_999) if "windowed" in name else (None, None)
+        return mod._token_transfers(
+            spark, *win, root=root, ordered=name.endswith("_r12")
+        )
+
+    names = (
+        "flagship_noshuffle",
+        "flagship_r12",
+        "windowed_noshuffle",
+        "windowed_r12",
+    )
+    diff = (
+        build("flagship_noshuffle").exceptAll(build("flagship_r12")).count()
+    )
+    assert diff == 0, f"flagship sort-drop diverges on {diff} rows"
+    for n in names:  # warmup
+        build(n).write.format("noop").mode("overwrite").save()
+    for sql in sqls.values():
+        con.execute(sql).fetchall()
+    sp: dict[str, list[float]] = {n: [] for n in names}
+    du: dict[str, list[float]] = {n: [] for n in sqls}
+    for _ in range(5):
+        for n in names:
+            df = build(n)
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            sp[n].append(round(time.perf_counter() - t0, 3))
+        for n, sql in sqls.items():
+            t0 = time.perf_counter()
+            con.execute(sql).fetchall()
+            du[n].append(round(time.perf_counter() - t0, 3))
+    med = lambda xs: sorted(xs)[len(xs) // 2]  # noqa: E731
+    _merge_probe(
+        "r13_sortdrop3_cardano",
+        {
+            "protocol": "focused_steady_state",
+            "n_runs": 5,
+            "replicas": replicas,
+            "loadavg_at_end": [round(x, 2) for x in os.getloadavg()],
+            "spark_runs": sp,
+            "duckdb_runs": du,
+            "spark_median": {n: med(v) for n, v in sp.items()},
+            "duckdb_median": {n: med(v) for n, v in du.items()},
+        },
+    )
+    con.close()
+    shutil.rmtree(scratch, ignore_errors=True)
+    spark.stop()
+
+
 def main_weakledger() -> None:
     """--weakledger: regenerate PERF_WEAK.json from SCALE_PROBE.json.
     Pure extraction — run it after any probe mode that touches a weak
@@ -3057,6 +3588,24 @@ def main() -> None:
         return
     if "--r13knn" in sys.argv:
         main_r13knn(scratch)
+        return
+    if "--r13sortdrop" in sys.argv:
+        main_r13sortdrop(scratch)
+        return
+    if "--r13aggfirst" in sys.argv:
+        main_r13aggfirst(scratch)
+        return
+    if "--r13aggfirst2" in sys.argv:
+        main_r13aggfirst2(scratch)
+        return
+    if "--r13sortdrop2" in sys.argv:
+        main_r13sortdrop2(scratch)
+        return
+    if "--r13sortdrop3cardano" in sys.argv:
+        main_r13sortdrop3cardano(scratch)
+        return
+    if "--r13sortdrop3" in sys.argv:
+        main_r13sortdrop3(scratch)
         return
     if "--weakledger" in sys.argv:
         main_weakledger()

@@ -98,9 +98,12 @@ def test_flagship_broadcast_is_size_gated(spark, sf_dir, monkeypatch):
         plan = _plan(gated)
         assert "BroadcastHashJoin" not in plan
         assert "ShuffledHashJoin" in plan
-        assert [tuple(r) for r in gated.collect()] == [
+        # row-identical as a multiset: with the r13 sort-drop the collect
+        # order is partition order, which legitimately differs between
+        # the broadcast and shuffle_hash plans
+        assert sorted(tuple(r) for r in gated.collect()) == sorted(
             tuple(r) for r in rows
-        ]
+        )
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
@@ -398,31 +401,34 @@ def test_analytic_shapes_broadcast_and_probe(spark, sf_dir):
 
 
 def test_flagship_stages_are_persisted(spark, sf_dir):
-    """The flagship's three staged intermediates must stay cached
-    (token_utxos, the semi-joined `relevant` set, the pre-sort report):
-    uncached, the tx table is scanned twice per execution and the final
-    ORDER BY's range sampler re-executes the whole join pipeline —
-    measured 2.14 s -> 1.15 s at a 2M-tx lake (SCALE_PROBE.json
-    cardano_10000x, r10).  The sorted report scans its cache (topmost
-    InMemoryTableScan), relevant scans its own, and token_utxos feeds
-    the broadcast sides."""
+    """The flagship's two REUSED staged intermediates must stay cached
+    (token_utxos feeds the broadcast sides, the semi-joined `relevant`
+    set is scanned twice): uncached, the tx table is scanned twice per
+    execution.  The r9-r12 THIRD persist (the pre-sort report) is gone
+    together with the final global ORDER BY (r13 sort-drop): with no
+    range sampler there is nothing to feed from cache, so the report
+    flows straight into a partition-local sort — no rangepartitioning
+    exchange anywhere in the flagship plan."""
     from cardano_analytics_duckdb_spark.operators.cardano import (
         _token_transfers,
     )
 
+    import re
+
     plan = _plan(_token_transfers(spark, None, None))
-    assert plan.count("InMemoryRelation") >= 3
-    # Everything between the top of the plan and the first cache scan is
-    # the global sort (AdaptiveSparkPlan/Sort/Exchange wrappers only) —
-    # any join/agg/scan there means the sort re-runs the pipeline
-    # instead of reading the persisted report.
-    above_cache = plan.split("InMemoryTableScan", 1)[0]
-    for node in ("FileScan", "SortMergeJoin", "BroadcastHashJoin",
-                 "HashAggregate"):
-        assert node not in above_cache, (
-            f"{node} above the report cache: the final sort re-runs the "
-            "pipeline instead of reading the persisted report"
-        )
+    assert "Exchange rangepartitioning" not in plan
+    # token_utxos + relevant are still staged (nested plan printing makes
+    # exact relation counts meaningless — presence + sort mode carry the
+    # assertion)
+    assert "InMemoryRelation" in plan
+    # the final sort is PARTITION-LOCAL (global=false): no sampler job
+    assert re.search(r"Sort \[slot[^\]]*\], false, 0", plan), plan[:200]
+    # and the r12 shape stays reproducible for the A/B probe
+    spark.catalog.clearCache()
+    old = _plan(_token_transfers(spark, None, None, ordered=True))
+    assert "Exchange rangepartitioning" in old
+    assert re.search(r"Sort \[slot[^\]]*\], true, 0", old)
+    spark.catalog.clearCache()
 
 
 def test_not_in_is_null_aware_anti_join(spark, sf_dir):
@@ -763,17 +769,143 @@ def test_collected_dim_refreshes_on_rewrite(spark, tmp_path):
     ) == {0: "EUROPE", 1: "ASIA"}
 
 
-def test_repetition_scores_single_range_shuffle(spark, sf_dir):
-    """repetition_scores: the uni+bi-gram counting must ride ONE range
-    exchange that serves both aggregate levels and the final order — no
-    second hash shuffle, no sort-sampler re-execution."""
+def test_repetition_scores_hash_single_shuffle_no_sampler(spark, sf_dir):
+    """repetition_scores (r13 ``hash`` shape): ONE hash exchange on
+    doc_id serves both aggregate levels — no range exchange anywhere
+    (the range sampler re-ran the gram explode), and no second keyed
+    exchange (the agg-first shape, measured-rejected at 100x: near-
+    unique per-task group keys fold ~nothing map-side)."""
     from cardano_analytics_duckdb_spark.operators.mixing import (
         repetition_scores,
     )
 
     plan = _plan(repetition_scores(spark, sf_dir))
-    assert plan.count("Exchange rangepartitioning") == 1
-    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange rangepartitioning" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("HashAggregate") == 4  # partial+final at each level
+
+
+def test_sortdrop_family_shuffle_free(spark, sf_dir):
+    """r13 sort-drop: narrow pipelines whose final global ORDER BY was
+    dropped must now plan with ZERO exchanges (the oracle canonicalizes
+    row order; the old range sampler re-executed the kernels/HOFs)."""
+    from cardano_analytics_duckdb_spark.operators.multimodal import (
+        audio_waveform_features,
+        frame_sample_features,
+        image_decode_features,
+        image_resize_features,
+        payload_metadata,
+    )
+    from cardano_analytics_duckdb_spark.operators.similarity import (
+        lsh_bucket_assignments,
+    )
+    from cardano_analytics_duckdb_spark.operators.textops import (
+        alpha_token_stats,
+        bpe_token_counts,
+        doc_chunks,
+        rolling_fingerprints,
+    )
+
+    for fn in (
+        payload_metadata,
+        image_decode_features,
+        image_resize_features,
+        frame_sample_features,
+        audio_waveform_features,
+        alpha_token_stats,
+        bpe_token_counts,
+        rolling_fingerprints,
+        doc_chunks,
+        lsh_bucket_assignments,
+    ):
+        plan = _plan(fn(spark, sf_dir))
+        assert "Exchange" not in plan, f"{fn.__name__} regained a shuffle"
+        assert "InMemoryTableScan" not in plan, (
+            f"{fn.__name__} caches on the query path"
+        )
+
+
+def test_window_sortdrop_single_exchange(spark, sf_dir):
+    """r13: window queries keep exactly ONE exchange (the window's own
+    hash clustering) — no trailing range exchange for a global order."""
+    from cardano_analytics_duckdb_spark.operators.windows import (
+        top_orders_per_customer,
+        user_event_gaps,
+        user_running_value,
+        user_sessions,
+    )
+
+    for fn in (
+        user_running_value,
+        user_event_gaps,
+        user_sessions,
+    ):
+        plan = _plan(fn(spark, sf_dir))
+        assert "Exchange rangepartitioning" not in plan, f"{fn.__name__}"
+        assert plan.count("Exchange") == 1, f"{fn.__name__} exchange count"
+    # top_orders keeps the EXPLICIT range pre-shuffle: the implicit-hash
+    # alternative measured 0.87x on the quiet host (r13_sortdrop2_ab —
+    # ENSURE_REQUIREMENTS exchanges are AQE-coalescible and the small
+    # orders shuffle loses window parallelism); still exactly one
+    # exchange, user-pinned so AQE cannot shrink it.
+    plan = _plan(top_orders_per_customer(spark, sf_dir))
+    assert plan.count("Exchange") == 1
+    assert "Exchange rangepartitioning" in plan
+
+
+def test_bitset_aggs_shuffle_partials(spark, sf_dir):
+    """r13 agg-first: the bitset set-aggs (order_brand_sets,
+    cross_nation_orders) must shuffle PARTIAL aggregates, never raw
+    join/union rows — a HashAggregate appears below the first exchange —
+    and no range exchange (whose sampler re-ran the broadcast joins)."""
+    from cardano_analytics_duckdb_spark.operators.relational import (
+        cross_nation_orders,
+        order_brand_sets,
+    )
+
+    for fn in (order_brand_sets, cross_nation_orders):
+        plan = _plan(fn(spark, sf_dir))
+        assert "Exchange rangepartitioning" not in plan, f"{fn.__name__}"
+        assert plan.count("Exchange hashpartitioning") == 1, f"{fn.__name__}"
+        # partial + final: the partial agg sits BELOW the exchange, so
+        # only (orderkey, mask) partials cross the wire
+        assert plan.count("HashAggregate") >= 2, f"{fn.__name__}"
+        assert "HashAggregate" in plan[
+            plan.find("Exchange hashpartitioning"):
+        ], f"{fn.__name__} shuffles raw rows"
+
+
+def test_sortdrop3_family_no_range_exchange(spark, sf_dir):
+    """r13 sort-drop sweep 3 (residual finals): the trailing global
+    ORDER BY is gone from every member — no rangepartitioning exchange,
+    no boundary sampler.  priority_order_union and the levenshtein band
+    join are broadcast/narrow upstream, so they must plan with zero
+    data exchanges outright."""
+    from cardano_analytics_duckdb_spark.operators.dedup import (
+        corpus_keep_decisions,
+        duplicated_ngram_coverage,
+        part_name_levenshtein_pairs,
+    )
+    from cardano_analytics_duckdb_spark.operators.multimodal import (
+        image_phash_near_dup_pairs,
+    )
+    from cardano_analytics_duckdb_spark.operators.relational import (
+        priority_order_union,
+    )
+
+    for fn in (priority_order_union, part_name_levenshtein_pairs):
+        plan = _plan(fn(spark, sf_dir))
+        assert "Exchange rangepartitioning" not in plan, f"{fn.__name__}"
+        assert "Exchange hashpartitioning" not in plan, f"{fn.__name__}"
+    # these keep their algorithmic keyed exchanges (gram agg, md5
+    # window, pair-dedup distinct) — only the trailing range is gone
+    for fn in (
+        duplicated_ngram_coverage,
+        corpus_keep_decisions,
+        image_phash_near_dup_pairs,
+    ):
+        plan = _plan(fn(spark, sf_dir))
+        assert "Exchange rangepartitioning" not in plan, f"{fn.__name__}"
 
 
 def test_semantic_dedup_is_bucketed_not_pairwise(spark, sf_dir):
