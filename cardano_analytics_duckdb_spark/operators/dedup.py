@@ -94,15 +94,12 @@ shingles AS (
 # -- n-gram Jaccard near-dup pairs (bounded all-pairs) ------------------------
 
 
-def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Per-doc distinct shingle ARRAY is computed narrowly (array_distinct in
-    # the row, no dedup shuffle), so set sizes fall out of `size()` with no
-    # aggregation and the size-attach joins broadcast a 300-row side.  The
-    # only shuffles left are the inverted-index equi-join on shingle and the
-    # per-pair count — the two that carry real data at scale.
+def _shingle_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Per-doc distinct shingle ARRAY, computed narrowly (array_distinct in
+    # the row, no dedup shuffle) over the doc_id < 300 verify slice.
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
     w = F.split(F.col("text"), " ")
-    base = (
+    return (
         docs.select("doc_id", w.alias("w"))
         .filter(F.size("w") >= 3)
         .select(
@@ -115,6 +112,68 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sh_arr"),
         )
     )
+
+
+def _jaccard_pairs_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r13 single-scan rewrite (guide §2.4 / §1.2 "fix the algorithm"):
+    # the r9–r12 shape was a self-JOIN of the exploded shingle stream plus
+    # two broadcast size-attach joins — FOUR full scans of the documents
+    # lake, each decoding the text payload just to re-derive the same
+    # bounded shingle set (the doc_id < 300 gate can't row-group-skip on a
+    # layout that scatters doc_ids, so every scan decompresses everything;
+    # measured 12.99 s vs DuckDB's 0.20 s single-CTE pass at the 100x
+    # probe lake, SCALE_PROBE r13_dedupfinals_ab).  The posting-list shape
+    # scans ONCE: explode carries (doc_id, n_sh) structs, groupBy shingle
+    # builds the inverted index, and each posting list emits its (a<b)
+    # pairs — the same pairs the equi-join produced, with the set sizes
+    # already on the row so no size-attach joins exist.  Per-shingle pair
+    # fan-out is identical to the join's (k² per hot shingle either way).
+    # A/B + equality: SCALE_PROBE r13_jaccard_ab.  Returns the UNSORTED
+    # pair set: cluster/survivor/leakage consumers feed it into joins and
+    # aggregations where any ordering (and any coalesce) would be dead
+    # weight; the declared query orders at its own boundary.
+    sh = _shingle_arrays(spark, sf_dir).select(
+        F.struct("doc_id", F.size("sh_arr").alias("n_sh")).alias("d"),
+        F.explode("sh_arr").alias("sh"),
+    )
+    posting = (
+        sh.groupBy("sh")
+        .agg(F.collect_list("d").alias("ds"))
+        .filter(F.size("ds") >= 2)
+    )
+    pairs = (
+        posting.select(F.explode("ds").alias("a"), "ds")
+        .select("a", F.explode("ds").alias("b"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        pairs.withColumn(
+            "jaccard",
+            rnd(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= 0.2)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def _jaccard_pairs_core_join_r12(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    # The r9–r12 shape, kept as the A/B baseline for SCALE_PROBE
+    # r13_jaccard_ab: inverted-index self-join on shingle plus two
+    # broadcast size-attach joins — four documents scans per execution.
+    base = _shingle_arrays(spark, sf_dir)
     sh = base.select("doc_id", F.explode("sh_arr").alias("sh"))
     sizes = base.select("doc_id", F.size("sh_arr").alias("n_sh"))
     a = sh.alias("a")
@@ -146,8 +205,22 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("jaccard") >= 0.2)
         .select("doc_a", "doc_b", "jaccard")
-        .orderBy("doc_a", "doc_b")
     )
+
+
+def ngram_jaccard_pairs(
+    spark: SparkSession, sf_dir: str, ordered: bool = False
+) -> DataFrame:
+    # r13 sort-drop, cluster-family sweep: the pair set is bounded by the
+    # doc_id < 300 gate at ANY corpus scale, so the global order costs a
+    # range exchange + a sampler job (one extra ~0.2 s dispatch, per the
+    # fixed-cost floor decomposition) for a report-sized result.
+    # small_sorted keeps the exact global order in one single-task pass.
+    # A/B: SCALE_PROBE r13_dedupfinals_ab.
+    pairs = _jaccard_pairs_core(spark, sf_dir)
+    if ordered:
+        return pairs.orderBy("doc_a", "doc_b")
+    return small_sorted(pairs, "doc_a", "doc_b")
 
 
 _JACCARD_SQL = (
@@ -400,7 +473,7 @@ def minhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     cands = minhash_candidate_pairs(docs).select(
         "doc_a", "doc_b", F.lit(1).alias("is_cand")
     )
-    truth = ngram_jaccard_pairs(spark, sf_dir).select(
+    truth = _jaccard_pairs_core(spark, sf_dir).select(
         "doc_a", "doc_b", F.lit(1).alias("is_true")
     )
     return truth.join(cands, ["doc_a", "doc_b"], "full_outer").agg(
@@ -742,7 +815,7 @@ def simhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_a", "doc_b", F.lit(1).alias("is_cand"))
     )
-    truth = ngram_jaccard_pairs(spark, sf_dir).select(
+    truth = _jaccard_pairs_core(spark, sf_dir).select(
         "doc_a", "doc_b", F.lit(1).alias("is_true")
     )
     hit = F.count(
@@ -864,7 +937,9 @@ SELECT (SELECT count(*) FROM truth) AS n_true_pairs,
 # with an exact SQL oracle.
 
 
-def near_dup_doc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+def near_dup_doc_clusters(
+    spark: SparkSession, sf_dir: str, ordered: bool = False
+) -> DataFrame:
     from .graph import min_label_components
 
     nodes = (
@@ -872,24 +947,27 @@ def near_dup_doc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") < 300)
         .select(F.col("doc_id").alias("node"))
     )
-    edges = ngram_jaccard_pairs(spark, sf_dir).select(
+    edges = _jaccard_pairs_core(spark, sf_dir).select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
     comp = min_label_components(nodes, edges, max_iter=15)
-    return (
-        comp.groupBy("component")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.concat_ws(
-                "|",
-                F.transform(
-                    F.array_sort(F.collect_list("node")),
-                    lambda x: x.cast("string"),
-                ),
-            ).alias("members"),
-        )
-        .orderBy("component")
+    frame = comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.concat_ws(
+            "|",
+            F.transform(
+                F.array_sort(F.collect_list("node")),
+                lambda x: x.cast("string"),
+            ),
+        ).alias("members"),
     )
+    # r13 sort-drop, cluster-family sweep (see ngram_jaccard_pairs): the
+    # component table is bounded by the doc_id < 300 gate, so the global
+    # order is a report-shape concern — small_sorted keeps it without the
+    # range exchange + sampler job.  A/B: SCALE_PROBE r13_dedupfinals_ab.
+    if ordered:
+        return frame.orderBy("component")
+    return small_sorted(frame, "component")
 
 
 _NEAR_DUP_CLUSTERS_SQL = (
@@ -935,7 +1013,9 @@ ORDER BY component
 # the priority window and the member count (same partition key).
 
 
-def near_dup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+def near_dup_survivors(
+    spark: SparkSession, sf_dir: str, ordered: bool = False
+) -> DataFrame:
     from pyspark.sql import Window
 
     from .graph import min_label_components
@@ -944,7 +1024,7 @@ def near_dup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id") < 300
     )
     nodes = docs.select(F.col("doc_id").alias("node"))
-    edges = ngram_jaccard_pairs(spark, sf_dir).select(
+    edges = _jaccard_pairs_core(spark, sf_dir).select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
     comp = min_label_components(nodes, edges, max_iter=15)
@@ -963,16 +1043,16 @@ def near_dup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = joined.withColumn(
         "rn", F.row_number().over(w.orderBy("src_rank", "doc_id"))
     ).withColumn("n_docs", F.count(F.lit(1)).over(w))
-    return (
-        ranked.filter((F.col("rn") == 1) & (F.col("n_docs") > 1))
-        .select(
-            "component",
-            F.col("doc_id").alias("kept_doc_id"),
-            F.col("source").alias("kept_source"),
-            "n_docs",
-        )
-        .orderBy("component")
+    frame = ranked.filter((F.col("rn") == 1) & (F.col("n_docs") > 1)).select(
+        "component",
+        F.col("doc_id").alias("kept_doc_id"),
+        F.col("source").alias("kept_source"),
+        "n_docs",
     )
+    # r13 sort-drop, cluster-family sweep (see ngram_jaccard_pairs).
+    if ordered:
+        return frame.orderBy("component")
+    return small_sorted(frame, "component")
 
 
 _NEAR_DUP_SURVIVORS_SQL = (
@@ -1332,7 +1412,9 @@ ORDER BY doc_id
 # -- cross-source duplicate leakage -------------------------------------------
 
 
-def cross_source_dup_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+def cross_source_dup_leakage(
+    spark: SparkSession, sf_dir: str, ordered: bool = False
+) -> DataFrame:
     """Near-dup pair counts by (source, source) cell — the curation
     question behind it: does deduplicating WITHIN each source suffice, or
     do duplicates leak ACROSS source boundaries (cells with
@@ -1347,7 +1429,7 @@ def cross_source_dup_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     most |sources|² keys.  Mean Jaccard is summed in int 1e-4 units so
     the cell mean is partition-order-independent.
     """
-    pairs = ngram_jaccard_pairs(spark, sf_dir)
+    pairs = _jaccard_pairs_core(spark, sf_dir)
     src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     labeled = (
         pairs.join(
@@ -1374,7 +1456,7 @@ def cross_source_dup_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
             "jaccard",
         )
     )
-    return (
+    frame = (
         labeled.groupBy("source_a", "source_b")
         .agg(
             F.count(F.lit(1)).alias("n_pairs"),
@@ -1392,8 +1474,12 @@ def cross_source_dup_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "is_cross_source", F.col("source_a") != F.col("source_b")
         )
-        .orderBy("source_a", "source_b")
     )
+    # r13 sort-drop, cluster-family sweep (see ngram_jaccard_pairs):
+    # at most |sources|² cells — report-shaped.
+    if ordered:
+        return frame.orderBy("source_a", "source_b")
+    return small_sorted(frame, "source_a", "source_b")
 
 
 def _cross_source_leakage_sql() -> str:

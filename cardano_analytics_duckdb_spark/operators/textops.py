@@ -257,12 +257,85 @@ ORDER BY doc_id
 _BPE_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
 
 
+def _bpe_kernel(pattern: str):
+    """Factory: Arrow tokenize-and-count kernel for the BPE pre-tokenizer
+    (locally-defined closure, shipped by value — foreign-cwd harness).
+
+    ``re.ASCII`` pins ``\\s`` to ``[ \\t\\n\\r\\f\\v]`` — the same set
+    Java's default (non-UNICODE_CHARACTER_CLASS) ``\\s`` matches — so the
+    three alternation branches tokenize identically to the JVM twin.
+    ``t.count(' ') + 1`` equals ``size(split(text, ' '))``: both Spark's
+    ``split`` (Java ``split(re, -1)``) and DuckDB's ``string_split`` keep
+    trailing empty fields."""
+
+    def kernel(batches):
+        import re
+
+        import pandas as pd
+
+        pat = re.compile(pattern, re.ASCII)
+        for pdf in batches:
+            n_ws, n_bpe, n_dist = [], [], []
+            for t in pdf["text"]:
+                toks = pat.findall(t)
+                n_ws.append(t.count(" ") + 1)
+                n_bpe.append(len(toks))
+                n_dist.append(len(set(toks)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_ws_tokens": n_ws,
+                    "n_bpe_tokens": n_bpe,
+                    "n_distinct_bpe": n_dist,
+                }
+            )
+
+    return kernel
+
+
 def bpe_token_counts(
     spark: SparkSession, sf_dir: str, ordered: bool = False
 ) -> DataFrame:
-    # r13 sort-drop (see multimodal.payload_metadata): the sampler used
-    # to re-run the BPE regexp_extract_all — the expensive part — once
-    # more per execution.  A/B: r13_sortdrop_ab.
+    """BPE pre-tokenizer counts via the Arrow kernel (r13 second half).
+
+    After the r13 sort-drop removed this query's trailing ORDER BY
+    (zero exchanges left), the residual vs DuckDB was the
+    ``regexp_extract_all`` evaluation itself — Java regex materializing
+    a token array per document, then ``array_distinct`` over it (2.9x
+    DuckDB's RE2 at 100x docs, SCALE_PROBE ``r13_sortdrop_ab``).  The
+    kernel moves the tokenization to CPython's sre + C-level
+    ``len``/``set`` (guide §4.2: batches to native loops), emitting four
+    ints per doc; the ratio is computed JVM-side with the shared ``rnd``
+    so rounding stays bit-identical.  A/B under the equal-cache
+    steady-state protocol: SCALE_PROBE ``r13_bpe_ab`` — kernel adopted;
+    JVM twin kept as :func:`bpe_token_counts_jvm` (parity pinned by
+    tests/test_twins.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.select("doc_id", "text").mapInPandas(
+        _bpe_kernel(_BPE_PATTERN),
+        "doc_id long, n_ws_tokens int, n_bpe_tokens int, n_distinct_bpe int",
+    )
+    frame = counts.select(
+        "doc_id",
+        "n_ws_tokens",
+        "n_bpe_tokens",
+        "n_distinct_bpe",
+        rnd(F.col("n_bpe_tokens") / F.col("n_ws_tokens"), 4).alias(
+            "bpe_per_ws_token"
+        ),
+    )
+    if ordered:
+        return frame.orderBy("doc_id")
+    return frame.sortWithinPartitions("doc_id")
+
+
+def bpe_token_counts_jvm(
+    spark: SparkSession, sf_dir: str, ordered: bool = False
+) -> DataFrame:
+    # The pure-JVM shape (r13 first half: sort-drop already applied —
+    # the sampler used to re-run the BPE regexp_extract_all once more
+    # per execution, A/B: r13_sortdrop_ab).  Kept as the zero-Python
+    # path for deployments that forbid Python workers.
     docs = load_table(spark, sf_dir, "documents")
     bpe = F.regexp_extract_all(F.col("text"), F.lit(_BPE_PATTERN), 0)
     ws = F.split(F.col("text"), " ")

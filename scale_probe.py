@@ -2824,6 +2824,26 @@ _WEAK_CANDIDATES = [
         "drops the leading range shuffle.",
         "floor": False,
     },
+    {
+        "query": "bpe_token_counts",
+        "pairs": [
+            (
+                "r13_bpe_ab.spark_median.bpe_arrow_kernel",
+                "r13_bpe_ab.duckdb_median.bpe_token_counts",
+            ),
+            (
+                "r13_sortdrop_ab.spark_median.bpe_counts_noshuffle",
+                "r13_sortdrop_ab.duckdb_median.bpe_token_counts",
+            ),
+        ],
+        "ratio_paths": [],
+        "residual": "after the r13 sort-drop (zero exchanges) the "
+        "residual was the Java regexp_extract_all + array_distinct "
+        "evaluation vs DuckDB's RE2 (2.9x in r13_sortdrop_ab); the "
+        "r13 second half moves tokenize-and-count into an Arrow "
+        "kernel (r13_bpe_ab — preferred reading).",
+        "floor": False,
+    },
 ]
 
 
@@ -3367,6 +3387,192 @@ def main_r13sortdrop3cardano(scratch: str) -> None:
     spark.stop()
 
 
+def main_r13bpe(scratch: str) -> None:
+    """--r13bpe (r13 second half): bpe_token_counts' residual after the
+    sort-drop (zero exchanges left, yet 2.9x DuckDB in r13_sortdrop_ab)
+    is the ``regexp_extract_all`` evaluation itself — Java regex
+    materializing a token array per document, then ``array_distinct``
+    over it, vs DuckDB's RE2.  Guide §4.2: move the tokenize-and-count
+    into an Arrow kernel (CPython sre + C-level ``len``/``set`` over
+    whole batches; only four ints per doc come back, the ratio stays
+    JVM-side on the shared ``rnd``).  Equality asserted, then the
+    unified n=7 equal-cache steady state against the JVM twin AND the
+    DuckDB denominator."""
+    from cardano_analytics_duckdb_spark.operators import all_oracles
+    from cardano_analytics_duckdb_spark.operators.textops import (
+        bpe_token_counts,
+        bpe_token_counts_jvm,
+    )
+
+    spark = get_session(app_name="scale-probe-r13bpe", shuffle_partitions=200)
+    lake_dir = os.path.join(scratch, "lake100")
+    build_scaled_lake(spark, lake_dir, replicas=REPLICAS_100X, file_scale=10)
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    frames = {
+        "bpe_arrow_kernel": lambda: bpe_token_counts(spark, lake_dir),
+        "bpe_jvm_r13h1": lambda: bpe_token_counts_jvm(spark, lake_dir),
+    }
+    diff = (
+        frames["bpe_arrow_kernel"]()
+        .exceptAll(frames["bpe_jvm_r13h1"]())
+        .count()
+    )
+    assert diff == 0, f"bpe kernel diverges from the JVM twin on {diff} rows"
+    payload = steady_state(
+        spark,
+        lake_dir,
+        frames,
+        duck_sql={"bpe_token_counts": all_oracles()["bpe_token_counts"]},
+        n_runs=7,
+    )
+    payload["replicas"] = REPLICAS_100X
+    _merge_probe("r13_bpe_ab", payload)
+    shutil.rmtree(scratch, ignore_errors=True)
+    spark.stop()
+
+
+def main_r13dedupfinals(scratch: str) -> None:
+    """--r13dedupfinals (r13 second half, OPTIMIZATION_r13.md §E item 2):
+    the doc_id<300-bounded near-dup cluster family's report-shaped
+    finals move from a global ORDER BY (range exchange + boundary-
+    sampler job — one extra ~0.2 s dispatch per the fixed-cost floor
+    decomposition) to small_sorted (coalesce(1) + local sort: same
+    global order, one single-task pass).  The family is bounded at ANY
+    corpus scale, so the saving is a fixed job, not a data-volume win.
+    Timing note: for the two component queries the label propagation
+    runs eagerly at frame-construction time (localCheckpoint), outside
+    steady_state's timed noop — equal for both variants, so the A/B
+    delta isolates exactly the changed final; their DuckDB denominators
+    (whole recursive CTE in the timed region) are included for
+    completeness but are NOT comparable to the Spark numbers."""
+    from cardano_analytics_duckdb_spark.operators import all_oracles
+    from cardano_analytics_duckdb_spark.operators.dedup import (
+        cross_source_dup_leakage,
+        near_dup_doc_clusters,
+        near_dup_survivors,
+        ngram_jaccard_pairs,
+    )
+
+    spark = get_session(
+        app_name="scale-probe-r13dedupfinals", shuffle_partitions=200
+    )
+    lake_dir = os.path.join(scratch, "lake100")
+    build_scaled_lake(spark, lake_dir, replicas=REPLICAS_100X, file_scale=10)
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    oracles = all_oracles()
+    frames = {
+        "jaccard_small_sorted": lambda: ngram_jaccard_pairs(spark, lake_dir),
+        "jaccard_ordered_r12": lambda: ngram_jaccard_pairs(
+            spark, lake_dir, ordered=True
+        ),
+        "leakage_small_sorted": lambda: cross_source_dup_leakage(
+            spark, lake_dir
+        ),
+        "leakage_ordered_r12": lambda: cross_source_dup_leakage(
+            spark, lake_dir, ordered=True
+        ),
+        "clusters_small_sorted": lambda: near_dup_doc_clusters(
+            spark, lake_dir
+        ),
+        "clusters_ordered_r12": lambda: near_dup_doc_clusters(
+            spark, lake_dir, ordered=True
+        ),
+        "survivors_small_sorted": lambda: near_dup_survivors(
+            spark, lake_dir
+        ),
+        "survivors_ordered_r12": lambda: near_dup_survivors(
+            spark, lake_dir, ordered=True
+        ),
+    }
+    for a, b in (
+        ("jaccard_small_sorted", "jaccard_ordered_r12"),
+        ("leakage_small_sorted", "leakage_ordered_r12"),
+        ("clusters_small_sorted", "clusters_ordered_r12"),
+        ("survivors_small_sorted", "survivors_ordered_r12"),
+    ):
+        diff = frames[a]().exceptAll(frames[b]()).count()
+        assert diff == 0, f"{a} diverges on {diff} rows"
+    payload = steady_state(
+        spark,
+        lake_dir,
+        frames,
+        duck_sql={
+            "ngram_jaccard_pairs": oracles["ngram_jaccard_pairs"],
+            "cross_source_dup_leakage": oracles["cross_source_dup_leakage"],
+        },
+        n_runs=7,
+    )
+    payload["replicas"] = REPLICAS_100X
+    payload["note"] = (
+        "component-query Spark timings exclude the eager label "
+        "propagation (equal for both variants); jaccard/leakage timings "
+        "are end-to-end and carry the DuckDB denominators"
+    )
+    _merge_probe("r13_dedupfinals_ab", payload)
+    shutil.rmtree(scratch, ignore_errors=True)
+    spark.stop()
+
+
+def main_r13jaccard(scratch: str) -> None:
+    """--r13jaccard (r13 second half): the r13_dedupfinals_ab probe
+    surfaced ngram_jaccard_pairs at 12.99 s vs DuckDB's 0.20 s at the
+    100x lake — the first time this query was ever perf-measured.  The
+    r9–r12 plan re-derives the bounded (doc_id < 300) shingle set FOUR
+    times per execution (self-join duplicates the exploded-shingle
+    subtree; two broadcast size-attach joins re-scan for sizes), and on
+    a layout whose files all span the full doc_id range each scan
+    decodes the whole text payload.  DuckDB materializes the shingle CTE
+    once.  Fix (guide §2.4/§1.2): single-scan posting-list pair
+    generation — explode carries (doc_id, n_sh) structs, groupBy shingle
+    builds the inverted index, each posting list emits its (a<b) pairs;
+    set sizes ride the rows so the size-attach joins vanish.  Equality
+    asserted, unified n=7 equal-cache steady state; downstream
+    consumers (clusters, survivors, leakage, both recall evals) inherit
+    the single-scan core."""
+    from cardano_analytics_duckdb_spark.functions.ordering import (
+        small_sorted,
+    )
+    from cardano_analytics_duckdb_spark.operators import all_oracles
+    from cardano_analytics_duckdb_spark.operators.dedup import (
+        _jaccard_pairs_core,
+        _jaccard_pairs_core_join_r12,
+    )
+
+    spark = get_session(
+        app_name="scale-probe-r13jaccard", shuffle_partitions=200
+    )
+    lake_dir = os.path.join(scratch, "lake100")
+    build_scaled_lake(spark, lake_dir, replicas=REPLICAS_100X, file_scale=10)
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    frames = {
+        "jaccard_posting_singlescan": lambda: small_sorted(
+            _jaccard_pairs_core(spark, lake_dir), "doc_a", "doc_b"
+        ),
+        "jaccard_join_r12": lambda: small_sorted(
+            _jaccard_pairs_core_join_r12(spark, lake_dir), "doc_a", "doc_b"
+        ),
+    }
+    diff = (
+        frames["jaccard_posting_singlescan"]()
+        .exceptAll(frames["jaccard_join_r12"]())
+        .count()
+    )
+    assert diff == 0, f"posting-list core diverges on {diff} rows"
+    payload = steady_state(
+        spark,
+        lake_dir,
+        frames,
+        duck_sql={
+            "ngram_jaccard_pairs": all_oracles()["ngram_jaccard_pairs"]
+        },
+        n_runs=7,
+    )
+    payload["replicas"] = REPLICAS_100X
+    _merge_probe("r13_jaccard_ab", payload)
+    shutil.rmtree(scratch, ignore_errors=True)
+    spark.stop()
+
+
 def main_weakledger() -> None:
     """--weakledger: regenerate PERF_WEAK.json from SCALE_PROBE.json.
     Pure extraction — run it after any probe mode that touches a weak
@@ -3606,6 +3812,15 @@ def main() -> None:
         return
     if "--r13sortdrop3" in sys.argv:
         main_r13sortdrop3(scratch)
+        return
+    if "--r13bpe" in sys.argv:
+        main_r13bpe(scratch)
+        return
+    if "--r13dedupfinals" in sys.argv:
+        main_r13dedupfinals(scratch)
+        return
+    if "--r13jaccard" in sys.argv:
+        main_r13jaccard(scratch)
         return
     if "--weakledger" in sys.argv:
         main_weakledger()

@@ -150,10 +150,17 @@ def test_no_python_udf_in_relational_hot_paths(spark, sf_dir):
         "minhash_band_buckets",
         "simhash_fingerprints",
         "ngram_jaccard_pairs",
-        "bpe_token_counts",
+        # bpe_token_counts ships the Arrow kernel since r13 (second half);
+        # its zero-Python twin holds the JVM-only guarantee instead
+        "bpe_token_counts_jvm",
         "events_asof_purchase",
         "events_within_minute_pairs",
     ]
+    from cardano_analytics_duckdb_spark.operators.textops import (
+        bpe_token_counts_jvm,
+    )
+
+    qs = dict(qs, bpe_token_counts_jvm=bpe_token_counts_jvm)
     for name in jvm_only:
         plan = _plan(qs[name](spark, sf_dir))
         assert "BatchEvalPython" not in plan, f"{name} fell off codegen (row UDF)"
@@ -823,6 +830,29 @@ def test_sortdrop_family_shuffle_free(spark, sf_dir):
         assert "InMemoryTableScan" not in plan, (
             f"{fn.__name__} caches on the query path"
         )
+
+
+def test_dedup_cluster_finals_no_range_exchange(spark, sf_dir):
+    """r13 sort-drop, cluster-family sweep: the doc_id<300-bounded
+    near-dup family's report-shaped finals use small_sorted (coalesce(1)
+    + local sort) — same global order, no range exchange, no sampler
+    job.  The range shape stays reproducible behind ordered=True."""
+    from cardano_analytics_duckdb_spark.operators.dedup import (
+        cross_source_dup_leakage,
+        near_dup_doc_clusters,
+        near_dup_survivors,
+        ngram_jaccard_pairs,
+    )
+
+    for fn in (
+        ngram_jaccard_pairs,
+        near_dup_doc_clusters,
+        near_dup_survivors,
+        cross_source_dup_leakage,
+    ):
+        plan = _plan(fn(spark, sf_dir))
+        assert "Exchange rangepartitioning" not in plan, f"{fn.__name__}"
+        assert "Coalesce 1" in plan, f"{fn.__name__} lost small_sorted"
 
 
 def test_window_sortdrop_single_exchange(spark, sf_dir):

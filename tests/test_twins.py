@@ -38,6 +38,17 @@ def test_pii_twin_parity(spark, sf_dir):
     )
 
 
+def test_bpe_twin_parity(spark, sf_dir):
+    from cardano_analytics_duckdb_spark.operators.textops import (
+        bpe_token_counts,
+        bpe_token_counts_jvm,
+    )
+
+    assert _rows(bpe_token_counts(spark, sf_dir)) == _rows(
+        bpe_token_counts_jvm(spark, sf_dir)
+    )
+
+
 def test_knn_twin_parity(spark, sf_dir):
     from cardano_analytics_duckdb_spark.operators.similarity import (
         knn_join_topk,
