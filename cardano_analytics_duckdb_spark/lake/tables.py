@@ -108,6 +108,28 @@ def bucket_lake(
     return out
 
 
+def sort_lake(
+    spark: SparkSession,
+    sf_dir: str,
+    specs: dict[str, tuple[str, ...]],
+    out_files: int = 64,
+) -> None:
+    """Declare-and-build shorthand for RANGE-CLUSTERED layouts
+    (``lake/layout.py::set_sort_spec``): each table gets a copy whose
+    files hold tight, disjoint ranges of the sort key, so bounded-key
+    predicates row-group-skip instead of decoding the whole table
+    (guide §6).  ``load_table`` serves the copies while fresh."""
+    from .layout import bucketize, set_sort_spec
+
+    set_sort_spec(
+        spark,
+        sf_dir,
+        {name: list(cols) for name, cols in specs.items()},
+        out_files=out_files,
+    )
+    bucketize(spark, sf_dir, tables=specs.keys())
+
+
 def unbucket_lake(spark: SparkSession, sf_dir: str) -> None:
     """Drop ``sf_dir``'s layout (spec, copies, catalog entries);
     subsequent loads read the plain parquet again."""

@@ -1430,7 +1430,18 @@ def cross_source_dup_leakage(
     the cell mean is partition-order-independent.
     """
     pairs = _jaccard_pairs_core(spark, sf_dir)
-    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    # r14: gate the label side like the pair side — every pair key is
+    # doc_id < 300 by construction (inner joins), so broadcasting the
+    # UNGATED projection shipped |documents| rows to every executor for
+    # a ≤300-row lookup (guide §3.1 "driver memory to collect it,
+    # executor memory to hold it"); at 100x that was a 50M-row broadcast
+    # build per execution.  Rows unchanged (oracle tier + probe
+    # equality: SCALE_PROBE r14_jaccard_layout_ab).
+    src = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 300)
+        .select("doc_id", "source")
+    )
     labeled = (
         pairs.join(
             F.broadcast(

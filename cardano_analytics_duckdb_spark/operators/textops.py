@@ -277,13 +277,25 @@ def _bpe_kernel(pattern: str):
         for pdf in batches:
             n_ws, n_bpe, n_dist = [], [], []
             for t in pdf["text"]:
+                if t is None:
+                    # null text propagates null counts — the JVM twin's
+                    # split/regexp_extract_all return NULL on NULL input
+                    # and the DuckDB oracle does the same (r13 ADVICE:
+                    # the kernel used to raise TypeError here)
+                    n_ws.append(None)
+                    n_bpe.append(None)
+                    n_dist.append(None)
+                    continue
                 toks = pat.findall(t)
                 n_ws.append(t.count(" ") + 1)
                 n_bpe.append(len(toks))
                 n_dist.append(len(set(toks)))
             yield pd.DataFrame(
                 {
-                    "doc_id": pdf["doc_id"],
+                    # to_numpy(): positional, not index-aligned — a
+                    # reindexing pandas op upstream would otherwise
+                    # silently misalign rows (r13 ADVICE)
+                    "doc_id": pdf["doc_id"].to_numpy(),
                     "n_ws_tokens": n_ws,
                     "n_bpe_tokens": n_bpe,
                     "n_distinct_bpe": n_dist,

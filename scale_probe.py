@@ -905,6 +905,48 @@ def cardano_probe(spark, root: str, replicas: int, n_runs: int = 3) -> dict:
     return out
 
 
+def _replicated_block_stream():
+    """Lazy infinite replay of the 198-block Ogmios fixture with
+    per-replica identity remapping (tx ids and their input references
+    get the replica index spliced into the first 4 hex bytes) and slots
+    folded onto a bounded span, so the partition-dir count stays
+    realistic.  Shared by the ingest probes — the full corpus never
+    lives in memory at once."""
+    import itertools
+
+    from cardano_analytics_duckdb_spark.lake.fixtures import fixture_blocks
+
+    base = fixture_blocks()
+
+    def remap_hex(h: str, rp: str) -> str:
+        return rp + h[8:]
+
+    for rep in itertools.count():
+        rp = f"{rep:08x}"
+        shift = (rep % _CARDANO_FOLD) * _CARDANO_SPAN
+        for b in base:
+            txs = []
+            for t in b["transactions"]:
+                t2 = dict(t)
+                t2["id"] = remap_hex(t["id"], rp)
+                t2["inputs"] = [
+                    {
+                        "transaction": {
+                            "id": remap_hex(i["transaction"]["id"], rp)
+                        },
+                        "index": i["index"],
+                    }
+                    for i in t["inputs"]
+                ]
+                txs.append(t2)
+            yield {
+                **b,
+                "slot": b["slot"] + shift,
+                "height": b["height"] + rep * len(base),
+                "transactions": txs,
+            }
+
+
 def ingest_probe(
     spark,
     scratch: str,
@@ -926,43 +968,13 @@ def ingest_probe(
     JSON corpus never lives in memory at once on the batch path."""
     import itertools
 
-    from cardano_analytics_duckdb_spark.lake.fixtures import fixture_blocks
     from cardano_analytics_duckdb_spark.streaming.ingest import (
         compact_lake,
         ingest_blocks,
         ingest_blocks_streaming,
     )
 
-    base = fixture_blocks()
-
-    def remap_hex(h: str, rp: str) -> str:
-        return rp + h[8:]
-
-    def replicated():
-        for rep in itertools.count():
-            rp = f"{rep:08x}"
-            shift = (rep % _CARDANO_FOLD) * _CARDANO_SPAN
-            for b in base:
-                txs = []
-                for t in b["transactions"]:
-                    t2 = dict(t)
-                    t2["id"] = remap_hex(t["id"], rp)
-                    t2["inputs"] = [
-                        {
-                            "transaction": {
-                                "id": remap_hex(i["transaction"]["id"], rp)
-                            },
-                            "index": i["index"],
-                        }
-                        for i in t["inputs"]
-                    ]
-                    txs.append(t2)
-                yield {
-                    **b,
-                    "slot": b["slot"] + shift,
-                    "height": b["height"] + rep * len(base),
-                    "transactions": txs,
-                }
+    replicated = _replicated_block_stream
 
     def walk_counts(dest):
         files, rows = {}, {}
@@ -3573,6 +3585,528 @@ def main_r13jaccard(scratch: str) -> None:
     spark.stop()
 
 
+def main_r14jaccard(scratch: str) -> None:
+    """--r14jaccard (r13 verdict #1): kill the near-dup family's 60x
+    gap.  r13 measured ngram_jaccard_pairs at ~11.7 s vs DuckDB 0.2 s at
+    100x and the single-scan rewrite was a wash — the scan count was
+    never the cost.  Hypothesis (guide §6): the ``doc_id < 300`` gate
+    cannot row-group-skip on the round-robin probe layout (every file
+    spans the full doc_id range), so Spark's vectorized reader decodes
+    the ENTIRE text column before the filter drops 99.999% of rows;
+    DuckDB's in-scan late materialization never fetches text pages for
+    non-matching vectors.  This probe (a) DECOMPOSES the gate scan
+    (doc_id-only vs doc_id+text projections under the gate) to prove
+    where the 11 s goes, then (b) A/Bs the fix: a RANGE-CLUSTERED
+    lifecycle copy (``set_sort_spec``/``sort_lake`` — files hold
+    disjoint doc_id ranges, footer stats prune) served through the
+    unchanged query code by ``load_table``.  DuckDB denominators on the
+    plain lake AND on the sorted copy (fairness: the copy helps any
+    engine).  Equality asserted against the plain-lake rows before any
+    timing."""
+    import duckdb
+
+    from cardano_analytics_duckdb_spark.lake.tables import (
+        load_plain_table,
+        sort_lake,
+    )
+    from cardano_analytics_duckdb_spark.operators import all_oracles
+    from cardano_analytics_duckdb_spark.operators.dedup import (
+        cross_source_dup_leakage,
+        ngram_jaccard_pairs,
+    )
+
+    spark = get_session(
+        app_name="scale-probe-r14jaccard", shuffle_partitions=200
+    )
+    lake_dir = os.path.join(scratch, "lake100")
+    build_scaled_lake(spark, lake_dir, replicas=REPLICAS_100X, file_scale=10)
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    oracles = all_oracles()
+    duck_sql = {
+        n: oracles[n]
+        for n in ("ngram_jaccard_pairs", "cross_source_dup_leakage")
+    }
+
+    def docs():
+        return load_plain_table(spark, lake_dir, "documents")
+
+    payload: dict = {}
+    frames_plain = {
+        "jaccard_plain": lambda: ngram_jaccard_pairs(spark, lake_dir),
+        "leakage_plain": lambda: cross_source_dup_leakage(spark, lake_dir),
+        # decomposition: same gate, with vs without the text column —
+        # the delta IS the text-decode cost the gate fails to skip
+        "gate_scan_docid_only": lambda: docs()
+        .filter(F.col("doc_id") < 300)
+        .select("doc_id"),
+        "gate_scan_docid_text": lambda: docs()
+        .filter(F.col("doc_id") < 300)
+        .select("doc_id", "text"),
+    }
+    plain_rows = sorted(
+        map(tuple, frames_plain["jaccard_plain"]().collect())
+    )
+    payload["plain"] = steady_state(
+        spark, lake_dir, frames_plain, duck_sql=duck_sql, n_runs=7
+    )
+    t0 = time.perf_counter()
+    sort_lake(spark, lake_dir, {"documents": ("doc_id",)}, out_files=64)
+    payload["sorted_layout"] = {
+        "spec": {"documents": ["doc_id"]},
+        "out_files": 64,
+        "build_s": round(time.perf_counter() - t0, 3),
+    }
+    sorted_rows = sorted(
+        map(tuple, ngram_jaccard_pairs(spark, lake_dir).collect())
+    )
+    assert sorted_rows == plain_rows, "sorted-layout read diverges"
+    from cardano_analytics_duckdb_spark.lake.tables import load_table
+
+    frames_sorted = {
+        "jaccard_sorted_layout": lambda: ngram_jaccard_pairs(
+            spark, lake_dir
+        ),
+        "leakage_sorted_layout": lambda: cross_source_dup_leakage(
+            spark, lake_dir
+        ),
+        "gate_scan_docid_text_sorted": lambda: load_table(
+            spark, lake_dir, "documents"
+        )
+        .filter(F.col("doc_id") < 300)
+        .select("doc_id", "text"),
+    }
+    payload["sorted_layout"]["measured"] = steady_state(
+        spark, lake_dir, frames_sorted, duck_sql=duck_sql, n_runs=7
+    )
+    # DuckDB on the sorted copy (its zonemaps skip too)
+    copy_loc = os.path.join(
+        lake_dir, "_layout", "documents_sorted_by_doc_id"
+    )
+    con = duckdb.connect()
+    for t in PROBE_TABLES:
+        p = os.path.join(lake_dir, t + ".parquet")
+        if os.path.exists(p):
+            con.execute(
+                f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{p}/*.parquet')"
+            )
+    con.execute(
+        "CREATE OR REPLACE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{copy_loc}/*.parquet')"
+    )
+    dcopy: dict[str, list[float]] = {n: [] for n in duck_sql}
+    for sql in duck_sql.values():
+        con.execute(sql).fetchall()
+    for _ in range(7):
+        for n, sql in duck_sql.items():
+            t0 = time.perf_counter()
+            con.execute(sql).fetchall()
+            dcopy[n].append(round(time.perf_counter() - t0, 3))
+    con.close()
+    med = lambda xs: sorted(xs)[len(xs) // 2]  # noqa: E731
+    payload["duckdb_on_sorted_copy_runs"] = dcopy
+    payload["duckdb_on_sorted_copy_median"] = {
+        n: med(v) for n, v in dcopy.items()
+    }
+    payload["replicas"] = REPLICAS_100X
+    _merge_probe("r14_jaccard_layout_ab", payload)
+    shutil.rmtree(scratch, ignore_errors=True)
+    spark.stop()
+
+
+def main_r14textagg(scratch: str) -> None:
+    """--r14textagg (r13 verdict #6): the last wholly-unmeasured text
+    aggregation family — tfidf_top_terms, bigram_logprob_scores,
+    bpe_merge_candidates, vocab_top_tokens — one measurement under the
+    unified protocol BEFORE touching anything (guide §1).  All four are
+    already agg-first shapes (map-side partials absorb the Zipf skew;
+    finals are small_sorted or TakeOrdered limits, no global-sort
+    sampler), so the prior is "nothing to fix"; this entry either
+    confirms that or names the lever the numbers demand."""
+    from cardano_analytics_duckdb_spark.operators import all_oracles
+    from cardano_analytics_duckdb_spark.operators.mixing import (
+        tfidf_top_terms,
+    )
+    from cardano_analytics_duckdb_spark.operators.textops import (
+        bigram_logprob_scores,
+        bpe_merge_candidates,
+        vocab_top_tokens,
+    )
+
+    spark = get_session(
+        app_name="scale-probe-r14textagg", shuffle_partitions=200
+    )
+    lake_dir = os.path.join(scratch, "lake100")
+    build_scaled_lake(spark, lake_dir, replicas=REPLICAS_100X, file_scale=10)
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    oracles = all_oracles()
+    names = (
+        "tfidf_top_terms",
+        "bigram_logprob_scores",
+        "bpe_merge_candidates",
+        "vocab_top_tokens",
+    )
+    fns = {
+        "tfidf_top_terms": tfidf_top_terms,
+        "bigram_logprob_scores": bigram_logprob_scores,
+        "bpe_merge_candidates": bpe_merge_candidates,
+        "vocab_top_tokens": vocab_top_tokens,
+    }
+    frames = {n: (lambda f=fns[n]: f(spark, lake_dir)) for n in names}
+    payload = steady_state(
+        spark,
+        lake_dir,
+        frames,
+        duck_sql={n: oracles[n] for n in names},
+        n_runs=7,
+    )
+    payload["replicas"] = REPLICAS_100X
+    _merge_probe("r14_textagg_family", payload)
+    shutil.rmtree(scratch, ignore_errors=True)
+    spark.stop()
+
+
+def main_r14prodbench(scratch: str) -> None:
+    """--r14prodbench (r13 verdict #5): the headline bench's
+    AQE-off/8-partition posture is the one regime that flatters local
+    sub-second latency; the 100 TB story is the production session
+    (AQE on, coalescing from 200).  This mode prices BOTH postures over
+    the same 15 headline queries at --replicas x (default 10x =
+    sf1-equivalent) in ONE session — both confs are runtime-settable,
+    so each round interleaves posture A, posture B and the DuckDB
+    denominator per query and host drift cancels — and records the
+    result as a standalone BENCH-style artifact
+    (``BENCH_PROD_<replicas>x.json``) instead of a side note.  The
+    bench itself is untouched: this is the evidence that its posture is
+    an sf0.1 latency accommodation, not the scale claim."""
+    from bench import HEADLINE
+    from cardano_analytics_duckdb_spark.operators import (
+        all_oracles,
+        all_queries,
+    )
+
+    replicas = _replicas_arg()
+    spark = get_session(
+        app_name="scale-probe-r14prodbench", shuffle_partitions=200
+    )
+    lake_dir = os.path.join(scratch, f"lake{replicas}")
+    build_scaled_lake(
+        spark, lake_dir, replicas=replicas,
+        file_scale=max(1, replicas // 10),
+    )
+    queries = all_queries()
+    oracles = all_oracles()
+
+    POSTURES = {
+        # the exact conf pair bench.py flips vs plans/session.py
+        "bench": {
+            "spark.sql.adaptive.enabled": "false",
+            "spark.sql.shuffle.partitions": "8",
+        },
+        "prod": {
+            "spark.sql.adaptive.enabled": "true",
+            "spark.sql.shuffle.partitions": "200",
+        },
+    }
+
+    def variant(name: str, posture: str):
+        def fn():
+            for k, v in POSTURES[posture].items():
+                spark.conf.set(k, v)
+            return queries[name](spark, lake_dir)
+
+        return fn
+
+    frames = {
+        f"{n}@{p}": variant(n, p) for n in HEADLINE for p in POSTURES
+    }
+    payload = steady_state(
+        spark,
+        lake_dir,
+        frames,
+        duck_sql={n: oracles[n] for n in HEADLINE},
+        n_runs=5,
+    )
+    payload["replicas"] = replicas
+    med = payload["spark_median"]
+    bench_total = round(sum(med[f"{n}@bench"] for n in HEADLINE), 3)
+    prod_total = round(sum(med[f"{n}@prod"] for n in HEADLINE), 3)
+    duck_total = round(
+        sum(payload["duckdb_median"][n] for n in HEADLINE), 3
+    )
+    payload["totals"] = {
+        "bench_posture": bench_total,
+        "production_posture": prod_total,
+        "duckdb": duck_total,
+        "prod_over_bench": round(prod_total / bench_total, 3),
+        "bench_vs_duckdb": round(bench_total / duck_total, 3),
+        "prod_vs_duckdb": round(prod_total / duck_total, 3),
+    }
+    artifact = {
+        "metric": f"headline_query_wall_time_{replicas}x_postures",
+        "unit": "sec",
+        "sf": 0.1 * replicas,
+        "queries_bench_posture": {
+            n: med[f"{n}@bench"] for n in HEADLINE
+        },
+        "queries_production": {n: med[f"{n}@prod"] for n in HEADLINE},
+        "duckdb_queries": dict(payload["duckdb_median"]),
+        **payload["totals"],
+        "loadavg_at_end": payload["loadavg_at_end"],
+        "n_runs": 5,
+        "protocol": "focused_steady_state_interleaved_postures",
+    }
+    with open(f"BENCH_PROD_{replicas}x.json", "w") as f:
+        json.dump(artifact, f, indent=2)
+    _merge_probe(f"r14_prodbench_{replicas}x", payload)
+    shutil.rmtree(scratch, ignore_errors=True)
+    spark.stop()
+
+
+def main_r14cosinedims(scratch: str) -> None:
+    """--r14cosinedims (r13 verdict #9): re-measure the cosine numpy
+    kernel at >=1024 dims.  r13 rejected it at 64 dims (0.421 vs
+    0.344 s) on the work-per-transferred-byte argument: Arrow-moving
+    the whole embedding column to Python cost more than the ~64
+    interpreted HOF lambda evals/row it saved.  The twin was kept for
+    exactly this re-read — at 16x the dims, per-row JVM interpreted
+    work grows 16x while the kernel's matmul amortizes, so the boundary
+    should flip.  The probe widens the 100x embeddings lake to 1024
+    dims (flatten(array_repeat(v, 16)) — deterministic, norm scales by
+    4, identical for both variants), asserts variant equality, then
+    runs the standard n=7 equal-cache A/B with the DuckDB denominator
+    on the same widened lake.  Whatever the numbers say decides whether
+    the shipped cosine_topk shape flips to the kernel at high dims —
+    registered queries stay untouched either way (the testdata lake is
+    64-dim; this entry prices the boundary, it does not move the
+    query)."""
+    from cardano_analytics_duckdb_spark.operators import all_oracles
+    from cardano_analytics_duckdb_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_arrow,
+    )
+
+    spark = get_session(
+        app_name="scale-probe-r14cosinedims", shuffle_partitions=32
+    )
+    lake_dir = os.path.join(scratch, "lake100d1024")
+    build_scaled_lake(spark, lake_dir, replicas=REPLICAS_100X, file_scale=10)
+    # widen embeddings 64 -> 1024 dims in place (rewrite the table dir)
+    emb_path = os.path.join(lake_dir, "embeddings.parquet")
+    wide_tmp = os.path.join(scratch, "emb_wide")
+    (
+        spark.read.parquet(emb_path)
+        .withColumn(
+            "embedding",
+            F.flatten(F.array_repeat(F.col("embedding"), 16)),
+        )
+        .repartition(32)
+        .write.parquet(wide_tmp)
+    )
+    shutil.rmtree(emb_path)
+    os.rename(wide_tmp, emb_path)
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    frames = {
+        "cosine_hof_jvm_1024d": lambda: cosine_topk(spark, lake_dir),
+        "cosine_numpy_kernel_1024d": lambda: cosine_topk_arrow(
+            spark, lake_dir
+        ),
+    }
+    diff = (
+        frames["cosine_numpy_kernel_1024d"]()
+        .exceptAll(frames["cosine_hof_jvm_1024d"]())
+        .count()
+    )
+    assert diff == 0, f"numpy kernel diverges on {diff} rows at 1024d"
+    oracles = all_oracles()
+    payload = steady_state(
+        spark,
+        lake_dir,
+        frames,
+        duck_sql={"cosine_topk": oracles["cosine_topk"]},
+        n_runs=7,
+    )
+    payload["replicas"] = REPLICAS_100X
+    payload["dims"] = 1024
+    _merge_probe("r14_cosine_dims_ab", payload)
+    shutil.rmtree(scratch, ignore_errors=True)
+    spark.stop()
+
+
+def main_r14ingest(scratch: str) -> None:
+    """--r14ingest (r13 verdict #8): decompose the 837 blocks/s ingest
+    bound — source or sink?  The flush pipeline has four separable
+    stages; each is timed alone over the same n_blocks so the blocks/s
+    of the slowest stage names the bound (guide §1.1 first-principles
+    decomposition):
+
+      gen        — the pure-Python fake-node replay generator (source);
+      parse      — blocks_to_dataframe().persist().count() per batch
+                   (Python->JVM transfer + JSON-shape parse; no writes);
+      extract    — parse + the 13 table extractions through the noop
+                   sink on the coalesced cached frame (all compute, no
+                   file commits);
+      full       — ingest_blocks end-to-end (adds partitioned appends
+                   + dynamic-partition commit protocol = the sink).
+
+    Optimize the sink only if full >> extract; if gen or parse
+    dominates, the bound is the single-process source and the honest
+    fix is upstream parallelism (many node connections), not Spark."""
+    import itertools
+
+    from cardano_analytics_duckdb_spark.streaming.ingest import (
+        blocks_to_dataframe,
+        extract_tables,
+        ingest_blocks,
+    )
+
+    n_blocks, batch_size = 30_000, 2_000
+    spark = get_session(
+        app_name="scale-probe-r14ingest", shuffle_partitions=8
+    )
+    out: dict = {"n_blocks": n_blocks, "batch_size": batch_size}
+
+    def batches():
+        it = itertools.islice(_replicated_block_stream(), n_blocks)
+        while True:
+            chunk = list(itertools.islice(it, batch_size))
+            if not chunk:
+                return
+            yield chunk
+
+    # stage 1: source generator alone
+    t0 = time.perf_counter()
+    n = sum(1 for _ in itertools.islice(_replicated_block_stream(), n_blocks))
+    gen_s = time.perf_counter() - t0
+    assert n == n_blocks
+    out["gen"] = {
+        "wall_s": round(gen_s, 2),
+        "blocks_per_s": round(n_blocks / gen_s, 1),
+    }
+
+    # stage 2: + Python->JVM transfer and parse (cache fill, no writes)
+    t0 = time.perf_counter()
+    for chunk in batches():
+        bdf = blocks_to_dataframe(spark, chunk).persist()
+        bdf.count()
+        bdf.unpersist()
+    parse_s = time.perf_counter() - t0
+    out["parse"] = {
+        "wall_s": round(parse_s, 2),
+        "blocks_per_s": round(n_blocks / parse_s, 1),
+    }
+
+    # stage 3: + the 13 extractions (noop sink — no commit protocol),
+    # same coalesce + thread fan-out shape as the real flush
+    from concurrent.futures import ThreadPoolExecutor
+
+    t0 = time.perf_counter()
+    for chunk in batches():
+        bdf = blocks_to_dataframe(spark, chunk).persist()
+        bdf.count()
+        nparts = max(1, min(8, len(chunk) // 500))
+        tables = extract_tables(bdf.coalesce(nparts))
+
+        def _noop_one(df):
+            df.write.format("noop").mode("overwrite").save()
+
+        with ThreadPoolExecutor(max_workers=len(tables)) as ex:
+            list(ex.map(_noop_one, tables.values()))
+        bdf.unpersist()
+    extract_s = time.perf_counter() - t0
+    out["extract_noop"] = {
+        "wall_s": round(extract_s, 2),
+        "blocks_per_s": round(n_blocks / extract_s, 1),
+    }
+
+    # stage 4: the real thing (partitioned appends + commits)
+    dest = os.path.join(scratch, "ingest_lake_decomp")
+    shutil.rmtree(dest, ignore_errors=True)
+    t0 = time.perf_counter()
+    ingest_blocks(
+        spark,
+        itertools.islice(_replicated_block_stream(), n_blocks),
+        dest,
+        batch_size=batch_size,
+    )
+    full_s = time.perf_counter() - t0
+    out["full"] = {
+        "wall_s": round(full_s, 2),
+        "blocks_per_s": round(n_blocks / full_s, 1),
+    }
+    out["decomposition_s"] = {
+        "source_gen": round(gen_s, 2),
+        "transfer_parse": round(parse_s - gen_s, 2),
+        "extract_compute": round(extract_s - parse_s, 2),
+        "sink_commit": round(full_s - extract_s, 2),
+    }
+    out["loadavg_at_end"] = [round(x, 2) for x in os.getloadavg()]
+    _merge_probe("r14_ingest_decomposition", out)
+    shutil.rmtree(scratch, ignore_errors=True)
+    spark.stop()
+
+
+def main_r14scaling(scratch: str) -> None:
+    """--r14scaling (r13 verdict #7): make the scaling block meaningful.
+    At sf0.1 every headline query is dispatch-floor-bound (40-160 ms
+    absolute), so the driver's 8->32-core ratios (0.7-2.05) measure job
+    dispatch, not data parallelism.  This mode re-takes the same 15
+    headline queries at --replicas x (default 10x = sf1-equivalent)
+    under the PRODUCTION posture in two sequential sessions —
+    local[32] then local[8] — and records per-query 8/32 wall ratios
+    where the work is big enough for parallelism to be the signal.
+    Ideal ratio 4x; dispatch-floor queries should now move toward it.
+    This is the proposed replacement evidence for the driver's sf0.1
+    scaling gate (we cannot change the driver; we can record what the
+    gate would show one SF up)."""
+    from bench import HEADLINE
+    from cardano_analytics_duckdb_spark.operators import (
+        all_oracles,
+        all_queries,
+    )
+
+    replicas = _replicas_arg()
+    queries = all_queries()
+    oracles = all_oracles()
+    lake_dir = os.path.join(scratch, f"lake{replicas}")
+    payload: dict = {"replicas": replicas}
+    for cores in (32, 8):
+        spark = get_session(
+            app_name=f"scale-probe-r14scaling-c{cores}",
+            master=f"local[{cores}]",
+            shuffle_partitions=200,
+        )
+        if cores == 32:
+            build_scaled_lake(
+                spark, lake_dir, replicas=replicas,
+                file_scale=max(1, replicas // 10),
+            )
+        frames = {
+            n: (lambda f=queries[n]: f(spark, lake_dir)) for n in HEADLINE
+        }
+        payload[f"c{cores}"] = steady_state(
+            spark,
+            lake_dir,
+            frames,
+            duck_sql={n: oracles[n] for n in HEADLINE} if cores == 32 else None,
+            n_runs=5,
+        )
+        spark.stop()
+    med32 = payload["c32"]["spark_median"]
+    med8 = payload["c8"]["spark_median"]
+    payload["ratio_8_over_32"] = {
+        n: round(med8[n] / med32[n], 2) for n in HEADLINE if med32[n] > 0
+    }
+    payload["total_c32"] = round(sum(med32.values()), 3)
+    payload["total_c8"] = round(sum(med8.values()), 3)
+    payload["total_ratio_8_over_32"] = round(
+        payload["total_c8"] / payload["total_c32"], 2
+    )
+    _merge_probe(f"r14_scaling_{replicas}x", payload)
+    shutil.rmtree(scratch, ignore_errors=True)
+    spark.stop()
+
+
 def main_weakledger() -> None:
     """--weakledger: regenerate PERF_WEAK.json from SCALE_PROBE.json.
     Pure extraction — run it after any probe mode that touches a weak
@@ -3821,6 +4355,24 @@ def main() -> None:
         return
     if "--r13jaccard" in sys.argv:
         main_r13jaccard(scratch)
+        return
+    if "--r14jaccard" in sys.argv:
+        main_r14jaccard(scratch)
+        return
+    if "--r14textagg" in sys.argv:
+        main_r14textagg(scratch)
+        return
+    if "--r14prodbench" in sys.argv:
+        main_r14prodbench(scratch)
+        return
+    if "--r14cosinedims" in sys.argv:
+        main_r14cosinedims(scratch)
+        return
+    if "--r14ingest" in sys.argv:
+        main_r14ingest(scratch)
+        return
+    if "--r14scaling" in sys.argv:
+        main_r14scaling(scratch)
         return
     if "--weakledger" in sys.argv:
         main_weakledger()

@@ -702,3 +702,118 @@ def test_source_sig_memo_revalidates_on_root_change(
     layout._SIG_CACHE[path] = (-1.0, root, sig)
     assert layout._source_sig(lfs, str(src), "t") == s2
     assert layout._SIG_CACHE[path][0] > 0
+
+
+def test_sorted_layout_lifecycle_serves_prunable_copy(
+    spark, layout_env, tmp_path
+):
+    """r14: RANGE-CLUSTERED (sorted) layouts — declare via set_sort_spec,
+    build via the same bucketize lifecycle, resolve automatically through
+    load_table; files hold disjoint key ranges so bounded-key predicates
+    row-group-skip (the ngram_jaccard doc_id<300 gate fix)."""
+    import pyarrow.parquet as pq
+
+    from cardano_analytics_duckdb_spark.lake.tables import sort_lake
+    from cardano_analytics_duckdb_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    # writable copy of the docs lake so the spec lands IN the lake
+    src = tmp_path / "lake"
+    src.mkdir()
+    for t in ("documents",):
+        shutil.copytree(
+            os.path.join(SF, f"{t}.parquet"),
+            src / f"{t}.parquet",
+        ) if os.path.isdir(os.path.join(SF, f"{t}.parquet")) else shutil.copy(
+            os.path.join(SF, f"{t}.parquet"), src / f"{t}.parquet"
+        )
+    plain_rows = ngram_jaccard_pairs(spark, str(src)).collect()
+    sort_lake(spark, str(src), {"documents": ("doc_id",)}, out_files=4)
+
+    served = load_table(spark, str(src), "documents")
+    files = [
+        r["file"] for r in served.select(
+            F.input_file_name().alias("file")
+        ).distinct().collect()
+    ]
+    assert all("documents_sorted_by_doc_id" in f for f in files)
+    # disjoint per-file doc_id ranges -> footer stats actually prune
+    spans = []
+    for f in files:
+        md = pq.ParquetFile(f.replace("file://", "")).metadata
+        idx = md.schema.to_arrow_schema().names.index("doc_id")
+        st = md.row_group(0).column(idx).statistics
+        lo, hi = st.min, st.max
+        for g in range(1, md.num_row_groups):
+            s = md.row_group(g).column(idx).statistics
+            lo, hi = min(lo, s.min), max(hi, s.max)
+        spans.append((lo, hi))
+    spans.sort()
+    assert all(a[1] < b[0] for a, b in zip(spans, spans[1:]))
+    # unchanged query code, identical rows, filter pushed to the scan
+    gated = ngram_jaccard_pairs(spark, str(src))
+    assert sorted(map(tuple, gated.collect())) == sorted(
+        map(tuple, plain_rows)
+    )
+    plan = gated._jdf.queryExecution().explainString(
+        gated._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "documents_sorted_by_doc_id" in plan
+    # PushedFilters reach the copy's scan (row-group pruning can fire)
+    assert "LessThan(doc_id,300)" in plan
+    # source mutation invalidates: resolution falls back to plain
+    import time as _time
+
+    _time.sleep(0.02)
+    tbl = pq.read_table(src / "documents.parquet")
+    pq.write_table(tbl.slice(0, tbl.num_rows - 1), src / "documents.parquet")
+    layout.invalidate_layout_cache()
+    layout._SIG_CACHE.clear()
+    back = load_table(spark, str(src), "documents")
+    fs = [
+        r["file"] for r in back.select(
+            F.input_file_name().alias("file")
+        ).distinct().collect()
+    ]
+    assert all("documents_sorted_by_doc_id" not in f for f in fs)
+    layout.drop_layout(spark, str(src))
+
+
+def test_sorted_and_bucketed_layouts_coexist(spark, layout_env, tmp_path):
+    """A table can carry both layout kinds: an exact layout_for hint
+    serves the bucketed copy (join co-location), unhinted reads of a
+    sorted-only table serve the sorted copy."""
+    src = tmp_path / "lake2"
+    src.mkdir()
+    shutil.copy(
+        os.path.join(SF, "orders.parquet"), src / "orders.parquet"
+    )
+    layout.set_bucket_spec(
+        spark, str(src), {"orders": [["o_orderkey"]]}, n_buckets=4
+    )
+    layout.set_sort_spec(
+        spark, str(src), {"orders": ["o_orderkey"]}, out_files=4
+    )
+    spec = layout.bucket_spec(spark, str(src))
+    assert spec["tables"] == {"orders": [["o_orderkey"]]}  # merge kept it
+    built = layout.bucketize(spark, str(src))
+    assert "orders_by_o_orderkey" in built
+    assert "orders_sorted_by_o_orderkey" in built
+    hinted = load_table(
+        spark, str(src), "orders", layout_for=("o_orderkey",)
+    )
+    # bucketed copies resolve as catalog tables (no input_file path)
+    assert hinted.schema["o_orderkey"] is not None
+    from cardano_analytics_duckdb_spark.lake.layout import resolve_bucketed
+
+    st = resolve_bucketed(spark, str(src), "orders", ("o_orderkey",))
+    assert st is not None
+    unhinted = resolve_bucketed(spark, str(src), "orders", None)
+    assert unhinted is not None
+    # second bucketize is a no-op for both kinds (incremental)
+    again = layout.bucketize(spark, str(src))
+    assert set(again) == set(built)
+    layout.drop_layout(spark, str(src))

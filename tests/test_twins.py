@@ -80,3 +80,34 @@ def test_simhash_rejected_twin_parity(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     assert _rows(_simhash_frame(docs)) == _rows(_simhash_frame_fold(docs))
+
+
+def test_bpe_twin_parity_null_text(spark, tmp_path):
+    # r13 ADVICE: the Arrow kernel raised TypeError on a null text value
+    # while the JVM twin propagates null — the testdata fixture has no
+    # nulls, so parity is pinned here on a synthetic nullable lake.
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cardano_analytics_duckdb_spark.operators.textops import (
+        bpe_token_counts,
+        bpe_token_counts_jvm,
+    )
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(["a b c", None, "x1 !"], pa.string()),
+            "lang": pa.array(["en"] * 3, pa.string()),
+            "source": pa.array(["s"] * 3, pa.string()),
+            "n_chars": pa.array([5, 0, 4], pa.int64()),
+        }
+    )
+    lake = tmp_path / "nulldocs"
+    lake.mkdir()
+    pq.write_table(tbl, lake / "documents.parquet")
+    kernel = _rows(bpe_token_counts(spark, str(lake)))
+    assert kernel == _rows(bpe_token_counts_jvm(spark, str(lake)))
+    # the null row survives with null counts (not dropped, not zeros)
+    null_row = [r for r in kernel if r[1] == "2"]
+    assert len(null_row) == 1 and "None" in null_row[0]
