@@ -3227,7 +3227,15 @@ def main_r13sortdrop3(scratch: str) -> None:
       final (cheap) — measured to bound the family's small end.
 
     Old shapes via ``ordered=True``; equality asserted; unified n=7
-    equal-cache steady state at the 100x lake."""
+    equal-cache steady state.  r14 note: the levenshtein band join is
+    QUADRATIC in replicas (every (brand, len_band) group grows with the
+    corpus, pairs grow with its square — ~8e9 levenshtein evals at
+    100x; the first r14 attempt ran >80 min before being killed), so
+    its frames only run when --replicas <= 10; the sort-drop factor
+    being priced (the range sampler re-executing the whole upstream
+    once more per execution) is a multiplier, not an absolute, so the
+    10x reading carries.  Default replicas stays 100x for the four
+    linear-cost queries."""
     from cardano_analytics_duckdb_spark.operators import all_oracles
     from cardano_analytics_duckdb_spark.operators.dedup import (
         corpus_keep_decisions,
@@ -3241,11 +3249,15 @@ def main_r13sortdrop3(scratch: str) -> None:
         priority_order_union,
     )
 
+    replicas = _replicas_arg(default=REPLICAS_100X)
     spark = get_session(
         app_name="scale-probe-r13sortdrop3", shuffle_partitions=200
     )
-    lake_dir = os.path.join(scratch, "lake100")
-    build_scaled_lake(spark, lake_dir, replicas=REPLICAS_100X, file_scale=10)
+    lake_dir = os.path.join(scratch, f"lake{replicas}")
+    build_scaled_lake(
+        spark, lake_dir, replicas=replicas,
+        file_scale=max(1, replicas // 10),
+    )
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     oracles = all_oracles()
     frames = {
@@ -3253,12 +3265,6 @@ def main_r13sortdrop3(scratch: str) -> None:
             spark, lake_dir
         ),
         "priority_union_ordered_r12": lambda: priority_order_union(
-            spark, lake_dir, ordered=True
-        ),
-        "levenshtein_noshuffle": lambda: part_name_levenshtein_pairs(
-            spark, lake_dir
-        ),
-        "levenshtein_ordered_r12": lambda: part_name_levenshtein_pairs(
             spark, lake_dir, ordered=True
         ),
         "ngram_coverage_noshuffle": lambda: duplicated_ngram_coverage(
@@ -3280,33 +3286,50 @@ def main_r13sortdrop3(scratch: str) -> None:
             spark, lake_dir, ordered=True
         ),
     }
-    for a, b in (
-        ("priority_union_noshuffle", "priority_union_ordered_r12"),
-        ("levenshtein_noshuffle", "levenshtein_ordered_r12"),
-        ("ngram_coverage_noshuffle", "ngram_coverage_ordered_r12"),
-        ("keep_decisions_noshuffle", "keep_decisions_ordered_r12"),
-        ("phash_pairs_noshuffle", "phash_pairs_ordered_r12"),
-    ):
+    duck_names = [
+        "priority_order_union",
+        "duplicated_ngram_coverage",
+        "corpus_keep_decisions",
+        "image_phash_near_dup_pairs",
+    ]
+    if replicas <= 10:  # quadratic fan-out: see docstring
+        frames["levenshtein_noshuffle"] = (
+            lambda: part_name_levenshtein_pairs(spark, lake_dir)
+        )
+        frames["levenshtein_ordered_r12"] = (
+            lambda: part_name_levenshtein_pairs(
+                spark, lake_dir, ordered=True
+            )
+        )
+        duck_names.append("part_name_levenshtein_pairs")
+    pairs_to_check = [
+        (f"{stem}_noshuffle", f"{stem}_ordered_r12")
+        for stem in (
+            "priority_union", "ngram_coverage", "keep_decisions",
+            "phash_pairs",
+        )
+    ] + (
+        [("levenshtein_noshuffle", "levenshtein_ordered_r12")]
+        if replicas <= 10
+        else []
+    )
+    for a, b in pairs_to_check:
         diff = frames[a]().exceptAll(frames[b]()).count()
         assert diff == 0, f"{a} diverges on {diff} rows"
     payload = steady_state(
         spark,
         lake_dir,
         frames,
-        duck_sql={
-            n: oracles[n]
-            for n in (
-                "priority_order_union",
-                "part_name_levenshtein_pairs",
-                "duplicated_ngram_coverage",
-                "corpus_keep_decisions",
-                "image_phash_near_dup_pairs",
-            )
-        },
+        duck_sql={n: oracles[n] for n in duck_names},
         n_runs=7,
     )
-    payload["replicas"] = REPLICAS_100X
-    _merge_probe("r13_sortdrop3_ab", payload)
+    payload["replicas"] = replicas
+    section = (
+        "r13_sortdrop3_ab"
+        if replicas == REPLICAS_100X
+        else f"r13_sortdrop3_ab_{replicas}x"
+    )
+    _merge_probe(section, payload)
     shutil.rmtree(scratch, ignore_errors=True)
     spark.stop()
 
